@@ -1,0 +1,268 @@
+"""EXT deduplication operators over `documents` (SURVEY.md §2.11):
+
+- exact dedup (hash-groupBy)
+- n-gram (3-word shingle) Jaccard similarity pairs — the exact near-dup oracle
+- MinHash + LSH banding — the scale path for near-dup at 100 TB
+- SimHash signatures
+
+Everything is built from JVM-side primitives (split / explode / xxhash64 /
+groupBy); no Python UDFs, no driver-side collection. At 100 TB the shingle
+explode shuffles (doc, shingle) pairs once; MinHash collapses that to a
+128-byte signature per doc, and LSH banding turns all-pairs comparison into
+an equi-join on band hashes — the only join shape that survives web-scale
+corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+N_MINHASHES = 32
+N_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high prob
+ROWS_PER_BAND = N_MINHASHES // N_BANDS
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a whitespace-tokenized text (empty array
+    when the text has fewer than k tokens)."""
+    tokens = F.split(text, " ")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))  # 1-based, inclusive
+    shingles = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tokens, i + j) for j in range(k)]
+        ),
+    )
+    return F.when(n >= k, F.array_distinct(shingles)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) exploded — shared base for jaccard and minhash."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+
+
+JACCARD_SQL_BASE = """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, u.shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+        WHERE LEN(t) >= 3
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON i.doc_a = ca.doc_id
+    JOIN counts cb ON i.doc_b = cb.doc_id
+"""
+
+
+def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None) -> DataFrame:
+    """Exact shingle-Jaccard for all co-shingled pairs (or only `candidates`
+    (doc_a, doc_b) if given)."""
+    sh = shingle_pairs(spark, sf_dir)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies, MD5(text) AS content_hash
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, keep the lowest doc_id. One
+    shuffle keyed by the content hash — at 100 TB, group on md5(text), never
+    on the raw text bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.encode(F.col("text"), "UTF-8")).alias("content_hash")).agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keeper_doc_id", "n_copies", "content_hash")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {JACCARD_SQL_BASE}
+    ORDER BY jaccard DESC, i.doc_a, i.doc_b
+    LIMIT 100
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard, top-100 most similar pairs. This is the
+    *exact* near-dup measure the MinHash path approximates; quadratic in
+    co-shingled docs, so at scale it is only ever run on LSH candidates."""
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+@query("dedup_minhash_lsh")  # no SQL oracle: xxhash64 minhashing isn't expressible in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates, verified with exact Jaccard.
+
+    shingle → 32 xxhash64 minhashes → 8 bands of 4 → band-hash equi-join for
+    candidates → exact Jaccard re-rank on candidates only. All deterministic
+    (seeded xxhash64), all JVM-side. The band join replaces the all-pairs
+    shingle join: cost is O(docs × bands), not O(co-shingled pairs²).
+    Verified in tests against the exact-Jaccard oracle at small SF.
+    """
+    sh = shingle_pairs(spark, sf_dir)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(N_MINHASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    stacked = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+    left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    spark_jaccard = _jaccard_pairs(spark, sf_dir, candidates=candidates)
+    return spark_jaccard.filter(F.col("jaccard") >= 0.3).orderBy(
+        F.desc("jaccard"), "doc_a", "doc_b"
+    )
+
+
+@query("dedup_simhash")  # no SQL oracle: xxhash64 bit arithmetic isn't expressible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes: per bit, sum +1/-1
+    weighted votes across tokens, bit = 1 when the vote is positive. A single
+    groupBy(doc_id) with 64 conditional-sum aggregates — fully codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    hashed = tok.select("doc_id", F.xxhash64(F.col("token")).alias("h"))
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ]
+    )
+    simhash = votes.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63))).otherwise(0)
+                for bit in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return simhash
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
+                    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+             / (SQRT(a.nsq) * SQRT(b.nsq)) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, vec_a, vec_b
+    LIMIT 20
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: top-20 most-cosine-similar pairs. Norms are
+    precomputed per row before the pair join so each pair costs one dot
+    product. The all-pairs join is the correctness baseline; the scale path
+    is LSH bucketing (see operators/similarity.py)."""
+    from mysql_hbase_replicator_spark.functions.vectors import cosine_from_parts, dot, norm_sq
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nsq").alias("nsq_a")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nsq").alias("nsq_b")
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a",
+            "vec_b",
+            cosine_from_parts(
+                dot(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
+        .limit(20)
+    )

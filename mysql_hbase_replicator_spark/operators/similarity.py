@@ -1,0 +1,181 @@
+"""EXT similarity search over `embeddings` (SURVEY.md §2.11).
+
+- Brute-force cosine top-k: the exact baseline. Broadcast the (tiny) query
+  set against the full corpus — the corpus is never shuffled, so this is the
+  right plan even at 100 TB (scan + per-row dot products + per-query top-k).
+- LSH-bucketed ANN (random hyperplanes): sub-linear candidate generation for
+  corpus×corpus workloads where broadcast doesn't apply. Hyperplanes are
+  derived deterministically from xxhash64 so the result is reproducible with
+  no driver-side randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_hbase_replicator_spark.functions.vectors import cosine_from_parts, dot, norm_sq
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+N_QUERIES = 5
+TOP_K = 5
+EMB_DIM = 64
+# Multi-table LSH: L tables × b sign bits. b=6 → 64 buckets/table keeps
+# per-bucket candidate lists dense enough to recall neighbors; L=4 unions
+# independent chances. (A single 16-bit bucket yields ~0 collisions.)
+LSH_TABLES = 4
+LSH_BITS = 6
+
+
+@query(
+    "similarity_topk_cosine",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.embedding) + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (SQRT(q.nsq) * SQRT(c.nsq)) AS cosine
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine, rn AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k nearest neighbors by cosine for the first N query vectors.
+    The query side is broadcast; the corpus scan never shuffles, and the
+    per-query top-k is a row_number window over (query, cosine)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    sims = (
+        e.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(table: int) -> list[list[float]]:
+    """LSH_BITS deterministic pseudo-random hyperplanes in EMB_DIM dims for
+    one LSH table. Components come from a splitmix64-style integer mix of
+    (table, plane, dim) — reproducible anywhere, no RNG state, good-enough
+    uniformity in [-1, 1]."""
+
+    def mix(x: int) -> int:
+        x = (x ^ (x >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        x = (x ^ (x >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        return x ^ (x >> 31)
+
+    planes = []
+    for p in range(LSH_BITS):
+        row = []
+        for d in range(EMB_DIM):
+            h = mix((table * 7919 + p) * 1315423911 + d * 2654435761 + 0x9E3779B97F4A7C15)
+            row.append((h % 2000001) / 1000000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_col(emb: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id: bit p = 1 iff emb · plane_p > 0. Pure expression —
+    evaluated JVM-side per row, no UDF."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_arr = F.array(*[F.lit(v) for v in plane])
+        d = dot(emb, plane_arr)
+        bucket = bucket + F.when(d > 0, F.lit(2**p).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_buckets(emb: Column) -> Column:
+    """array of (table, bucket) structs — one entry per LSH table."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("lsh_table"),
+                lsh_bucket_col(emb, _hyperplanes(t)).alias("bucket"),
+            )
+            for t in range(LSH_TABLES)
+        ]
+    )
+
+
+@query("similarity_ann_lsh")  # no SQL oracle: approximate by construction; recall tested in pytest
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH: each vector
+    lands in LSH_TABLES buckets (6 sign bits each); candidates = vectors
+    sharing any (table, bucket) with a query; exact cosine re-rank on the
+    deduped candidate set. At 100 TB the candidate generation is an equi-join
+    on (table, bucket) — shuffle on a small key, no all-pairs product.
+    Recall vs brute force is asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    buckets = e.select(
+        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", "tb.lsh_table", "tb.bucket")
+    queries = e.filter(F.col("vec_id") < N_QUERIES)
+    q_buckets = buckets.join(
+        queries.select(F.col("vec_id").alias("query_id")),
+        buckets.vec_id == F.col("query_id"),
+    ).select("query_id", "lsh_table", "bucket")
+    cand_ids = (
+        buckets.join(F.broadcast(q_buckets), ["lsh_table", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates()
+    )
+    cands = (
+        cand_ids.join(e, "vec_id")
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("q_emb"),
+                    F.col("nsq").alias("q_nsq"),
+                )
+            ),
+            "query_id",
+        )
+    )
+    sims = cands.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_from_parts(
+            dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,815 @@
+"""Relational query surface (SURVEY.md §2.4 joins, §2.5 aggs/windows/sorts/
+set ops, §2.6 scalar functions).
+
+The reference implements none of these itself — they are its DELEGATED query
+surface: ``map <table>`` registers replicated tables into a Spark SQL catalog
+(reference Hbase2CataLog.scala:19-23, Mysql2HbaseCliDriver.scala:81-92) and
+all querying is Spark SQL. Here they are first-class, each hash-checked
+against a DuckDB oracle.
+
+Determinism conventions (the driver compares order-insensitive value hashes):
+
+- **Float aggregates** never sum raw doubles (shuffle order would change the
+  last bits). ``msum`` casts each element to DECIMAL(18,4), sums exactly, and
+  casts the exact result back to double — bit-identical to DuckDB doing the
+  same.
+- **Top-k** always orders by a total order (explicit tiebreak keys).
+- **Math funcs** avoid libm-divergent ones (ln/exp/pow differ in last ulp
+  across implementations); sqrt is IEEE-correctly-rounded so it's safe.
+- ANSI SQL mode (Spark 4 default) stays ON; out-of-bounds element_at etc. are
+  guarded explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+DEC = "decimal(25,6)"
+
+
+def msum(c: Column) -> Column:
+    """Exact 'money sum': decimal-exact accumulation, double result.
+
+    Bit-reproducible regardless of partitioning/shuffle order, and equal to
+    DuckDB's CAST(SUM(CAST(x AS DECIMAL(25,6))) AS DOUBLE).
+
+    Scale 6 matters: the inputs are products of up-to-three 2-decimal values,
+    i.e. exactly-6-decimal quantities. Casting those to scale 4 puts both
+    engines on a decimal *tie* (…50) whose direction depends on their
+    double→decimal conversion; at scale 6 the cast is exact and tie-free.
+    """
+    return F.sum(c.cast(DEC)).cast("double")
+
+
+def mavg(c: Column) -> Column:
+    """Exact-numerator average: decimal sum / count, evaluated in double."""
+    return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def SQL_MSUM(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+def SQL_MAVG(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
+
+
+# --------------------------------------------------------------------------
+# Flagship (M0): TPC-H Q3-shaped shipping-priority query.
+# customer ⋈ orders ⋈ lineitem with selective filters on both fact scans;
+# Catalyst pushes the filters into the parquet scans and AQE picks
+# broadcast for the customer side after filtering.
+# --------------------------------------------------------------------------
+@query(
+    "flagship_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {SQL_MSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 Aggregations
+# --------------------------------------------------------------------------
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_MSUM("l_quantity")} AS sum_qty,
+           {SQL_MSUM("l_extendedprice")} AS sum_base_price,
+           {SQL_MSUM("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {SQL_MSUM("(l_extendedprice * (1 - l_discount)) * (1 + l_tax)")} AS sum_charge,
+           {SQL_MAVG("l_quantity")} AS avg_qty,
+           {SQL_MAVG("l_extendedprice")} AS avg_price,
+           {SQL_MAVG("l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: partial (map-side) aggregation + single shuffle on the
+    tiny (flag,status) key space; at 100 TB this is the textbook scan-heavy,
+    shuffle-light aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            msum(F.col("l_quantity")).alias("sum_qty"),
+            msum(F.col("l_extendedprice")).alias("sum_base_price"),
+            msum(disc_price).alias("sum_disc_price"),
+            msum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            mavg(F.col("l_quantity")).alias("avg_qty"),
+            mavg(F.col("l_extendedprice")).alias("avg_price"),
+            mavg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("agg_approx_count_distinct")  # no oracle: HLL sketches differ by impl
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). No DuckDB oracle — sketch
+    estimates are implementation-specific; driver records rows-only."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           {SQL_MSUM("l_extendedprice")} AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        msum(F.col("l_extendedprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           {SQL_MSUM("o_totalprice")} AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        msum(F.col("o_totalprice")).alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_MSUM("l_quantity")} AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    l.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {SQL_MSUM("l_quantity")} AS sum_qty,
+               COUNT(*) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+    SELECT o_custkey, {SQL_MSUM("o_totalprice")} AS total_spend, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+    """,
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            msum(F.col("o_totalprice")).alias("total_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 3)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.4 Joins
+# --------------------------------------------------------------------------
+@query(
+    "join_inner_equi",
+    oracle=f"""
+    SELECT n.n_name, COUNT(*) AS n_customers, {SQL_MSUM("c.c_acctbal")} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            msum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_dim",
+    oracle=f"""
+    SELECT p.p_brand,
+           {SQL_MSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dim side — at 100 TB the part dim stays
+    ~GBs while lineitem is the 100 TB fact: broadcast-hash avoids shuffling
+    the fact table entirely."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "join_left_outer_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def join_left_outer_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join preserving customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(cu.nk, su.nk) AS nationkey, cu.n_cust, su.n_supp
+    FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) cu
+    FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) su
+      ON cu.nk = su.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cu = c.groupBy(F.col("c_nationkey").alias("c_nk")).agg(F.count(F.lit(1)).alias("n_cust"))
+    su = s.groupBy(F.col("s_nationkey").alias("s_nk")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return cu.join(su, cu.c_nk == su.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"), "n_cust", "n_supp"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_active_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 table-filter shape (reference MySQLExtractor.scala:225-236 keeps
+    only mapped tables): semi join = filter by existence, no row multiplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_inactive
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no *recent* order — anti join against a filtered fact
+    (the date filter keeps the result non-trivial at every scale factor)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_inactive"))
+    )
+
+
+@query(
+    "join_theta_range",
+    oracle="""
+    SELECT n1.n_name AS nation_a, n2.n_name AS nation_b, n1.n_regionkey AS regionkey
+    FROM nation n1
+    JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi condition on top of an equi key: Catalyst plans the equi part
+    as hash join and applies the range predicate as a post-filter — the
+    shape that keeps theta joins tractable at scale."""
+    n1 = load_table(spark, sf_dir, "nation").alias("n1")
+    n2 = load_table(spark, sf_dir, "nation").alias("n2")
+    return n1.join(
+        n2,
+        (F.col("n1.n_regionkey") == F.col("n2.n_regionkey"))
+        & (F.col("n1.n_nationkey") < F.col("n2.n_nationkey")),
+    ).select(
+        F.col("n1.n_name").alias("nation_a"),
+        F.col("n2.n_name").alias("nation_b"),
+        F.col("n1.n_regionkey").alias("regionkey"),
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    -- CAST(ts AS TIMESTAMP) floors ns → µs, matching Spark's precision
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           LAST_VALUE(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    QUALIFY event_type = 'purchase'
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (CDC point-in-time lookup, SURVEY §2.4): each purchase is
+    matched to the user's latest strictly-earlier click. Implemented as the
+    scalable union+window form — one shuffle on user_id, no row explosion —
+    rather than the naive range self-join."""
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        both.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 Window functions
+# --------------------------------------------------------------------------
+@query(
+    "window_row_number_topn",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT s_nationkey, s_suppkey, s_acctbal,
+           RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_dense_rank
+    FROM supplier
+    """,
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.rank().over(w).alias("bal_rank"),
+        F.dense_rank().over(w).alias("bal_dense_rank"),
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id
+                             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_value
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 Sorts / top-k
+# --------------------------------------------------------------------------
+@query(
+    "sort_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+)
+def sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit → TakeOrderedAndProject: each partition keeps its local
+    top-20, only k rows reach the driver — no global sort at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# §2.5 Set operations
+# --------------------------------------------------------------------------
+@query(
+    "setop_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def setop_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.exceptAll(o).distinct()
+
+
+@query(
+    "setop_drop_duplicates",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def setop_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# §2.6 Scalar functions
+# --------------------------------------------------------------------------
+@query(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS name_upper,
+           SUBSTRING(c_name, 10, 9) AS name_digits,
+           CONCAT_WS('|', c_mktsegment, c_name) AS seg_name,
+           LENGTH(c_name) AS name_len
+    FROM customer
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 10, 9).alias("name_digits"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+        F.length("c_name").alias("name_len"),
+    )
+
+
+@query(
+    "scalar_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT) AS order_year,
+           CAST(MONTH(o_orderdate) AS INT) AS order_month,
+           CAST(DAY(o_orderdate) AS INT) AS order_day,
+           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch
+    FROM orders
+    """,
+)
+def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch"
+        ),
+    )
+
+
+@query(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * 0.5, 1) AS half_price,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.5, 1).alias("half_price"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@query(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k_value,
+           event_type
+    FROM events
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object over the events.props JSON column — the engine-side
+    equivalent of the reference's lift-json catalog (HbaseTableInfo.scala:14-17)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        "event_type",
+    )
+
+
+@query(
+    "scalar_conditional_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_returnflag = 'R' THEN 'returned'
+                WHEN l_linestatus = 'O' THEN 'open'
+                ELSE 'closed' END AS status_label,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none
+    FROM lineitem
+    """,
+)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_linestatus") == "O", "open")
+        .otherwise("closed")
+        .alias("status_label"),
+        F.coalesce(F.nullif(F.col("l_returnflag"), F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@query(
+    "scalar_name_mapping",
+    oracle="""
+    SELECT n_nationkey,
+           REPLACE(n_name, '_', '') AS hbase_name,
+           CONCAT('testdb', '.', LOWER(n_name)) AS qualified_name
+    FROM nation
+    """,
+)
+def scalar_name_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's default column-name mapping strips underscores
+    (HbaseTableInfo.scala:142-144) and qualifies tables as db.table
+    (TableInfo.scala:61-63) — here as plain string expressions."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.regexp_replace("n_name", "_", "").alias("hbase_name"),
+        F.concat(F.lit("testdb"), F.lit("."), F.lower("n_name")).alias("qualified_name"),
+    )
+
+
+@query(
+    "scalar_value_normalization",
+    oracle="""
+    SELECT p_partkey,
+           CASE WHEN (p_partkey % 7) BETWEEN 1 AND 5
+                THEN ['AMERICA','ASIA','EUROPE','AFRICA','MIDDLE EAST'][CAST(p_partkey % 7 AS INT)]
+                ELSE NULL END AS enum_label,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_decimal,
+           DECODE(ENCODE(p_name)) AS name_utf8_roundtrip
+    FROM part
+    """,
+)
+def scalar_value_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 value normalization (reference MongoDBApplier.scala:99-119):
+    enum ordinal → 1-based label lookup with id<=0 → NULL (mydit issue #9),
+    decimal round-trip (kept as DecimalType, not narrowed to double),
+    and UTF-8 byte→string decode (mydit issue #5)."""
+    p = load_table(spark, sf_dir, "part")
+    labels = F.array(*[F.lit(x) for x in ["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST"]])
+    idx = (F.col("p_partkey") % 7).cast("int")
+    return p.select(
+        "p_partkey",
+        F.when((idx >= 1) & (idx <= 5), F.element_at(labels, idx))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("enum_label"),
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("price_decimal"),
+        F.decode(F.encode(F.col("p_name"), "UTF-8"), "UTF-8").alias("name_utf8_roundtrip"),
+    )

@@ -1,0 +1,150 @@
+"""CDC-kernel semantics expressed as oracle-checkable batch queries.
+
+The real CDC kernel (operators/cdc_apply.py) runs over constructed change
+events and is verified in tests/. These queries re-express its core semantics
+(SURVEY.md §2.3 K2-K5, §2.2 P2-P4, §2.1 S5) over the `events` table so the
+driver's DuckDB harness also exercises them: treat events as a change stream
+keyed by user_id, ordered by (ts, event_id) — the binlog-position analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+
+@query(
+    "cdc_last_image_per_key",
+    oracle="""
+    SELECT user_id, event_type AS last_type, value AS last_value, event_id AS last_event_id
+    FROM (
+        SELECT user_id, event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def cdc_last_image_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K5 event-ordered apply, batch-collapsed: the reference applies events
+    strictly in binlog order on one thread (Rep.scala:56-65); per micro-batch
+    this reduces to last-image-per-PK — one shuffle on the key, no ordering
+    bottleneck at scale."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("event_id").alias("last_event_id"),
+        )
+    )
+
+
+@query(
+    "cdc_apply_upsert_delete",
+    oracle="""
+    SELECT user_id, value AS current_value, event_id AS applied_event_id
+    FROM (
+        SELECT user_id, event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_upsert_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2/K4 merge semantics: treat every non-'error' event as an upsert of
+    (user_id → value) and 'error' as a delete of the key. Final state after
+    ordered apply = last image per key, dropped if the last op was a delete —
+    exactly what apply_cdc_batch does before its MERGE."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("event_id").alias("applied_event_id"),
+        )
+    )
+
+
+@query(
+    "cdc_replay_idempotence",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events
+    FROM (
+        SELECT DISTINCT event_id, event_type
+        FROM (SELECT event_id, event_type FROM events
+              UNION ALL
+              SELECT event_id, event_type FROM events)
+    )
+    GROUP BY event_type
+    """,
+)
+def cdc_replay_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay (reference checkpoints *after* applying,
+    HbaseApplier.scala:239): replaying an already-applied prefix must not
+    change state. Batch analog: dedup by event id collapses the replayed
+    union back to the original stream."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    replayed = e.unionAll(e)
+    return (
+        replayed.dropDuplicates(["event_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "cdc_projection_rename_cast",
+    oracle="""
+    SELECT event_id AS eventid,
+           user_id AS userid,
+           CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS val,
+           CAST(user_id AS BIGINT) AS userkey
+    FROM events
+    WHERE event_type IN ('click', 'purchase', 'view')
+    """,
+)
+def cdc_projection_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+P3+P4 in one pass: project the included columns, apply the
+    underscore-strip rename (HbaseTableInfo.scala:142-144 default mapping),
+    and cast per the declared sink types (HbaseTableInfo.scala:158-182)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type").isin("click", "purchase", "view")).select(
+        F.col("event_id").alias("eventid"),
+        F.col("user_id").alias("userid"),
+        F.col("value").cast("decimal(12,2)").cast("double").alias("val"),
+        F.col("user_id").cast("bigint").alias("userkey"),
+    )
+
+
+@query(
+    "cdc_checkpoint_high_watermark",
+    oracle="""
+    SELECT event_type AS stream, MAX(event_id) AS max_position, MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+           COUNT(*) AS n_applied
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def cdc_checkpoint_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 checkpoint sink analog: the per-stream high-watermark (max applied
+    position) the reference persists after every event
+    (HbaseApplier.scala:155-176)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("event_type").alias("stream")).agg(
+        F.max("event_id").alias("max_position"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_applied"),
+    )

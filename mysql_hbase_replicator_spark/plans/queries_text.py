@@ -1,0 +1,116 @@
+"""EXT text-analysis operators over the `documents` table (SURVEY.md §2.11):
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure JVM-side built-ins (split/regexp/md5) — no Python UDFs in the hot
+path, so whole-stage codegen covers the full pipeline and the same code runs
+unchanged over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+
+@query(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           LENGTH(text) AS n_chars_actual,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokenizer + per-doc stats. A BPE-ish subword count would
+    slot in as a pandas_udf; the whitespace path stays codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_tokens = F.size(tokens)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        (
+            F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
+           CAST(LEN(STRING_SPLIT(text, ' the ')) - 1 AS INT) AS stopword_hits,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) / LENGTH(text) AS tokens_per_char
+    FROM documents
+    WHERE LENGTH(text) > 0
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics (length / token density / stopword hits) — the
+    filters a pretraining pipeline runs before anything expensive."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    stop_hits = F.size(F.split(F.col("text"), " the ")) - 1
+    return d.filter(F.length("text") > 0).select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_hits.cast("int").alias("stopword_hits"),
+        (n_tokens.cast("double") / F.length("text")).alias("tokens_per_char"),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN LEN(STRING_SPLIT(text, 'the')) - 1 >= 2 THEN 'en'
+                WHEN CONTAINS(text, 'der ') OR CONTAINS(text, ' und ') THEN 'de'
+                WHEN CONTAINS(text, ' el ') OR CONTAINS(text, ' los ') THEN 'es'
+                WHEN CONTAINS(text, ' le ') OR CONTAINS(text, ' les ') THEN 'fr'
+                ELSE 'unknown' END AS guessed_lang
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic. The *shape* is what matters for
+    the engine: a pure-expression classifier that codegens; a real model would
+    be a pandas_udf over the same column."""
+    d = load_table(spark, sf_dir, "documents")
+    the_hits = F.size(F.split(F.col("text"), "the")) - 1
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(the_hits >= 2, "en")
+        .when(F.col("text").contains("der ") | F.col("text").contains(" und "), "de")
+        .when(F.col("text").contains(" el ") | F.col("text").contains(" los "), "es")
+        .when(F.col("text").contains(" le ") | F.col("text").contains(" les "), "fr")
+        .otherwise("unknown")
+        .alias("guessed_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           MD5(LOWER(text)) AS fingerprint,
+           SUBSTRING(MD5(LOWER(text)), 1, 8) AS short_fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document fingerprint (md5 of normalized text) — the
+    exact-dedup key and the cheap cross-run join key for provenance."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.encode(F.lower(F.col("text")), "UTF-8"))
+    return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("short_fp"))

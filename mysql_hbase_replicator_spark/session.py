@@ -1,0 +1,61 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every setting here is chosen for the
+1000-executor / 100 TB case:
+
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting, and
+  dynamic broadcast-join demotion replace hand-tuned shuffle counts.
+- Arrow on: EXT operators (MinHash, cosine top-k, multimodal decode) run as
+  pandas UDFs / applyInPandas — Arrow batching is the only acceptable
+  Python<->JVM transport at scale.
+- Shuffle partitions default to cores locally; AQE coalesces down, and on a
+  real cluster the initial value would be sized to ~128 MB post-shuffle
+  partitions (spark.sql.adaptive.coalescePartitions handles the rest).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "mysql-hbase-replicator-spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    If a session already exists (e.g. the driver harness passed one in),
+    ``SparkSession.builder.getOrCreate()`` returns it and the conf below is
+    a no-op — all engine code therefore also works on a caller's session.
+    """
+    n = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{n}]")
+        # --- adaptive execution: the scale story -------------------------
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ----------------------------------------------
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        # --- python/JVM transport ----------------------------------------
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: keep parquet splits ~128MB ----------------------
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast: dims like region/nation/supplier are tiny ---------
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- timestamps: parquet int96/µs round-trip sanity ---------------
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
