@@ -1,0 +1,76 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full computation,
+no driver-side result materialization), timed individually.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "flagship_shipping_priority",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_count_distinct",
+    "join_broadcast_dim",
+    "join_left_outer_histogram",
+    "join_asof",
+    "window_row_number_topn",
+    "cdc_last_image_per_key",
+    "sort_topk",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "text_fingerprint",
+    "text_token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mysql_hbase_replicator_spark.plans.registry import (
+        QUERY_REGISTRY,
+        load_all_queries,
+    )
+    from mysql_hbase_replicator_spark.session import get_spark
+
+    load_all_queries()
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on the smallest SF so measured times are steady-state
+    QUERY_REGISTRY["flagship_shipping_priority"](spark, "/root/testdata/sf0.001").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        QUERY_REGISTRY[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

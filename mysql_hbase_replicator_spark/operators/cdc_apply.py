@@ -1,0 +1,260 @@
+"""CDC batch kernel (SURVEY.md §2.3 K1-K6, §2.2 P1-P5) — the
+semantics-bearing heart of the engine.
+
+Re-expresses the reference's per-event HBase mutation loop
+(HbaseApplier.scala:226-275) as set-oriented DataFrame operations over a
+micro-batch of change events:
+
+1. P1  filter to mapped tables; skipped events still advance the checkpoint
+       (MySQLExtractor.scala:225-236).
+2. P2  included-columns projection: absent ordinals → NULL
+       (BitSet gate, HbaseApplier.scala:197-208, MongoDBApplier.scala:87-97).
+3. P3  column rename per mapping (HbaseTableInfo.scala:142-144).
+4. P4  per-column cast to the declared sink type (HbaseTableInfo.scala:158-182).
+5. K1  PK-combination key (composite keys supported; rows missing any PK are
+       dead-lettered — the reference throws
+       "sql statement does not contain all primary keys",
+       HbaseApplier.scala:204-208).
+6. K5  event-ordered apply collapsed per batch: last action per key by
+       (position, seq) — the batch equivalent of the reference's
+       single-thread strict ordering (Rep.scala:56-65).
+7. K2/K3/K4 merge: upserts (insert + update-after-image) and deletes
+       (delete + update-before-key) applied via ParquetKeyedStore.merge.
+
+K3 note (SURVEY §2.3): the reference's update deletes the old row only when
+the before/after rowkeys are EQUAL (HbaseApplier.scala:252) — a PK-changing
+update orphans the old row. ``k3_mode="intended"`` (default) implements the
+evident intent: always delete the before-key, upsert the after-image.
+``k3_mode="faithful"`` reproduces the reference exactly (update = plain
+upsert of the after-image at its own key; full-row replace already clears
+stale columns in a columnar store).
+
+K6: dead-lettered events are appended to a ``_dead_letter`` table; exceeding
+``max_dead_letter`` raises, the analog of the failed-event-queue overflow
+exit (Rep.scala:86-92).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_hbase_replicator_spark.catalog.meta import HbaseTableInfo
+from mysql_hbase_replicator_spark.functions.types import spark_type_from_name
+from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+from mysql_hbase_replicator_spark.sources.cdc_events import (
+    OP_DELETE,
+    OP_INSERT,
+    OP_UPDATE,
+    ROW_OPS,
+)
+
+DEAD_LETTER_TABLE = "_dead_letter"
+CHECKPOINT_FILE = "_checkpoint.json"
+
+
+@dataclass
+class CdcBatchResult:
+    """Observability payload — the counter surface the reference exposes via
+    JMX (HbaseApplier.scala:110,120-135; MySQLExtractor.scala:217-223)."""
+
+    checkpoint_position: int | None = None
+    applied_counts: dict[str, int] = field(default_factory=dict)  # "db.table.op" -> n
+    dead_letter_count: int = 0
+    skipped_unmapped: int = 0
+
+
+class DeadLetterOverflowError(RuntimeError):
+    """K6 failed-event-queue overflow (Rep.scala:86-92)."""
+
+
+def _full_name() -> Column:
+    return F.concat(F.col("db"), F.lit("."), F.col("table"))
+
+
+def _present(side: str, col_name: str) -> Column:
+    """Included-columns gate: NULL included_* list means 'all present'."""
+    inc = F.col(f"included_{side}")
+    return F.col(side).isNotNull() & (inc.isNull() | F.array_contains(inc, col_name))
+
+
+def _gated(side: str, col_name: str) -> Column:
+    return F.when(_present(side, col_name), F.col(f"{side}.{col_name}"))
+
+
+def _sink_projection(info: HbaseTableInfo, side: str) -> list[Column]:
+    """P2 (gate) + P3 (rename) + P4 (cast) for one image side."""
+    return [
+        _gated(side, c.dbColumnName)
+        .cast(spark_type_from_name(c.hbaseColumnType, restrict_to_six=False))
+        .alias(c.hbaseColumnName)
+        for c in info.cols
+    ]
+
+
+def _pks_valid(info: HbaseTableInfo, side: str) -> Column:
+    """K1 precondition: (pk & included) == pk and all PK values non-null."""
+    cond = F.lit(True)
+    for c in info.key_columns():
+        cond = cond & _present(side, c.dbColumnName) & F.col(f"{side}.{c.dbColumnName}").isNotNull()
+    return cond
+
+
+def read_checkpoint(store: ParquetKeyedStore) -> int | None:
+    """S2 resume: last committed position (the BinlogTable row analog,
+    HbaseApplier.scala:138-153)."""
+    path = os.path.join(store.base_dir, CHECKPOINT_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f).get("position")
+
+
+def _write_checkpoint(store: ParquetKeyedStore, position: int) -> None:
+    """S5: checkpoint written AFTER the data commit — at-least-once, replay
+    is idempotent (HbaseApplier.scala:239,261,273 order)."""
+    path = os.path.join(store.base_dir, CHECKPOINT_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"position": position}, f)
+    os.replace(tmp, path)
+
+
+def apply_cdc_batch(
+    spark: SparkSession,
+    events: DataFrame,
+    store: ParquetKeyedStore,
+    mappings: dict[str, HbaseTableInfo],
+    k3_mode: str = "intended",
+    max_dead_letter: int | None = None,
+) -> CdcBatchResult:
+    """Apply one micro-batch of CDC events to the keyed store."""
+    if k3_mode not in ("intended", "faithful"):
+        raise ValueError(f"unknown k3_mode: {k3_mode}")
+    result = CdcBatchResult()
+    events = events.persist()
+    try:
+        # --- checkpoint + counters over the WHOLE batch (incl. unmapped) ---
+        agg = events.agg(F.max("position").alias("maxpos")).collect()[0]
+        result.checkpoint_position = agg["maxpos"]
+
+        row_events = events.filter(F.col("op").isin(*ROW_OPS)).withColumn(
+            "_full_name", _full_name()
+        )
+        counts = (
+            row_events.groupBy("_full_name", "op").agg(F.count(F.lit(1)).alias("n")).collect()
+        )
+        mapped = set(mappings)
+        for r in counts:
+            if r["_full_name"] in mapped:
+                result.applied_counts[f"{r['_full_name']}.{r['op']}"] = r["n"]
+            else:
+                result.skipped_unmapped += r["n"]
+
+        # P1: mapped-table filter; the rest of the kernel never sees the others.
+        tables_in_batch = [
+            r[0]
+            for r in row_events.select("_full_name").distinct().collect()
+            if r[0] in mapped
+        ]
+
+        for full_name in sorted(tables_in_batch):
+            info = mappings[full_name]
+            ev = row_events.filter(F.col("_full_name") == full_name)
+            _apply_table(spark, ev, store, info, k3_mode, result)
+
+        if max_dead_letter is not None and result.dead_letter_count > max_dead_letter:
+            raise DeadLetterOverflowError(
+                f"dead-letter count {result.dead_letter_count} exceeds "
+                f"max_dead_letter={max_dead_letter}"
+            )
+
+        if result.checkpoint_position is not None:
+            _write_checkpoint(store, result.checkpoint_position)
+        return result
+    finally:
+        events.unpersist()
+
+
+def _apply_table(
+    spark: SparkSession,
+    ev: DataFrame,
+    store: ParquetKeyedStore,
+    info: HbaseTableInfo,
+    k3_mode: str,
+    result: CdcBatchResult,
+) -> None:
+    sink_cols = [c.hbaseColumnName for c in info.cols]
+    sink_pks = [c.hbaseColumnName for c in info.key_columns()]
+    table_name = info.hbaseTableName or info.full_name
+
+    # --- K1 validation → dead letter ---------------------------------------
+    valid = (
+        F.when(F.col("op") == OP_INSERT, _pks_valid(info, "after"))
+        .when(F.col("op") == OP_DELETE, _pks_valid(info, "before"))
+        # update computes both rowkeys, like the reference
+        # (HbaseApplier.scala:250-251 calls getRowKeyForSpark on both images)
+        .when(F.col("op") == OP_UPDATE, _pks_valid(info, "after") & _pks_valid(info, "before"))
+        .otherwise(F.lit(False))
+    )
+    ev = ev.withColumn("_valid", valid)
+    dead = ev.filter(~F.col("_valid"))
+    n_dead = dead.count()
+    if n_dead:
+        result.dead_letter_count += n_dead
+        dead.select(
+            F.col("position"),
+            F.col("op"),
+            F.lit(info.full_name).alias("table_name"),
+            F.lit("sql statement does not contain all primary keys").alias("reason"),
+            F.to_json(F.struct("before", "after")).alias("payload"),
+        ).write.mode("append").parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
+    ev = ev.filter(F.col("_valid"))
+
+    # --- expand events into keyed actions ----------------------------------
+    def upsert_from_after(src: DataFrame) -> DataFrame:
+        return src.select(
+            "position",
+            F.lit(1).alias("_seq"),
+            F.lit("upsert").alias("_kind"),
+            *_sink_projection(info, "after"),
+        )
+
+    def delete_from_before(src: DataFrame) -> DataFrame:
+        before_pks = [
+            _gated("before", c.dbColumnName)
+            .cast(spark_type_from_name(c.hbaseColumnType, restrict_to_six=False))
+            .alias(c.hbaseColumnName)
+            for c in info.key_columns()
+        ]
+        non_keys = [
+            F.lit(None).cast(spark_type_from_name(c.hbaseColumnType, restrict_to_six=False)).alias(c.hbaseColumnName)
+            for c in info.non_key_columns()
+        ]
+        proj = src.select("position", F.lit(0).alias("_seq"), F.lit("delete").alias("_kind"), *before_pks, *non_keys)
+        return proj.select("position", "_seq", "_kind", *sink_cols)
+
+    actions = upsert_from_after(ev.filter(F.col("op") == OP_INSERT))
+    updates = ev.filter(F.col("op") == OP_UPDATE)
+    actions = actions.unionByName(upsert_from_after(updates))
+    if k3_mode == "intended":
+        # delete the before-key; when the PK didn't change, the same-position
+        # upsert (seq 1 > 0) wins — full-row replace, like the reference's
+        # delete-then-Put (HbaseApplier.scala:252-258).
+        actions = actions.unionByName(delete_from_before(updates))
+    actions = actions.unionByName(delete_from_before(ev.filter(F.col("op") == OP_DELETE)))
+
+    # --- K5: last action per PK by (position, seq) -------------------------
+    w = Window.partitionBy(*sink_pks).orderBy(F.desc("position"), F.desc("_seq"))
+    final = actions.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+    upserts = final.filter(F.col("_kind") == "upsert").select(*sink_cols)
+    deletes = final.filter(F.col("_kind") == "delete").select(*sink_pks)
+
+    # --- K2/K3/K4: MERGE ----------------------------------------------------
+    store.merge(spark, table_name, upserts, deletes, sink_pks)

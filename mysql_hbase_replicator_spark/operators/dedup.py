@@ -74,19 +74,31 @@ JACCARD_SQL_BASE = """
 
 def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None) -> DataFrame:
     """Exact shingle-Jaccard for all co-shingled pairs (or only `candidates`
-    (doc_a, doc_b) if given)."""
+    (doc_a, doc_b) if given).
+
+    With candidates the intersection is computed per candidate pair —
+    candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b, same shingle) — so cost is
+    O(|candidates| × shingles/doc), NOT the all-pairs shingle join. That
+    asymmetry is the whole point of LSH: the quadratic join runs only in the
+    exact baseline."""
     sh = shingle_pairs(spark, sf_dir)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        inter = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "shingle"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
@@ -149,11 +161,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (seeded xxhash64), all JVM-side. The band join replaces the all-pairs
     shingle join: cost is O(docs × bands), not O(co-shingled pairs²).
     Verified in tests against the exact-Jaccard oracle at small SF.
+
+    Efficiency: each shingle string is hashed to a 64-bit key ONCE
+    (`h0 = xxhash64(shingle)`); the 32 minhash functions then hash the long,
+    and the re-rank intersection joins on the long key — one pass over the
+    strings, long-keyed shuffles everywhere else. The (doc, h0) frame is
+    persisted because the signature and the re-rank both consume it.
     """
-    sh = shingle_pairs(spark, sf_dir)
-    sig = sh.groupBy("doc_id").agg(
+    hashed = (
+        shingle_pairs(spark, sf_dir)
+        .select("doc_id", F.xxhash64("shingle").alias("h0"))
+        .persist()
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
             for i in range(N_MINHASHES)
         ]
     )
@@ -185,7 +207,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .dropDuplicates()
     )
-    spark_jaccard = _jaccard_pairs(spark, sf_dir, candidates=candidates)
+    # exact-Jaccard re-rank on candidates only, joining on the long keys
+    counts = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = hashed.select(F.col("doc_id").alias("doc_a"), "h0")
+    b = hashed.select(F.col("doc_id").alias("doc_b"), "h0")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "h0"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    spark_jaccard = (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
     return spark_jaccard.filter(F.col("jaccard") >= 0.3).orderBy(
         F.desc("jaccard"), "doc_a", "doc_b"
     )

@@ -1,0 +1,125 @@
+"""Keyed parquet store with MERGE semantics (upsert + delete by PK).
+
+This is the engine's HBase-table analog: the reference's sink is natively
+keyed (HBase Put = upsert, Delete = delete; HbaseApplier.scala:226-275); a
+parquet lake is not, so this store adds the keyed-merge layer.
+
+Scale design — the table is hash-bucketed on the PK combination
+(``_bucket = pmod(xxhash64(pk...), n_buckets)``, the rowkey-encoding analog
+of HBaseKVHelper.encodingRawKeyColumns, HbaseApplier.scala:210-217):
+
+- MERGE touches only the buckets that contain changed keys: the read is
+  partition-pruned to affected buckets and the write uses dynamic partition
+  overwrite, so a micro-batch that touches 1% of keys rewrites ~1% of the
+  table instead of 100%.
+- At 1000-executor scale the same layout maps directly onto Delta/Iceberg
+  MERGE INTO with the bucket as the clustering column; this local
+  implementation keeps identical semantics (idempotent, deterministic)
+  without requiring those libraries in the container.
+
+Known limitation vs a transactional table format: the per-bucket overwrite is
+not atomic under mid-write crashes. Structured Streaming replays the batch,
+and the merge is idempotent, so effectively-once state is still reached —
+but a production deployment should swap `ParquetKeyedStore` for Delta MERGE
+(one-line change in apply_cdc_batch).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BUCKET_COL = "_bucket"
+
+
+class ParquetKeyedStore:
+    def __init__(self, base_dir: str, n_buckets: int = 32):
+        self.base_dir = base_dir
+        self.n_buckets = n_buckets
+        os.makedirs(base_dir, exist_ok=True)
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.base_dir, name.replace(":", "_"))
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.table_path(name))
+
+    def _has_data_files(self, name: str) -> bool:
+        """True if any parquet data file exists (a fully-emptied table keeps
+        its directory but has no files left to infer a schema from)."""
+        for _dir, _subdirs, files in os.walk(self.table_path(name)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def _bucket(self, pk_cols: list[str]):
+        return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(self.n_buckets))
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """Current table state (without the bucket column)."""
+        if not self.exists(name) or not self._has_data_files(name):
+            return None
+        return spark.read.parquet(self.table_path(name)).drop(BUCKET_COL)
+
+    def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
+        """Full (re)load — initial snapshot path."""
+        (
+            df.withColumn(BUCKET_COL, self._bucket(pk_cols))
+            .repartition(BUCKET_COL)
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(self.table_path(name))
+        )
+
+    def merge(
+        self,
+        spark: SparkSession,
+        name: str,
+        upserts: DataFrame,
+        delete_keys: DataFrame,
+        pk_cols: list[str],
+    ) -> None:
+        """MERGE: delete rows matching ``delete_keys`` or ``upserts`` keys,
+        then insert ``upserts``. Equivalent to
+        ``MERGE INTO t ON pk WHEN MATCHED [AND in deletes] DELETE
+        WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``.
+
+        Only affected buckets are read and rewritten.
+        """
+        path = self.table_path(name)
+        if not self.exists(name) or not self._has_data_files(name):
+            self.overwrite(spark, name, upserts, pk_cols)
+            return
+
+        changed_keys = (
+            upserts.select(*pk_cols).unionByName(delete_keys.select(*pk_cols)).dropDuplicates()
+        )
+        affected = [
+            r[0]
+            for r in changed_keys.select(self._bucket(pk_cols).alias("b")).distinct().collect()
+        ]
+        if not affected:
+            return
+
+        current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+        kept = current.drop(BUCKET_COL).join(F.broadcast(changed_keys), pk_cols, "left_anti")
+        new_state = kept.unionByName(upserts).withColumn(BUCKET_COL, self._bucket(pk_cols))
+
+        # Dynamic partition overwrite only rewrites buckets present in the
+        # output; buckets whose rows were all deleted produce no output and
+        # must be cleared explicitly.
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        staged = new_state.repartition(BUCKET_COL)
+        staged.persist()
+        try:
+            written_buckets = {r[0] for r in staged.select(BUCKET_COL).distinct().collect()}
+            staged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+            for b in set(affected) - written_buckets:
+                bucket_dir = os.path.join(path, f"{BUCKET_COL}={b}")
+                if os.path.isdir(bucket_dir):
+                    shutil.rmtree(bucket_dir)
+        finally:
+            staged.unpersist()

@@ -1,0 +1,144 @@
+"""Multimodal column plumbing (SURVEY.md §2.11): image/audio/video as opaque
+``binary`` columns with typed metadata, processed via Arrow-batched Python.
+
+The Spark-side design is the real deliverable here — schema, partitioning,
+UDF signatures, and Arrow batch shapes are production-shaped:
+
+- payloads stay in executors end-to-end (no driver collects); rows flow
+  through ``mapInPandas`` so each Arrow batch holds a bounded number of
+  payloads (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps memory).
+- frame sampling is pure JVM (sequence + explode on metadata) — the Python
+  boundary is crossed only where bytes must actually be decoded.
+- the decode itself is STUBBED: this container ships no image/audio codecs.
+  ``decoder="real"`` raises NotImplementedError where PIL/ffmpeg would be
+  called; the default ``decoder="fake"`` is a deterministic stand-in
+  (byte-statistics pseudo-decode) so the plumbing is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("channels", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("format", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+        T.StructField("byte_entropy", T.DoubleType(), True),
+    ]
+)
+
+FEATURE_DIM = 16
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
+    """Deterministic fake media rows for tests (payload = seeded bytes)."""
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 8  # 256 bytes
+        meta = (64, 48, 3, None, None, "fake") if kind == "image" else (None, None, 1, 16000, 100, "fake")
+        rows.append((i, kind, bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def _fake_decode(payload: bytes) -> tuple[float, float]:
+    """Deterministic pseudo-decode: byte statistics as 'pixels'."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr, minlength=256).astype(np.float64)
+    p = hist / max(len(arr), 1)
+    nz = p[p > 0]
+    entropy = float(-(nz * np.log2(nz)).sum())
+    return float(arr.mean()), entropy
+
+
+def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Decode payloads to per-item stats via mapInPandas (Arrow batches).
+
+    ``decoder="real"`` marks where a codec library (PIL / soundfile / ffmpeg)
+    would run; not available in this container.
+    """
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media decode requires PIL/soundfile/ffmpeg, not shipped in this container; "
+            "use decoder='fake' for the deterministic stand-in"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "width": pdf["meta"].map(lambda m: m["width"] if m else None),
+                "height": pdf["meta"].map(lambda m: m["height"] if m else None),
+            }
+            stats = pdf["payload"].map(lambda b: _fake_decode(bytes(b)) if b is not None else (None, None))
+            out["mean_intensity"] = stats.map(lambda s: s[0])
+            out["byte_entropy"] = stats.map(lambda s: s[1])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(decode_batches, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Payload → FEATURE_DIM float vector (the embedding-extraction shape).
+    Deterministic hash-derived features stand in for a real model forward."""
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def feats(b) -> list[float] | None:
+                if b is None:
+                    return None
+                h = hashlib.sha512(bytes(b)).digest()
+                arr = np.frombuffer(h[: FEATURE_DIM * 4], dtype=np.uint32).astype(np.float64)
+                return (arr / np.iinfo(np.uint32).max * 2 - 1).astype(np.float32).tolist()
+
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": pdf["payload"].map(feats)})
+
+    return df.mapInPandas(feature_batches, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame sampling — pure JVM: explode the sampled frame indices
+    from metadata; the (expensive, stubbed) per-frame decode would then run
+    only on the sampled subset."""
+    n_frames = F.col("meta.n_frames")
+    idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    return (
+        df.filter(n_frames.isNotNull() & (n_frames > 0))
+        .select("media_id", "kind", F.explode(idx).alias("frame_index"))
+    )

@@ -22,11 +22,13 @@ from mysql_hbase_replicator_spark.sources.tables import load_table
 N_QUERIES = 5
 TOP_K = 5
 EMB_DIM = 64
-# Multi-table LSH: L tables × b sign bits. b=6 → 64 buckets/table keeps
-# per-bucket candidate lists dense enough to recall neighbors; L=4 unions
-# independent chances. (A single 16-bit bucket yields ~0 collisions.)
-LSH_TABLES = 4
-LSH_BITS = 6
+# Multi-table LSH: L tables × b sign bits. For a near neighbor at angle θ a
+# table collides with prob (1-θ/π)^b, so recall = 1-(1-(1-θ/π)^b)^L: at
+# θ=60°, b=4, L=8 → ~0.83. b/L trade candidate-set size vs recall and scale
+# with corpus size; these defaults suit the test corpora. (A single 16-bit
+# bucket yields ~0 collisions on random 64-dim data.)
+LSH_TABLES = 8
+LSH_BITS = 4
 
 
 @query(

@@ -1,0 +1,96 @@
+"""CDC change-event model (SURVEY.md §1.1, FIXTURES.md B2).
+
+The reference's RepEvent ADT (RepEvent.scala:9-14) normalized into a flat
+Spark schema — one record per row-change plus checkpoint markers:
+
+| column          | type            | notes                                   |
+|-----------------|-----------------|-----------------------------------------|
+| position        | long            | binlog position; apply order            |
+| op              | string          | insert/update/delete; rotate/next_position markers |
+| db              | string          | source database                         |
+| table           | string          | db.table keys the mapping               |
+| before          | struct          | pre-image (update/delete)               |
+| after           | struct          | post-image (insert/update)              |
+| included_before | array<string>   | present-column list (BitSet analog,     |
+| included_after  | array<string>   |  HbaseApplier.scala:197-208); NULL = all|
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+OP_INSERT = "insert"
+OP_UPDATE = "update"
+OP_DELETE = "delete"
+OP_ROTATE = "rotate"
+OP_NEXT_POSITION = "next_position"
+ROW_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
+
+
+def cdc_event_schema(row_struct: T.StructType) -> T.StructType:
+    """Event schema for a given source-table row struct (all fields nullable
+    — absence is expressed via included_* or null structs)."""
+    nullable_struct = T.StructType(
+        [T.StructField(f.name, f.dataType, nullable=True) for f in row_struct.fields]
+    )
+    return T.StructType(
+        [
+            T.StructField("position", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("db", T.StringType(), True),
+            T.StructField("table", T.StringType(), True),
+            T.StructField("before", nullable_struct, True),
+            T.StructField("after", nullable_struct, True),
+            T.StructField("included_before", T.ArrayType(T.StringType()), True),
+            T.StructField("included_after", T.ArrayType(T.StringType()), True),
+        ]
+    )
+
+
+def events_from_rows(
+    spark: SparkSession, rows: list[dict], row_struct: T.StructType
+) -> DataFrame:
+    """Build a CDC event DataFrame from python dicts (test/fixture helper).
+
+    Each dict: {position, op, db, table, before: dict|None, after: dict|None,
+    included_before: list|None, included_after: list|None}.
+    """
+    schema = cdc_event_schema(row_struct)
+    field_names = [f.name for f in row_struct.fields]
+
+    def to_struct_tuple(d: dict | None):
+        if d is None:
+            return None
+        return tuple(d.get(n) for n in field_names)
+
+    data = [
+        (
+            r["position"],
+            r["op"],
+            r.get("db", "db"),
+            r.get("table", "t"),
+            to_struct_tuple(r.get("before")),
+            to_struct_tuple(r.get("after")),
+            r.get("included_before"),
+            r.get("included_after"),
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+def read_event_log(spark: SparkSession, path: str, row_struct: T.StructType) -> DataFrame:
+    """Batch-read a CDC event directory (json lines, the self-contained
+    binlog stand-in per SURVEY §2.1 S1)."""
+    return spark.read.schema(cdc_event_schema(row_struct)).json(path)
+
+
+def read_event_stream(spark: SparkSession, path: str, row_struct: T.StructType) -> DataFrame:
+    """Structured Streaming source over the same event directory. Resume
+    comes from checkpointLocation (S2) — no hand-rolled position row."""
+    return (
+        spark.readStream.schema(cdc_event_schema(row_struct))
+        .option("maxFilesPerTrigger", 16)
+        .json(path)
+    )

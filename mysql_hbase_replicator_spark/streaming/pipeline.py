@@ -1,0 +1,127 @@
+"""Structured-Streaming CDC pipeline (SURVEY.md §2.7, §7 M4) — the
+replication loop of the reference (Rep.scala:21-65) re-expressed as
+``readStream → foreachBatch(apply_cdc_batch)``:
+
+- source: file-based CDC event log (the self-contained binlog stand-in,
+  §2.1 S1); a Kafka/Debezium topic drops in by swapping ``read_event_stream``.
+- resume: Structured Streaming checkpointLocation replaces the hand-rolled
+  HBase position row (S2, HbaseApplier.scala:138-153); the store-level
+  ``_checkpoint.json`` high-watermark is kept for observability parity (S5).
+- ordering: strict total order within the stream is preserved because the
+  kernel collapses each micro-batch to last-image-per-key by position (K5)
+  and batch boundaries are monotonic in file order.
+- delivery: at-least-once replay × idempotent MERGE = effectively-once.
+- stop conditions (§2.7): PK schema change raises PrimaryKeyChangedError
+  (MySQLExtractor.scala:195-198); dead-letter overflow raises
+  DeadLetterOverflowError (Rep.scala:86-92); both terminate the query.
+- observability (§2.8 O1-O3): per-batch CdcBatchResult counters (the JMX
+  counter analog), plus a StreamingQueryListener capturing progress JSON
+  (the :31081 /jmx endpoint analog).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQueryListener
+
+from mysql_hbase_replicator_spark.catalog.meta import HbaseTableInfo
+from mysql_hbase_replicator_spark.catalog.schema import TableSchema
+from mysql_hbase_replicator_spark.operators.cdc_apply import (
+    CdcBatchResult,
+    apply_cdc_batch,
+)
+from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+from mysql_hbase_replicator_spark.sources.cdc_events import read_event_stream
+
+
+class CdcProgressListener(StreamingQueryListener):
+    """Progress capture — lastProgress rows are the engine's JMX/HTTP status
+    surface (reference HttpServer.java:19-33, StatusServlet.java:61-104)."""
+
+    def __init__(self):
+        self.progress: list[dict] = []
+        self.terminated: list[str] = []
+
+    def onQueryStarted(self, event):
+        pass
+
+    def onQueryProgress(self, event):
+        p = event.progress
+        self.progress.append(
+            {"batchId": p.batchId, "numInputRows": p.numInputRows, "name": p.name}
+        )
+
+    def onQueryIdle(self, event):
+        pass
+
+    def onQueryTerminated(self, event):
+        self.terminated.append(str(event.exception) if event.exception else "clean")
+
+
+@dataclass
+class CdcStreamPipeline:
+    spark: SparkSession
+    events_path: str
+    row_struct: T.StructType
+    store: ParquetKeyedStore
+    mappings: dict[str, HbaseTableInfo]
+    checkpoint_dir: str
+    k3_mode: str = "intended"
+    max_dead_letter: int | None = None
+    # schema-change detection (§1.4): declared source schemas + a provider
+    # returning the current schema per table; PK drift kills the query.
+    declared_schemas: dict[str, TableSchema] | None = None
+    fresh_schema_provider: object | None = None  # Callable[[str], TableSchema]
+
+    results: list[CdcBatchResult] = field(default_factory=list)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def _check_schemas(self) -> None:
+        """TableMap-event schema refresh analog (MySQLExtractor.scala:182-202):
+        re-fetch each mapped table's schema and fail hard on PK change."""
+        if not self.declared_schemas or self.fresh_schema_provider is None:
+            return
+        for full_name, declared in self.declared_schemas.items():
+            fresh = self.fresh_schema_provider(full_name)
+            if fresh is not None:
+                declared.check_key_unchanged(fresh)
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._check_schemas()
+        result = apply_cdc_batch(
+            self.spark,
+            batch_df,
+            self.store,
+            self.mappings,
+            k3_mode=self.k3_mode,
+            max_dead_letter=self.max_dead_letter,
+        )
+        with self._lock:
+            self.results.append(result)
+
+    def start(self, available_now: bool = True, query_name: str = "cdc-replication"):
+        """Start the streaming query. ``available_now=True`` processes the
+        current backlog then stops (test/batch-catchup mode); False runs
+        continuously with the default micro-batch trigger."""
+        stream = read_event_stream(self.spark, self.events_path, self.row_struct)
+        writer = (
+            stream.writeStream.queryName(query_name)
+            .foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # --- observability rollups (O1: per-op counters over all batches) ------
+    def total_counts(self) -> dict[str, int]:
+        totals: dict[str, int] = {}
+        with self._lock:
+            for r in self.results:
+                for k, v in r.applied_counts.items():
+                    totals[k] = totals.get(k, 0) + v
+        return totals

@@ -1,0 +1,104 @@
+"""Catalog layer (SURVEY.md §2.1 S6/S7, §2.10): JSON round-trip of the
+reference's exact wire shape, CRUD, Spark registration, CLI dispatch."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from mysql_hbase_replicator_spark.catalog.cli import HELP_JSON, process_line
+from mysql_hbase_replicator_spark.catalog.meta import (
+    HbaseCollInfo,
+    HbaseTableInfo,
+    MappingCatalog,
+)
+
+
+def test_help_json_roundtrip():
+    """The reference's canonical student JSON (Mysql2HbaseCliDriver.scala:41-48)
+    parses, validates, and re-serializes to the same structure."""
+    info = HbaseTableInfo.from_json(HELP_JSON)
+    assert info.full_name == "mixfs.student"
+    assert info.sparkTableName == "student2"
+    assert [c.dbColumnName for c in info.key_columns()] == ["sn", "id"]
+    assert [c.dbColumnName for c in info.non_key_columns()] == ["score", "name", "rem"]
+    info.validate()
+    assert json.loads(info.to_json()) == json.loads(HELP_JSON)
+
+
+def test_default_col_mapping():
+    c = HbaseCollInfo.default("user_id", "bigint(20)", is_pk=True)
+    assert c.hbaseColumnName == "userid"  # underscore-strip default
+    assert c.hbaseColumnType == "LongType"
+    assert c.family == "cf"
+
+
+def test_validation_rejects_seventh_type_and_keyless():
+    bad_type = HbaseTableInfo(
+        "d", "t", "d:t", "d", "t", "Binary",
+        [HbaseCollInfo("a", "datetime", "a", "TimestampType", True)],
+    )
+    with pytest.raises(ValueError, match="Unsupported HBase SQL Data Type"):
+        bad_type.validate()
+    keyless = HbaseTableInfo(
+        "d", "t", "d:t", "d", "t", "Binary",
+        [HbaseCollInfo("a", "int(11)", "a", "IntegerType", False)],
+    )
+    with pytest.raises(ValueError, match="no primary-key column"):
+        keyless.validate()
+
+
+def test_catalog_crud(tmp_path):
+    cat = MappingCatalog(str(tmp_path / "meta"))
+    info = cat.add(HELP_JSON)
+    assert cat.list_names() == ["mixfs.student"]
+    assert cat.get("mixfs.student").sparkTableName == "student2"
+    # lazy reload from disk (HBaseTableUtils.scala:73-78)
+    cat2 = MappingCatalog(str(tmp_path / "meta"))
+    assert cat2.get("mixfs.student").full_name == info.full_name
+    assert cat.delete("mixfs.student")
+    assert not cat.delete("mixfs.student")
+    assert cat.list_names() == []
+
+
+def test_map_to_spark_renames_and_casts(spark, tmp_path):
+    cat = MappingCatalog(str(tmp_path / "meta"))
+    cat.add(
+        HbaseTableInfo(
+            "db", "t", "db:t", "db", "t_view", "Binary",
+            [
+                HbaseCollInfo("user_id", "bigint(20)", "userid", "LongType", True),
+                HbaseCollInfo("score", "int(11)", "score", "IntegerType", False),
+            ],
+        )
+    )
+    src = spark.createDataFrame([(1, 10), (2, 20)], "user_id long, score int")
+    cat.map_to_spark(spark, "db.t", src)
+    got = spark.sql("SELECT userid, score FROM t_view ORDER BY userid").collect()
+    assert [(r.userid, r.score) for r in got] == [(1, 10), (2, 20)]
+    cat.unmap_from_spark(spark, "db.t")
+    assert "t_view" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_cli_dispatch(tmp_path):
+    cat = MappingCatalog(str(tmp_path / "meta"))
+    out: list[str] = []
+    assert process_line(cat, f"ADD {HELP_JSON}", out=out.append)
+    assert any("added mixfs.student" in s for s in out)
+    out.clear()
+    process_line(cat, "LIST", out=out.append)
+    assert out == ["mixfs.student"]
+    out.clear()
+    process_line(cat, "LIST mixfs.student", out=out.append)
+    assert "student2" in out[0]
+    out.clear()
+    process_line(cat, "ADD {not json", out=out.append)
+    assert "error" in out[0]
+    out.clear()
+    process_line(cat, "DELETE mixfs.student", out=out.append)
+    assert out == ["mixfs.student deleted"]
+    out.clear()
+    process_line(cat, "bogus", out=out.append)
+    assert "not supported" in out[0]
+    assert not process_line(cat, "EXIT", out=out.append)

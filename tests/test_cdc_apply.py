@@ -1,0 +1,240 @@
+"""CDC kernel semantics (SURVEY.md §2.3, FIXTURES.md B3 scenarios 1-8).
+
+Oracle: DuckDB applying the same change events sequentially as SQL
+INSERT/UPDATE/DELETE (the reference's strict single-thread order,
+Rep.scala:56-65), then diffing final table states against the Spark kernel's
+batch-collapsed apply.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from mysql_hbase_replicator_spark.operators.cdc_apply import (
+    DeadLetterOverflowError,
+    apply_cdc_batch,
+    read_checkpoint,
+)
+from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+from mysql_hbase_replicator_spark.sources.cdc_events import events_from_rows
+
+COLS = ("sn", "id", "score", "name", "rem")
+PKS = ("sn", "id")
+
+
+def _effective(image: dict | None, included: list | None) -> dict | None:
+    """Included-columns gate as the oracle sees it (absent → NULL)."""
+    if image is None:
+        return None
+    return {c: (image.get(c) if included is None or c in included else None) for c in COLS}
+
+
+def duckdb_final_state(events: list[dict]) -> list[tuple]:
+    """Sequential per-event apply in DuckDB — the semantics the reference
+    implements one HBase mutation at a time."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s(sn INT, id INT, score INT, name VARCHAR, rem VARCHAR)")
+
+    def delete_key(img):
+        con.execute("DELETE FROM s WHERE sn = ? AND id = ?", [img["sn"], img["id"]])
+
+    def insert_row(img):
+        con.execute("INSERT INTO s VALUES (?,?,?,?,?)", [img[c] for c in COLS])
+
+    for e in sorted(events, key=lambda e: e["position"]):
+        if e["op"] == "insert":
+            img = _effective(e["after"], e.get("included_after"))
+            delete_key(img)  # HBase Put is natively upsert
+            insert_row(img)
+        elif e["op"] == "update":
+            before = _effective(e["before"], e.get("included_before"))
+            after = _effective(e["after"], e.get("included_after"))
+            delete_key(before)  # intended K3: old key removed
+            delete_key(after)
+            insert_row(after)
+        elif e["op"] == "delete":
+            before = _effective(e["before"], e.get("included_before"))
+            delete_key(before)
+    rows = con.execute("SELECT * FROM s ORDER BY sn, id").fetchall()
+    con.close()
+    return rows
+
+
+def spark_final_state(spark, store) -> list[tuple]:
+    df = store.read(spark, "mixfs:student2")
+    if df is None:
+        return []
+    return sorted(tuple(r) for r in df.select(*COLS).collect())
+
+
+def run_batch(spark, tmp_path, student_struct, student_mapping, events, **kw):
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    ev_df = events_from_rows(spark, events, student_struct)
+    result = apply_cdc_batch(
+        spark, ev_df, store, {"mixfs.student": student_mapping}, **kw
+    )
+    return store, result
+
+
+def row(sn, id_, score=None, name=None, rem=None):
+    return {"sn": sn, "id": id_, "score": score, "name": name, "rem": rem}
+
+
+def ev(pos, op, before=None, after=None, db="mixfs", table="student", **kw):
+    return {"position": pos, "op": op, "db": db, "table": table,
+            "before": before, "after": after, **kw}
+
+
+# --- B3.1: inserts then read-back (K2) -------------------------------------
+def test_insert_readback(spark, tmp_path, student_struct, student_mapping):
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "insert", after=row(1, 2, 80, "bob", "b")),
+        ev(3, "insert", after=row(2, 1, 70, "cat", "c")),
+    ]
+    store, result = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert spark_final_state(spark, store) == duckdb_final_state(events)
+    assert result.applied_counts == {"mixfs.student.insert": 3}
+    assert result.checkpoint_position == 3
+
+
+# --- B3.2: same-PK update is a full-row replacement incl. clearing (K3) ----
+def test_update_same_pk_clears_missing_columns(spark, tmp_path, student_struct, student_mapping):
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "xx")),
+        # update carries only (sn,id,score): name/rem must be CLEARED —
+        # the reference deletes the old row before the Put (HbaseApplier.scala:252-257)
+        ev(2, "update", before=row(1, 1, 90, "ann", "xx"), after=row(1, 1, 95),
+           included_after=["sn", "id", "score"]),
+    ]
+    store, _ = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    state = spark_final_state(spark, store)
+    assert state == duckdb_final_state(events)
+    assert state == [(1, 1, 95, None, None)]
+
+
+# --- B3.3: PK-changing update (intended vs faithful K3) --------------------
+def test_update_pk_change_intended(spark, tmp_path, student_struct, student_mapping):
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "update", before=row(1, 1, 90, "ann", "a"), after=row(9, 9, 90, "ann", "a")),
+    ]
+    store, _ = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    state = spark_final_state(spark, store)
+    assert state == duckdb_final_state(events)
+    assert state == [(9, 9, 90, "ann", "a")]  # old key gone, new key present
+
+
+def test_update_pk_change_faithful_orphans_old_row(spark, tmp_path, student_struct, student_mapping):
+    """The reference's actual (inverted) K3: delete fires only when the
+    rowkeys are EQUAL (HbaseApplier.scala:252), so a PK-changing update
+    leaves the old row behind."""
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "update", before=row(1, 1, 90, "ann", "a"), after=row(9, 9, 90, "ann", "a")),
+    ]
+    store, _ = run_batch(
+        spark, tmp_path, student_struct, student_mapping, events, k3_mode="faithful"
+    )
+    assert spark_final_state(spark, store) == [
+        (1, 1, 90, "ann", "a"),  # orphan, faithfully reproduced
+        (9, 9, 90, "ann", "a"),
+    ]
+
+
+# --- B3.4: delete of never-inserted key is a no-op (K4) --------------------
+def test_delete_nonexistent_noop(spark, tmp_path, student_struct, student_mapping):
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "delete", before=row(7, 7)),
+        ev(3, "delete", before=row(1, 1)),
+    ]
+    store, _ = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert spark_final_state(spark, store) == duckdb_final_state(events) == []
+
+
+# --- B3.5: replay of an already-applied prefix (at-least-once) -------------
+def test_replay_idempotence(spark, tmp_path, student_struct, student_mapping):
+    batch1 = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "insert", after=row(2, 2, 80, "bob", "b")),
+        ev(3, "update", before=row(2, 2, 80, "bob", "b"), after=row(2, 2, 85, "bob", "b")),
+    ]
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    apply_cdc_batch(spark, events_from_rows(spark, batch1, student_struct), store, mappings)
+    first = spark_final_state(spark, store)
+    # crash-replay: the same events arrive again (checkpoint written after data,
+    # HbaseApplier.scala:239) — state must not change
+    apply_cdc_batch(spark, events_from_rows(spark, batch1, student_struct), store, mappings)
+    assert spark_final_state(spark, store) == first == duckdb_final_state(batch1)
+    assert read_checkpoint(store) == 3
+
+
+# --- B3.6: unmapped table events → state unchanged, checkpoint advanced ----
+def test_unmapped_table_skipped_checkpoint_advances(spark, tmp_path, student_struct, student_mapping):
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "insert", after=row(5, 5, 50, "eve", "e"), table="other_table"),
+        ev(3, "next_position"),
+    ]
+    store, result = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert spark_final_state(spark, store) == [(1, 1, 90, "ann", "a")]
+    assert result.skipped_unmapped == 1
+    assert result.checkpoint_position == 3  # advanced past the skip (P1)
+    assert read_checkpoint(store) == 3
+
+
+# --- B3.7: multiple changes to one PK in a batch → last image wins (K5) ----
+def test_last_image_wins_within_batch(spark, tmp_path, student_struct, student_mapping):
+    events = [
+        ev(1, "insert", after=row(1, 1, 10, "v1", "a")),
+        ev(2, "update", before=row(1, 1, 10, "v1", "a"), after=row(1, 1, 20, "v2", "a")),
+        ev(3, "update", before=row(1, 1, 20, "v2", "a"), after=row(1, 1, 30, "v3", "a")),
+        ev(4, "delete", before=row(1, 1)),
+        ev(5, "insert", after=row(1, 1, 99, "v4", "z")),
+    ]
+    store, _ = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    state = spark_final_state(spark, store)
+    assert state == duckdb_final_state(events) == [(1, 1, 99, "v4", "z")]
+
+
+# --- dead letter (K1 validation + K6 overflow) -----------------------------
+def test_missing_pk_dead_letters(spark, tmp_path, student_struct, student_mapping):
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        # insert whose included columns omit a PK component → invalid
+        ev(2, "insert", after=row(2, None, 50, "eve", "e")),
+    ]
+    store, result = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert result.dead_letter_count == 1
+    assert spark_final_state(spark, store) == [(1, 1, 90, "ann", "a")]
+    dead = spark.read.parquet(str(tmp_path / "store" / "_dead_letter"))
+    got = dead.collect()
+    assert len(got) == 1 and got[0].position == 2
+    assert "primary keys" in got[0].reason
+
+
+def test_dead_letter_overflow_raises(spark, tmp_path, student_struct, student_mapping):
+    events = [ev(i, "insert", after=row(i, None)) for i in range(1, 5)]
+    with pytest.raises(DeadLetterOverflowError):
+        run_batch(
+            spark, tmp_path, student_struct, student_mapping, events, max_dead_letter=2
+        )
+
+
+# --- multi-batch incremental merge -----------------------------------------
+def test_two_batches_incremental(spark, tmp_path, student_struct, student_mapping):
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    b1 = [ev(i, "insert", after=row(i, i, i * 10, f"u{i}", "x")) for i in range(1, 6)]
+    b2 = [
+        ev(6, "delete", before=row(2, 2)),
+        ev(7, "update", before=row(3, 3, 30, "u3", "x"), after=row(3, 3, 33, "u3b", "x")),
+        ev(8, "insert", after=row(9, 9, 99, "u9", "z")),
+    ]
+    apply_cdc_batch(spark, events_from_rows(spark, b1, student_struct), store, mappings)
+    apply_cdc_batch(spark, events_from_rows(spark, b2, student_struct), store, mappings)
+    assert spark_final_state(spark, store) == duckdb_final_state(b1 + b2)
+    assert read_checkpoint(store) == 8

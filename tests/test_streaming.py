@@ -1,0 +1,132 @@
+"""Streaming wrapper (SURVEY.md §2.7): file-source micro-batches through
+foreachBatch(apply_cdc_batch), checkpoint resume, stop conditions."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from mysql_hbase_replicator_spark.catalog.schema import (
+    ColInfo,
+    PrimaryKeyChangedError,
+    TableSchema,
+)
+from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+from mysql_hbase_replicator_spark.streaming.pipeline import (
+    CdcProgressListener,
+    CdcStreamPipeline,
+)
+
+COLS = ("sn", "id", "score", "name", "rem")
+
+
+def write_event_file(events_dir: str, name: str, events: list[dict]) -> None:
+    os.makedirs(events_dir, exist_ok=True)
+    tmp = os.path.join(events_dir, f".{name}.tmp")
+    with open(tmp, "w") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    os.replace(tmp, os.path.join(events_dir, f"{name}.json"))
+
+
+def ev(pos, op, before=None, after=None):
+    return {"position": pos, "op": op, "db": "mixfs", "table": "student",
+            "before": before, "after": after}
+
+
+def row(sn, id_, score=None, name=None, rem=None):
+    return {"sn": sn, "id": id_, "score": score, "name": name, "rem": rem}
+
+
+def state(spark, store):
+    df = store.read(spark, "mixfs:student2")
+    return sorted(tuple(r) for r in df.select(*COLS).collect()) if df is not None else []
+
+
+def make_pipeline(spark, tmp_path, student_struct, student_mapping, **kw):
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    return CdcStreamPipeline(
+        spark=spark,
+        events_path=str(tmp_path / "events"),
+        row_struct=student_struct,
+        store=store,
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        **kw,
+    )
+
+
+def test_stream_applies_and_resumes(spark, tmp_path, student_struct, student_mapping):
+    events_dir = str(tmp_path / "events")
+    write_event_file(events_dir, "b1", [
+        ev(1, "insert", after=row(1, 1, 10, "ann", "a")),
+        ev(2, "insert", after=row(2, 2, 20, "bob", "b")),
+    ])
+    pipe = make_pipeline(spark, tmp_path, student_struct, student_mapping)
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert state(spark, pipe.store) == [(1, 1, 10, "ann", "a"), (2, 2, 20, "bob", "b")]
+    assert pipe.total_counts() == {"mixfs.student.insert": 2}
+
+    # new file lands; restart from the SAME checkpoint → only the new file
+    # is processed (S2 resume via checkpointLocation)
+    write_event_file(events_dir, "b2", [
+        ev(3, "delete", before=row(1, 1)),
+        ev(4, "update", before=row(2, 2, 20, "bob", "b"), after=row(2, 2, 25, "bob", "b")),
+    ])
+    pipe2 = make_pipeline(spark, tmp_path, student_struct, student_mapping)
+    q2 = pipe2.start(available_now=True)
+    q2.awaitTermination(120)
+    assert state(spark, pipe2.store) == [(2, 2, 25, "bob", "b")]
+    # resume processed only batch 2's rows
+    assert pipe2.total_counts() == {"mixfs.student.delete": 1, "mixfs.student.update": 1}
+
+
+def test_stream_listener_progress(spark, tmp_path, student_struct, student_mapping):
+    listener = CdcProgressListener()
+    spark.streams.addListener(listener)
+    try:
+        write_event_file(str(tmp_path / "events"), "b1", [
+            ev(1, "insert", after=row(1, 1, 10, "ann", "a")),
+        ])
+        pipe = make_pipeline(spark, tmp_path, student_struct, student_mapping)
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while not listener.progress and time.time() < deadline:
+            time.sleep(0.2)
+        assert any(p["numInputRows"] == 1 for p in listener.progress)
+    finally:
+        spark.streams.removeListener(listener)
+
+
+def test_pk_schema_change_terminates_query(spark, tmp_path, student_struct, student_mapping):
+    """§2.7 stop condition: PK drift must kill the stream
+    (MySQLExtractor.scala:195-198)."""
+    write_event_file(str(tmp_path / "events"), "b1", [
+        ev(1, "insert", after=row(1, 1, 10, "ann", "a")),
+    ])
+    declared = TableSchema("mixfs", "student", [
+        ColInfo("sn", "int(11)", is_primary_key=True),
+        ColInfo("id", "int(11)", is_primary_key=True),
+        ColInfo("score", "int(11)"),
+    ])
+    changed = TableSchema("mixfs", "student", [
+        ColInfo("sn", "int(11)", is_primary_key=True),  # id no longer PK
+        ColInfo("id", "int(11)"),
+        ColInfo("score", "int(11)"),
+    ])
+    pipe = make_pipeline(
+        spark, tmp_path, student_struct, student_mapping,
+        declared_schemas={"mixfs.student": declared},
+        fresh_schema_provider=lambda name: changed,
+    )
+    q = pipe.start(available_now=True)
+    with pytest.raises(Exception) as exc_info:
+        q.awaitTermination(120)
+    assert "PrimaryKeyChangedError" in str(exc_info.value) or "primary key changed" in str(
+        exc_info.value
+    )
