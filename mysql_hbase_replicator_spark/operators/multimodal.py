@@ -53,6 +53,7 @@ DECODED_SCHEMA = T.StructType(
         T.StructField("media_id", T.LongType(), False),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
         T.StructField("mean_intensity", T.DoubleType(), True),
         T.StructField("byte_entropy", T.DoubleType(), True),
     ]
@@ -105,6 +106,7 @@ def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
                 "media_id": pdf["media_id"],
                 "width": pdf["meta"].map(lambda m: m["width"] if m else None),
                 "height": pdf["meta"].map(lambda m: m["height"] if m else None),
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else None),
             }
             stats = pdf["payload"].map(lambda b: _fake_decode(bytes(b)) if b is not None else (None, None))
             out["mean_intensity"] = stats.map(lambda s: s[0])
@@ -130,6 +132,28 @@ def extract_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": pdf["payload"].map(feats)})
 
     return df.mapInPandas(feature_batches, FEATURE_SCHEMA)
+
+
+def media_from_documents(documents: DataFrame) -> DataFrame:
+    """Adapt the `documents` table to the MEDIA_SCHEMA shape: payload = the
+    UTF-8 bytes of ``text`` (a deterministic opaque-binary stand-in, since the
+    test corpus ships no real media), ``n_frames`` = n_chars/8. This keeps the
+    multimodal operators runnable — and oracle-checkable — on driver testdata:
+    the "decode" statistics over these payloads have exact SQL equivalents.
+    Pure JVM projection: ``encode`` produces the binary column executor-side."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(1).alias("channels"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.col("n_chars") / 8).cast("int").alias("n_frames"),
+            F.lit("utf8").alias("format"),
+        ).alias("meta"),
+    )
 
 
 def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -1,0 +1,79 @@
+"""EXT multimodal queries (SURVEY.md §2.11): the `documents` table adapted to
+an opaque-binary media column (see operators.multimodal.media_from_documents),
+then decoded / feature-extracted / frame-sampled through the production-shaped
+Arrow plumbing. Decode statistics over the UTF-8 payloads are exactly
+SQL-expressible, so two of the three queries get full DuckDB oracles — the
+payload bytes ARE the text bytes, so mean byte value == mean codepoint for
+this ASCII corpus, and both engines sum integers exactly before one divide.
+
+Reference parity: the reference has no media path at all (29 files, CDC only);
+these are driver-mandated EXT operators designed Spark-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_hbase_replicator_spark.operators.multimodal import (
+    decode_media,
+    extract_features,
+    media_from_documents,
+    sample_frames,
+)
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+
+@query(
+    "multimodal_decode_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           LIST_AVG(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
+                    i -> ORD(text[i]))) AS mean_intensity
+    FROM documents
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pseudo-decode of every payload: byte count + mean byte
+    value per media item. The payloads never leave the executors; mapInPandas
+    processes bounded Arrow batches (maxRecordsPerBatch caps memory), which is
+    exactly the shape a real PIL/ffmpeg decode would take at 100 TB."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return decode_media(media).select("media_id", "n_bytes", "mean_intensity")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           UNNEST(GENERATE_SERIES(0, CAST(n_chars // 8 AS BIGINT) - 1, 10)) AS frame_index
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling, pure JVM (sequence + explode on metadata) —
+    the expensive per-frame decode would then run only on this subset. No
+    Python boundary is crossed; the plan stays in whole-stage codegen."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    return sample_frames(media, every_n=10).select(
+        "media_id", F.col("frame_index").cast("long").alias("frame_index")
+    )
+
+
+@query("multimodal_feature_extract")  # hash-derived vectors: not SQL-expressible
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload → fixed-dim float feature vector (the embedding-extraction
+    shape a model forward pass would have), via Arrow-batched mapInPandas.
+    Deterministic stand-in features; rows-only driver check, shape + range +
+    determinism asserted in tests/test_multimodal.py."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.size("feature").alias("feature_dim"),
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
+            "feature_norm_sq"
+        ),
+    )
