@@ -29,6 +29,11 @@ EMB_DIM = 64
 # bucket yields ~0 collisions on random 64-dim data.)
 LSH_TABLES = 8
 LSH_BITS = 4
+# IVF: K cells, one distributed k-means refinement from deterministic seeds,
+# queries probe the NPROBE nearest cells. K should scale ~sqrt(corpus) in
+# production; 16 suits the test corpora (500-50k vectors).
+IVF_K = 16
+IVF_NPROBE = 4
 
 
 @query(
@@ -174,6 +179,127 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_from_parts(
             dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
         ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two float arrays — pure expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment with NO row explosion: the centroid set is
+    one broadcast row holding array<struct<cid,c>>; per corpus row an
+    ``array_min`` over ``transform`` picks the (distance, cid) minimum.
+    Struct ordering breaks ties on cid, so assignment is deterministic."""
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _l2_sq(F.col("embedding"), c["c"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return vectors.crossJoin(F.broadcast(cents_row)).withColumn(
+        "cell", best["cid"]
+    ).drop("cents")
+
+
+def _kmeans_step(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """One distributed Lloyd iteration → new centroid row (single broadcast
+    row). Per-dimension means via posexplode + groupBy(cell,pos): the 64×
+    expansion collapses to ≤K×dim rows per partition by partial aggregation
+    before any shuffle."""
+    assigned = _assign_cells(vectors, cents_row)
+    return (
+        assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("v"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"].cast("float"),
+            ).alias("c")
+        )
+        .select(F.col("cell").alias("cid"), "c")
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+
+
+@query("similarity_ann_ivf")  # approximate by construction; recall tested in pytest
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN — the scale path for corpus-sized query sets:
+    partition the corpus into IVF_K Voronoi cells (deterministic seeds =
+    first K vectors, one distributed k-means refinement), probe the
+    IVF_NPROBE nearest cells per query, exact-cosine re-rank inside them.
+    At 100 TB: assignment is a map-only pass against a broadcast centroid
+    array, candidate generation an equi-join on cell id — the corpus is
+    shuffled once, on a K-valued key, and never crossed with itself.
+    Recall vs the brute-force oracle is asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < IVF_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c"))
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+    # persist both: cents (one row) feeds assignment AND probing — without it
+    # each consumer re-runs the k-means corpus pass; assigned feeds candidate
+    # generation and the query-side probe.
+    cents = _kmeans_step(e, seeds).persist()
+    assigned = _assign_cells(e, cents).persist()
+
+    probed = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: F.struct(
+                                _l2_sq(F.col("embedding"), c["c"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", F.col("probe")["cid"].alias("cell"))
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    sims = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
