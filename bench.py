@@ -30,6 +30,9 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
+    "similarity_ann_ivf",
+    "multimodal_decode_stats",
+    "multimodal_frame_sample",
     "text_fingerprint",
     "text_token_count",
 ]
@@ -47,16 +50,25 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on the smallest SF so measured times are steady-state
-    QUERY_REGISTRY["flagship_shipping_priority"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # JVM/codegen warmup: run every headline query once at the smallest SF so
+    # whole-stage-codegen classes are compiled (codegen cache keys on the
+    # generated source, which depends on plan shape, not data) and the sf0.1
+    # measurements are steady-state.
+    for name in HEADLINE:
+        QUERY_REGISTRY[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         QUERY_REGISTRY[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+        # operators that persist() intermediates must not hold memory into the
+        # next measurement
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
