@@ -1,0 +1,161 @@
+"""User-extensible function surface (SURVEY.md §2.9).
+
+The reference has NO user function mechanism — its only scalar computation is
+the fixed conversion set (enum decode / utf8 / decimal narrowing,
+MongoDBApplier.scala:99-119). The idiomatic PySpark equivalents are exposed
+here as first-class, oracle-checked operators:
+
+- scalar ``pandas_udf``      (Arrow-vectorized elementwise; the UDF path)
+- grouped-agg ``pandas_udf`` (the UDAF path)
+- ``applyInPandas``          (grouped map — the UDTF/custom-operator path)
+
+Numeric determinism: elementwise UDFs are shuffle-order-free by construction;
+the grouped paths below only aggregate with order-insensitive exact
+operations (integer-valued epoch seconds; medians of 2-decimal money rounded
+to 4 decimals, a no-op on true values that kills 1-ulp engine skew), so the
+driver's value-hash comparison is stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+
+def _slug_udf():
+    """Arrow-vectorized slugify: lowercase, non-alphanumeric runs → '_'.
+    Built lazily — pandas_udf parses its DDL return type against the active
+    session, so module import must stay session-free."""
+
+    @F.pandas_udf("string")
+    def _slug(s: pd.Series) -> pd.Series:
+        return s.str.lower().str.replace(r"[^a-z0-9]+", "_", regex=True).str.strip("_")
+
+    return _slug
+
+
+@query(
+    "udf_pandas_scalar_slug",
+    oracle="""
+    SELECT o_orderkey,
+           TRIM(REGEXP_REPLACE(LOWER(o_orderpriority), '[^a-z0-9]+', '_', 'g'), '_')
+             AS priority_slug
+    FROM orders
+    """,
+)
+def udf_pandas_scalar_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow batches, SPARK-side §2.9): slugify the order
+    priority. Elementwise → embarrassingly parallel; the Arrow transfer is
+    the only cost over the equivalent built-in expression, which is the
+    documented trade for user-supplied Python logic."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", _slug_udf()("o_orderpriority").alias("priority_slug"))
+
+
+def _median_udaf():
+    """Grouped-agg pandas UDF: exact median (numpy) of the group (lazy —
+    see _slug_udf)."""
+
+    @F.pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(np.median(v))
+
+    return _median
+
+
+@query(
+    "udaf_pandas_median",
+    oracle="""
+    SELECT o_custkey, ROUND(MEDIAN(o_totalprice), 4) AS median_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def udaf_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF path): per-customer median
+    order price. One shuffle on the group key; each group is reduced in a
+    single Arrow batch. np.median and DuckDB's MEDIAN both average the two
+    middle values for even counts; rounding to 4 decimals (no-op on the true
+    3-decimal results) removes any last-ulp skew between the engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.round(_median_udaf()("o_totalprice"), 4).alias("median_price")
+    )
+
+
+_GAPS_SCHEMA = (
+    "o_custkey long, n_orders long, median_gap_s double, max_gap_s double"
+)
+
+
+def _order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-customer inter-order gap statistics (grouped-map kernel)."""
+    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
+    epochs = pdf["o_orderdate"].astype("int64") / 1e9  # exact: midnight stamps
+    gaps = epochs.diff().dropna()
+    return pd.DataFrame(
+        {
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "median_gap_s": [float(np.median(gaps)) if len(gaps) else None],
+            "max_gap_s": [float(gaps.max()) if len(gaps) else None],
+        }
+    )
+
+
+@query(
+    "udtf_apply_in_pandas_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT o_custkey,
+               EPOCH(o_orderdate)
+                 - LAG(EPOCH(o_orderdate)) OVER (PARTITION BY o_custkey
+                                                 ORDER BY o_orderdate, o_orderkey) AS gap
+        FROM orders
+    )
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           MEDIAN(gap) AS median_gap_s, MAX(gap) AS max_gap_s
+    FROM g
+    GROUP BY o_custkey
+    """,
+)
+def udtf_apply_in_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map (the custom-operator path, §2.9): arbitrary
+    per-group Python over each customer's order history — the shape used for
+    per-entity sessionization/resampling that built-ins can't express. One
+    shuffle on the group key; groups stream through Arrow batches. Gaps are
+    integer-valued epoch seconds, so medians (x.0/x.5) are bit-exact in both
+    engines with no rounding."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return o.groupBy("o_custkey").applyInPandas(_order_gaps, _GAPS_SCHEMA)
+
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS p50_qty,
+           ROUND(QUANTILE_CONT(l_quantity, 0.9), 6) AS p90_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 6) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (SQL percentile_cont semantics) per
+    return flag — the built-in complement to the UDAF path above. Exact
+    percentile sorts within the group; at 100 TB prefer approx_percentile
+    (t-digest, merge-able map-side) unless exactness is contractual."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    )
