@@ -1,0 +1,98 @@
+"""Physical-plan quality gates (SURVEY.md §4): the properties that make the
+queries survive a 100 TB scale-up are asserted here so regressions fail CI,
+not the cluster bill.
+
+- filters reach the parquet scan (PushedFilters)
+- scans read only referenced columns (ReadSchema pruning)
+- explicitly-broadcast dims plan as BroadcastHashJoin (no shuffle of the fact)
+- top-k plans as TakeOrderedAndProject (no global sort)
+- EXT operators keep Python off the hot path (no row-wise PythonUDF nodes)
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mysql_hbase_replicator_spark.plans.registry import (
+    QUERY_REGISTRY,
+    load_all_queries,
+)
+
+SF = "/root/testdata/sf0.001"
+
+load_all_queries()
+
+
+def formatted_plan(df) -> str:
+    jqe = df._jdf.queryExecution()
+    return jqe.explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def simple_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pushes_filters_and_prunes_columns(spark):
+    df = QUERY_REGISTRY["flagship_shipping_priority"](spark, SF)
+    plan = formatted_plan(df)
+    # selective predicates reach both fact scans
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+    # lineitem scan must not read the full 11-column schema
+    lineitem_reads = [
+        line for line in plan.splitlines() if "ReadSchema" in line and "l_orderkey" in line
+    ]
+    assert lineitem_reads and all("l_quantity" not in line for line in lineitem_reads)
+
+
+def test_broadcast_dim_join_is_broadcast(spark):
+    df = QUERY_REGISTRY["join_broadcast_dim"](spark, SF)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sort_topk_avoids_global_sort(spark):
+    df = QUERY_REGISTRY["sort_topk"](spark, SF)
+    assert "TakeOrderedAndProject" in simple_plan(df)
+
+
+def test_agg_is_partial_then_final(spark):
+    """Map-side combine: two HashAggregate levels around one exchange."""
+    plan = simple_plan(QUERY_REGISTRY["agg_pricing_summary"](spark, SF))
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_" in plan  # partial aggregate functions on the map side
+
+
+def test_ext_operators_keep_python_off_hot_path(spark):
+    """Dedup/similarity/text are pure JVM; multimodal uses Arrow mapInPandas
+    (allowed), never row-wise BatchEvalPython."""
+    for name in (
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "similarity_topk_cosine",
+        "similarity_ann_lsh",
+        "text_token_count",
+        "text_fingerprint",
+    ):
+        plan = simple_plan(QUERY_REGISTRY[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name  # row-wise Python UDF
+        assert "mapInPandas" not in plan.lower(), name
+
+
+def test_multimodal_decode_is_arrow_not_rowwise(spark):
+    plan = simple_plan(QUERY_REGISTRY["multimodal_decode_stats"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_events_scan_prunes_props(spark):
+    """Window aggregates over events never read the wide props JSON column."""
+    plan = formatted_plan(QUERY_REGISTRY["events_tumbling_window"](spark, SF))
+    reads = [line for line in plan.splitlines() if "ReadSchema" in line]
+    assert reads and all("props" not in line for line in reads)
