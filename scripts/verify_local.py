@@ -76,13 +76,23 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as se
-    from mysql_hbase_replicator_spark.session import get_spark
 
-    spark = get_spark(app_name="verify-local")
+    if vanilla:
+        # the driver's consumption path: a plain session, none of get_spark's
+        # tuning — catches configs the engine silently depends on
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("verify-vanilla").getOrCreate()
+    else:
+        from mysql_hbase_replicator_spark.session import get_spark
+
+        spark = get_spark(app_name="verify-local")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
