@@ -1,0 +1,110 @@
+"""Watermark semantics (SURVEY.md §2.7 EXT): late-data drop and exactly-once
+window emission across restarts — the streaming-only behavior the batch
+oracles can't check."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _write_events(path: str, name: str, rows: list[tuple[str, int, str]]) -> None:
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for ts, uid, et in rows:
+            f.write(json.dumps({"ts": ts, "user_id": uid, "event_type": et}) + "\n")
+
+
+def _run_once(spark, src, ckpt, sink_name):
+    """One availableNow pass; finalized (append-mode) windows land in a list
+    via foreachBatch — the memory sink can't recover from a checkpoint."""
+    from mysql_hbase_replicator_spark.streaming.analytics import windowed_event_counts
+
+    rows: list = []
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(src)
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="30 minutes")
+        .writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return {(r.window_start.isoformat(), r.event_type): r.n_events for r in rows}
+
+
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    src, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+
+    # batch 1: two events in the 10:00 window, max ts 13:00
+    # → watermark after batch = 12:30; windows ending ≤ 12:30 emit
+    _write_events(
+        src,
+        "b1.json",
+        [
+            ("2024-01-01T10:10:00", 1, "click"),
+            ("2024-01-01T10:20:00", 2, "click"),
+            ("2024-01-01T13:00:00", 3, "click"),
+        ],
+    )
+    out1 = _run_once(spark, src, ckpt, "wm_sink_1")
+    assert out1[("2024-01-01T10:00:00", "click")] == 2
+    # the 13:00 window is still open — not emitted
+    assert ("2024-01-01T13:00:00", "click") not in out1
+
+    # batch 2: one LATE row for the already-finalized 10:00 window (beyond
+    # the 12:30 watermark → dropped) plus a 14:40 row that advances the
+    # watermark to 14:10 — past the 13:00 window's end, closing it
+    _write_events(
+        src,
+        "b2.json",
+        [
+            ("2024-01-01T10:30:00", 4, "click"),  # late — must be dropped
+            ("2024-01-01T14:40:00", 5, "click"),
+        ],
+    )
+    out2 = _run_once(spark, src, ckpt, "wm_sink_2")
+    # the finalized 10:00 window is NOT re-emitted and the late row had no
+    # effect (exactly-once per window)
+    assert ("2024-01-01T10:00:00", "click") not in out2
+    # the 13:00 window closes with exactly its one on-time row
+    assert out2[("2024-01-01T13:00:00", "click")] == 1
+
+
+def test_streaming_and_batch_windows_agree(spark, tmp_path):
+    """The streaming builder over a frozen stream equals the plain batch
+    aggregation — the property that lets the DuckDB oracle stand in for
+    streaming correctness."""
+    from mysql_hbase_replicator_spark.streaming.analytics import windowed_event_counts
+
+    src, ckpt = str(tmp_path / "ev2"), str(tmp_path / "ckpt2")
+    rows = [
+        ("2024-01-01T09:05:00", 1, "view"),
+        ("2024-01-01T09:55:00", 2, "view"),
+        ("2024-01-01T10:05:00", 1, "click"),
+        ("2024-01-01T23:00:00", 9, "view"),  # pushes watermark past all others
+    ]
+    _write_events(src, "all.json", rows)
+    out = _run_once(spark, src, ckpt, "wm_sink_3")
+
+    batch = spark.read.schema(EVENT_SCHEMA).json(src)
+    expected = {
+        ((r["w"]["start"].isoformat()), r["event_type"]): r["n"]
+        for r in batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["w"]["end"] <= __import__("datetime").datetime(2024, 1, 1, 22, 30)
+    }
+    assert out == expected
