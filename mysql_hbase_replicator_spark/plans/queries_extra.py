@@ -1,0 +1,108 @@
+"""Coverage fill-ins for SURVEY.md §2.5/§2.6 delegated-surface rows not yet
+represented one-for-one: multiset EXCEPT ALL, array-function scalars,
+min_by/max_by aggregates, and the ntile/percent_rank/cume_dist window family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): order rows minus one occurrence per
+    customer key — duplicates preserved, unlike the set-semantics
+    setop_except."""
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+@query(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           LEN(embedding) AS dim,
+           embedding[1] AS first_val,
+           LIST_MAX(embedding) AS max_val,
+           LIST_MIN(embedding) AS min_val,
+           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function representatives (§2.6 DELEGATED) over the embedding
+    column: size / element_at / array_max / array_min / filter-count. Pure
+    selection — no float arithmetic — so values hash-match exactly."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.array_max("embedding").alias("max_val"),
+        F.array_min("embedding").alias("min_val"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+    SELECT o_custkey,
+           ARG_MAX(o_orderkey, o_totalprice) AS biggest_order,
+           ARG_MIN(o_orderkey, o_totalprice) AS smallest_order,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (SQL ARG_MAX/ARG_MIN): the biggest and smallest order
+    per customer in one pass — no self-join, no window. (o_custkey,
+    o_totalprice) is tie-free in this corpus, so the arg selection is
+    deterministic in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+        F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@query(
+    "window_ntile_percent",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist — the distribution window family.
+    The (o_totalprice, o_orderkey) order is total, so bucket assignment is
+    deterministic; percent_rank's (rank-1)/(n-1) division is the same IEEE
+    op in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
