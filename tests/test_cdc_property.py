@@ -1,0 +1,116 @@
+"""Property-based CDC invariant (SURVEY.md §5, optional tier): for random
+valid binlog traces — inserts, PK-preserving and PK-changing updates,
+deletes, over a tiny colliding key space — the batch-collapsed Spark apply
+(in any batch partitioning) must equal DuckDB's strict sequential per-event
+apply, and replaying the final batch must be a no-op (idempotence under
+at-least-once delivery).
+
+Traces are *valid* CDC streams: update/delete before-images always reflect
+the current row state, as binlog row events do. Example count is small —
+each example runs real Spark jobs — but the key space (3×2 PKs) forces heavy
+upsert/delete collision coverage per trace.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from test_cdc_apply import duckdb_final_state, run_batch, spark_final_state
+
+SNS = (1, 2, 3)
+IDS = (10, 20)
+
+
+@st.composite
+def cdc_trace(draw):
+    """A valid CDC event trace over the student table with a shadow state."""
+    n = draw(st.integers(min_value=4, max_value=18))
+    state: dict[tuple[int, int], dict] = {}
+    events = []
+    for pos in range(1, n + 1):
+        live = sorted(state)
+        choices = ["insert"] + (["update", "delete"] if live else [])
+        op = draw(st.sampled_from(choices))
+        if op == "insert":
+            sn, id_ = draw(st.sampled_from(SNS)), draw(st.sampled_from(IDS))
+            after = {
+                "sn": sn,
+                "id": id_,
+                "score": draw(st.integers(0, 99)),
+                "name": draw(st.sampled_from(["ann", "bob", "cho", None])),
+                "rem": None,
+            }
+            state[(sn, id_)] = after
+            events.append({"position": pos, "op": "insert", "db": "mixfs",
+                           "table": "student", "after": after})
+        elif op == "update":
+            key = draw(st.sampled_from(live))
+            before = state.pop(key)
+            if draw(st.booleans()):  # PK-changing update
+                new_key = (draw(st.sampled_from(SNS)), draw(st.sampled_from(IDS)))
+            else:
+                new_key = key
+            after = {
+                "sn": new_key[0],
+                "id": new_key[1],
+                "score": draw(st.integers(0, 99)),
+                "name": before["name"],
+                "rem": draw(st.sampled_from(["ok", None])),
+            }
+            state[new_key] = after
+            events.append({"position": pos, "op": "update", "db": "mixfs",
+                           "table": "student", "before": before, "after": after})
+        else:
+            key = draw(st.sampled_from(live))
+            before = state.pop(key)
+            events.append({"position": pos, "op": "delete", "db": "mixfs",
+                           "table": "student", "before": before})
+    return events
+
+
+@given(trace=cdc_trace(), split=st.integers(0, 100))
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_trace_matches_sequential_oracle(
+    spark, tmp_path_factory, student_struct, student_mapping, trace, split
+):
+    tmp = tmp_path_factory.mktemp("cdcprop")
+    cut = (split * len(trace)) // 101  # any batch partitioning is legal
+    batches = [b for b in (trace[:cut], trace[cut:]) if b]
+
+    store = None
+    for batch in batches:
+        store, _ = run_batch_into(
+            spark, tmp, student_struct, student_mapping, batch, store
+        )
+
+    expected = duckdb_final_state(trace)
+    assert spark_final_state(spark, store) == expected
+
+    # at-least-once: replaying the last batch must not change the state
+    store, _ = run_batch_into(
+        spark, tmp, student_struct, student_mapping, batches[-1], store
+    )
+    assert spark_final_state(spark, store) == expected
+
+
+def run_batch_into(spark, tmp, student_struct, student_mapping, events, store):
+    """run_batch against a persistent store dir (multi-batch apply)."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+    from mysql_hbase_replicator_spark.sources.cdc_events import events_from_rows
+
+    if store is None:
+        store = ParquetKeyedStore(str(tmp / "store"), n_buckets=4)
+    ev_df = events_from_rows(spark, events, student_struct)
+    result = apply_cdc_batch(spark, ev_df, store, {"mixfs.student": student_mapping})
+    return store, result
