@@ -148,3 +148,32 @@ def cdc_checkpoint_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.max("ts").alias("max_ts"),
         F.count(F.lit(1)).alias("n_applied"),
     )
+
+
+@query(
+    "cdc_rowkey_encode",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CONCAT(CAST(l_orderkey AS VARCHAR), CHR(1), CAST(l_linenumber AS VARCHAR))
+             AS rowkey
+    FROM lineitem
+    WHERE l_orderkey < 100
+    """,
+)
+def cdc_rowkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 composite-PK rowkey encoding (SURVEY §2.3): the reference
+    concatenates the declared key columns in ordinal order into one sortable
+    key (HbaseApplier.scala:210-217 via HBaseKVHelper). In Spark the MERGE
+    condition uses the column list directly; the materialized single-key
+    form — separator-joined, here over lineitem's (l_orderkey, l_linenumber)
+    compound key — is what a physical sort/bucket key would be."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            "\x01",
+            F.col("l_orderkey").cast("string"),
+            F.col("l_linenumber").cast("string"),
+        ).alias("rowkey"),
+    )

@@ -130,3 +130,31 @@ def test_pk_schema_change_terminates_query(spark, tmp_path, student_struct, stud
     assert "PrimaryKeyChangedError" in str(exc_info.value) or "primary key changed" in str(
         exc_info.value
     )
+
+
+def test_status_server_serves_counters(spark, tmp_path, student_struct, student_mapping):
+    """O2 parity: / and /jmx expose the applied-count surface over HTTP."""
+    import json as _json
+    import urllib.request
+
+    from mysql_hbase_replicator_spark.streaming.status import StatusServer
+
+    write_event_file(str(tmp_path / "events"), "b1", [
+        ev(1, "insert", after=row(1, 1, 10, "ann", "a")),
+        ev(2, "insert", after=row(2, 2, 20, "bob", "b")),
+    ])
+    pipeline = make_pipeline(spark, tmp_path, student_struct, student_mapping)
+    q = pipeline.start(available_now=True)
+    q.awaitTermination(120)
+    srv = StatusServer(pipeline, port=0).start()  # ephemeral port
+    try:
+        jmx = _json.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/jmx", timeout=10).read()
+        )
+        assert jmx["batches"] >= 1
+        assert jmx["counts"] == pipeline.total_counts()
+        assert sum(jmx["counts"].values()) > 0
+        html = urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/", timeout=10).read()
+        assert b"checkpoint_position" in html
+    finally:
+        srv.stop()
