@@ -106,3 +106,30 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted equi-join (operators/skew.py): lineitem's join key spread over
+    8 salts, orders replicated 8×, then the same aggregate as the plain
+    join — the oracle proves the salt changes only the shuffle layout, never
+    the result. The explicit-salt path complements AQE skew splitting for
+    streaming joins and single-dominant-key shapes."""
+    from mysql_hbase_replicator_spark.operators.skew import salted_join
+
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(l, o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias("sum_price"),
+    )
