@@ -35,6 +35,11 @@ HEADLINE = [
     "multimodal_frame_sample",
     "text_fingerprint",
     "text_token_count",
+    "events_tumbling_window",
+    "events_session_window",
+    "join_skew_salted",
+    "udtf_apply_in_pandas_gaps",
+    "agg_percentiles",
 ]
 
 

@@ -133,3 +133,28 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "scalar_from_json_typed",
+    oracle="""
+    SELECT event_id, CAST(props->>'k' AS INT) AS k_value,
+           CAST(props->>'k' AS INT) IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def scalar_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parsing via from_json (§2.6: the reference round-trips its
+    mapping JSON with lift-json, HbaseTableInfo.scala:14-17): events.props
+    parsed against an explicit schema into a struct, then projected — the
+    schema-on-read path, vs scalar_json_funcs' stringly get_json_object."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").alias("p"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k_value"),
+        F.col("p.k").isNotNull().alias("has_k"),
+    )

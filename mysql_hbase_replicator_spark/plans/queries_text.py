@@ -114,3 +114,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.encode(F.lower(F.col("text")), "UTF-8"))
     return d.select("doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("short_fp"))
+
+
+# GPT-2-style pre-tokenizer classes, ASCII-simplified so the same pattern is
+# valid Java regex (Spark) and RE2 (DuckDB): a token is an optional leading
+# space + a letter run / digit run / punctuation run.
+BPE_RX = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+@query(
+    "text_token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{BPE_RX}')) AS INT) AS n_subword_tokens,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting (the driver-mandate variant): a GPT-2-shaped
+    pre-tokenizer regex counts subword-ish units JVM-side (regexp_count —
+    no Python), alongside the whitespace count for calibration. At 100 TB
+    this is a map-only pass; a true learned-BPE count would swap in a
+    pandas_udf with a tokenizer model broadcast to executors."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_RX)).alias("n_subword_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )

@@ -93,19 +93,34 @@ _GAPS_SCHEMA = (
 )
 
 
-def _order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-customer inter-order gap statistics (grouped-map kernel)."""
-    pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
-    epochs = pdf["o_orderdate"].astype("int64") / 1e9  # exact: midnight stamps
-    gaps = epochs.diff().dropna()
-    return pd.DataFrame(
+def _order_gaps_partition(batches):
+    """Vectorized per-PARTITION kernel: one pandas groupby over a
+    key-partitioned, key-sorted Arrow stream. This is the scalable shape for
+    small-group grouped maps — per-group applyInPandas pays an Arrow batch +
+    pandas-frame construction per group (~ms each), which at 15k groups/SF0.1
+    was 35s; one groupby per partition is ~100× cheaper. Groups never span
+    partitions because the caller repartitions ON the key."""
+    parts = list(batches)
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True)
+    if pdf.empty:
+        return
+    # rows arrive sorted by (o_custkey, o_orderdate, o_orderkey)
+    epoch = pdf["o_orderdate"].astype("int64") / 1e9  # exact: midnight stamps
+    by = pdf.groupby("o_custkey", sort=False)
+    gap = epoch.groupby(pdf["o_custkey"], sort=False).diff()
+    out = pd.DataFrame(
         {
-            "o_custkey": [pdf["o_custkey"].iloc[0]],
-            "n_orders": [len(pdf)],
-            "median_gap_s": [float(np.median(gaps)) if len(gaps) else None],
-            "max_gap_s": [float(gaps.max()) if len(gaps) else None],
+            "n_orders": by.size(),
+            "median_gap_s": gap.groupby(pdf["o_custkey"], sort=False).median(),
+            "max_gap_s": gap.groupby(pdf["o_custkey"], sort=False).max(),
         }
-    )
+    ).reset_index()
+    # single-order customers have no gaps: NaN must surface as SQL NULL
+    for c in ("median_gap_s", "max_gap_s"):
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    yield out[["o_custkey", "n_orders", "median_gap_s", "max_gap_s"]]
 
 
 @query(
@@ -125,16 +140,23 @@ def _order_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def udtf_apply_in_pandas_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped map (the custom-operator path, §2.9): arbitrary
-    per-group Python over each customer's order history — the shape used for
-    per-entity sessionization/resampling that built-ins can't express. One
-    shuffle on the group key; groups stream through Arrow batches. Gaps are
+    """Grouped-map custom operator (§2.9): arbitrary per-group Python over
+    each customer's order history — per-entity sessionization/resampling
+    built-ins can't express. Implemented as the SCALABLE grouped-map shape:
+    repartition ON the key + sortWithinPartitions + mapInPandas with one
+    vectorized pandas groupby per partition. Semantically identical to
+    ``groupBy(key).applyInPandas(...)`` but ~100× faster when groups are
+    small (applyInPandas pays per-group Arrow/pandas setup). Gaps are
     integer-valued epoch seconds, so medians (x.0/x.5) are bit-exact in both
     engines with no rounding."""
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey", "o_orderdate"
     )
-    return o.groupBy("o_custkey").applyInPandas(_order_gaps, _GAPS_SCHEMA)
+    return (
+        o.repartition("o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderdate", "o_orderkey")
+        .mapInPandas(_order_gaps_partition, _GAPS_SCHEMA)
+    )
 
 
 @query(
