@@ -66,14 +66,20 @@ def main() -> None:
 
     spark.catalog.clearCache()
 
+    # best-of-2 per query: steady-state latency, halves GC-pause noise
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERY_REGISTRY[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-        # operators that persist() intermediates must not hold memory into the
-        # next measurement
-        spark.catalog.clearCache()
+        best = float("inf")
+        for _rep in range(2):
+            t0 = time.time()
+            QUERY_REGISTRY[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            best = min(best, time.time() - t0)
+            # operators that persist() intermediates must not hold memory
+            # into the next measurement
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
