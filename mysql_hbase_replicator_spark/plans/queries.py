@@ -798,18 +798,23 @@ def scalar_name_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_value_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P5 value normalization (reference MongoDBApplier.scala:99-119):
-    enum ordinal → 1-based label lookup with id<=0 → NULL (mydit issue #9),
-    decimal round-trip (kept as DecimalType, not narrowed to double),
-    and UTF-8 byte→string decode (mydit issue #5)."""
+    """P5 value normalization (reference MongoDBApplier.scala:99-119) via the
+    engine's normalize library: enum ordinal → 1-based label lookup with
+    id<=0 / out-of-range → NULL (mydit issue #9), decimal narrowing, and
+    UTF-8 byte→string decode (mydit issue #5)."""
+    from mysql_hbase_replicator_spark.functions.normalize import (
+        bytes_to_utf8,
+        decimal_to_double,
+        enum_to_string,
+    )
+
     p = load_table(spark, sf_dir, "part")
-    labels = F.array(*[F.lit(x) for x in ["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST"]])
-    idx = (F.col("p_partkey") % 7).cast("int")
+    labels = ["AMERICA", "ASIA", "EUROPE", "AFRICA", "MIDDLE EAST"]
     return p.select(
         "p_partkey",
-        F.when((idx >= 1) & (idx <= 5), F.element_at(labels, idx))
-        .otherwise(F.lit(None).cast("string"))
-        .alias("enum_label"),
-        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("price_decimal"),
-        F.decode(F.encode(F.col("p_name"), "UTF-8"), "UTF-8").alias("name_utf8_roundtrip"),
+        enum_to_string(F.col("p_partkey") % 7, labels).alias("enum_label"),
+        decimal_to_double(F.col("p_retailprice").cast("decimal(12,2)")).alias(
+            "price_decimal"
+        ),
+        bytes_to_utf8(F.encode(F.col("p_name"), "UTF-8")).alias("name_utf8_roundtrip"),
     )

@@ -90,3 +90,34 @@ def test_default_name_mapping_strips_underscores():
     assert default_name_mapping("user_id") == "userid"
     assert default_name_mapping("a_b_c") == "abc"
     assert default_name_mapping("plain") == "plain"
+
+
+def test_enum_normalization_edge_cases(spark):
+    """P5 / B3.8: enum 0, NULL, negative, and out-of-range → NULL; 1-based
+    in-range → label (MongoDBApplier.scala:101-104, mydit issue #9)."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.functions.normalize import (
+        bytes_to_utf8,
+        decimal_to_double,
+        enum_to_string,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (3,), (4,), (-2,), (None,)], "ordinal int"
+    )
+    labels = ["red", "green", "blue"]
+    got = [
+        r.label
+        for r in df.orderBy(F.col("ordinal").asc_nulls_first())
+        .select(enum_to_string(F.col("ordinal"), labels).alias("label"))
+        .collect()
+    ]
+    # nulls first: None, -2, 0 → NULL; 1→red, 3→blue, 4 (out of range) → NULL
+    assert got == [None, None, None, "red", "blue", None]
+
+    one = spark.range(1).select(
+        decimal_to_double(F.lit("12.3456").cast("decimal(10,4)")).alias("d"),
+        bytes_to_utf8(F.encode(F.lit("héllo"), "UTF-8")).alias("s"),
+    ).collect()[0]
+    assert one.d == 12.3456 and one.s == "héllo"
