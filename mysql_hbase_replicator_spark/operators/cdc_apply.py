@@ -181,6 +181,23 @@ def apply_cdc_batch(
         events.unpersist()
 
 
+def source_struct(info: HbaseTableInfo) -> "T.StructType":
+    """The SOURCE row schema a mapping declares: db column names typed by the
+    MySQL→Spark map (HbaseTableInfo.scala:158-182). Used to parse JSON row
+    images in the heterogeneous multi-table stream — the analog of resolving
+    TableInfo per TableMap event (MySQLExtractor.scala:182-202)."""
+    from pyspark.sql import types as T
+
+    from mysql_hbase_replicator_spark.functions.types import mysql_type_to_spark
+
+    return T.StructType(
+        [
+            T.StructField(c.dbColumnName, mysql_type_to_spark(c.dbColumnType), True)
+            for c in info.cols
+        ]
+    )
+
+
 def _apply_table(
     spark: SparkSession,
     ev: DataFrame,
@@ -189,6 +206,14 @@ def _apply_table(
     k3_mode: str,
     result: CdcBatchResult,
 ) -> None:
+    # generic multi-table mode: images arrive as JSON strings; parse them
+    # against THIS table's declared source schema before the typed kernel
+    dtypes = dict(ev.dtypes)
+    if dtypes.get("before") == "string":
+        struct = source_struct(info)
+        ev = ev.withColumn("before", F.from_json("before", struct)).withColumn(
+            "after", F.from_json("after", struct)
+        )
     sink_cols = [c.hbaseColumnName for c in info.cols]
     sink_pks = [c.hbaseColumnName for c in info.key_columns()]
     table_name = info.hbaseTableName or info.full_name

@@ -94,3 +94,35 @@ def read_event_stream(spark: SparkSession, path: str, row_struct: T.StructType) 
         .option("maxFilesPerTrigger", 16)
         .json(path)
     )
+
+
+# --- heterogeneous multi-table stream (the real binlog shape) --------------
+# One binlog carries every table's changes; a single typed row_struct cannot
+# describe them all. In generic mode the images stay as JSON strings in the
+# stream and are parsed per table inside the kernel, against the schema the
+# MAPPING declares (db column names + MySQL types → Spark types,
+# HbaseTableInfo.scala:158-182) — the Spark analog of the reference resolving
+# TableInfo per TableMap event (MySQLExtractor.scala:182-202).
+
+CDC_JSON_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("position", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("db", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("before", T.StringType(), True),  # JSON row image
+        T.StructField("after", T.StringType(), True),  # JSON row image
+        T.StructField("included_before", T.ArrayType(T.StringType()), True),
+        T.StructField("included_after", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def read_event_stream_json(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-free (multi-table) streaming source: images are JSON strings,
+    parsed per table in the kernel from each table's declared mapping."""
+    return (
+        spark.readStream.schema(CDC_JSON_EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(path)
+    )

@@ -66,7 +66,9 @@ class CdcProgressListener(StreamingQueryListener):
 class CdcStreamPipeline:
     spark: SparkSession
     events_path: str
-    row_struct: T.StructType
+    # typed single-table stream; None → generic multi-table stream whose JSON
+    # row images are parsed per table from each mapping's declared schema
+    row_struct: T.StructType | None
     store: ParquetKeyedStore
     mappings: dict[str, HbaseTableInfo]
     checkpoint_dir: str
@@ -107,7 +109,14 @@ class CdcStreamPipeline:
         """Start the streaming query. ``available_now=True`` processes the
         current backlog then stops (test/batch-catchup mode); False runs
         continuously with the default micro-batch trigger."""
-        stream = read_event_stream(self.spark, self.events_path, self.row_struct)
+        if self.row_struct is None:
+            from mysql_hbase_replicator_spark.sources.cdc_events import (
+                read_event_stream_json,
+            )
+
+            stream = read_event_stream_json(self.spark, self.events_path)
+        else:
+            stream = read_event_stream(self.spark, self.events_path, self.row_struct)
         writer = (
             stream.writeStream.queryName(query_name)
             .foreachBatch(self._apply_batch)
