@@ -44,8 +44,12 @@ def format_table(info) -> str:
     return "\n".join(lines)
 
 
-def process_line(catalog: MappingCatalog, line: str, out=print) -> bool:
-    """Dispatch one REPL line; returns False on EXIT/QUIT."""
+def process_line(catalog: MappingCatalog, line: str, out=print, spark=None, store=None) -> bool:
+    """Dispatch one REPL line; returns False on EXIT/QUIT.
+
+    ``spark`` + ``store`` (a ParquetKeyedStore) enable MAP/UNMAP — the
+    Hbase2CataLog.mappingTableToSpark analog: MAP registers the replicated
+    table under its declared sparkTableName for SQL."""
     tokens = line.strip().split(None, 1)
     if not tokens:
         return True
@@ -78,7 +82,24 @@ def process_line(catalog: MappingCatalog, line: str, out=print) -> bool:
             out(f"{n} deleted" if catalog.delete(n) else f"No table named {n} found")
         return True
     if cmd in ("MAP", "UNMAP"):
-        out(f"{cmd} requires a SparkSession: use MappingCatalog.map_to_spark()/unmap_from_spark()")
+        if spark is None:
+            out(f"{cmd} requires a SparkSession: use MappingCatalog.map_to_spark()/unmap_from_spark()")
+            return True
+        for n in rest.split():
+            info = catalog.get(n)
+            if info is None:
+                out(f"No table named {n} found")
+                continue
+            if cmd == "UNMAP":
+                catalog.unmap_from_spark(spark, n)
+                out(f"{n} unmapped")
+                continue
+            df = store.read(spark, info.hbaseTableName or info.full_name) if store else None
+            if df is None:
+                out(f"no replicated data for {n}")
+                continue
+            df.createOrReplaceTempView(info.sparkTableName)
+            out(f"{n} mapped to Spark as {info.sparkTableName}")
         return True
     out(f"{line.strip()} is not supported")
     return True

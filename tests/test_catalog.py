@@ -102,3 +102,26 @@ def test_cli_dispatch(tmp_path):
     process_line(cat, "bogus", out=out.append)
     assert "not supported" in out[0]
     assert not process_line(cat, "EXIT", out=out.append)
+
+
+def test_cli_map_unmap_end_to_end(spark, tmp_path, student_struct, student_mapping):
+    """§2.10 MAP/UNMAP: replicate → ADD mapping → MAP → SQL on the declared
+    sparkTableName → UNMAP (Mysql2HbaseCliDriver.scala:81-99 analog)."""
+    from mysql_hbase_replicator_spark.catalog.cli import process_line
+    from mysql_hbase_replicator_spark.catalog.meta import MappingCatalog
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+    from mysql_hbase_replicator_spark.sources.jdbc import snapshot_to_store
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    snap = spark.createDataFrame([(1, 1, 10, "ann", "a")], student_struct)
+    snapshot_to_store(spark, snap, store, student_mapping)
+
+    catalog = MappingCatalog(str(tmp_path / "cat"))
+    catalog.add(student_mapping)
+    outputs = []
+    process_line(catalog, "MAP mixfs.student", out=outputs.append, spark=spark, store=store)
+    assert any("mapped to Spark as student2" in o for o in outputs)
+    assert spark.sql("SELECT score FROM student2").collect()[0][0] == 10
+
+    process_line(catalog, "UNMAP mixfs.student", out=outputs.append, spark=spark, store=store)
+    assert not spark.catalog.tableExists("student2")
