@@ -308,3 +308,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), "vec_a", "vec_b")
         .limit(20)
     )
+
+
+@query(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE sh AS (
+        SELECT DISTINCT doc_id, u.shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+        WHERE LEN(t) >= 3
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    strong AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+        WHERE CAST(i.n_common AS DOUBLE)
+              / CAST(ca.n + cb.n - i.n_common AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM strong
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM strong
+    ),
+    lab(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node)
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM comp GROUP BY cluster_id) s USING (cluster_id)
+    """,
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER extraction: near-dup pairs (exact 3-shingle Jaccard
+    ≥ 0.5) as an undirected graph; each doc labeled with the minimum doc_id
+    reachable from it (its connected component) plus the component size —
+    the keeper-selection step of a dedup pipeline (cluster_id IS the keeper).
+
+    Distributed min-label propagation: per iteration, every node takes the
+    min of its own label and its neighbors' labels — one equi-join + groupBy
+    per round, converging in O(component diameter) rounds (near-dup clusters
+    are shallow; capped at 20 with an early-exit count). The oracle is the
+    equivalent recursive-CTE label closure in DuckDB. At 100 TB this is the
+    standard alternating large/small-star shape: no driver-side graph, edges
+    shuffled on node id only.
+    """
+    strong = _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
+        "doc_a", "doc_b"
+    )
+    edges = (
+        strong.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            strong.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).persist()
+
+    for _ in range(20):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
