@@ -158,3 +158,56 @@ def scalar_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.k").alias("k_value"),
         F.col("p.k").isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "agg_variance_corr_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+           ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 10) AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_variance_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance and Pearson correlation from exact decimal moment sums
+    (§2.5 statistical aggregates). Built-in var_samp/corr use streaming
+    (Welford-style) updates whose float results depend on shuffle order and
+    differ between engines; moment sums in DECIMAL are order-free and exact,
+    and both engines then evaluate the IDENTICAL closed-form double
+    expression — so the driver's value hash is stable. Same single-shuffle
+    map-side-combine shape as any sum-based aggregate at 100 TB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(25,6)")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).cast("double").alias("sx"),
+        F.sum(dec(q * q)).cast("double").alias("sxx"),
+        F.sum(dec(p)).cast("double").alias("sy"),
+        F.sum(dec(p * p)).cast("double").alias("syy"),
+        F.sum(dec(q * p)).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            10,
+        ).alias("corr_qty_price"),
+    )
