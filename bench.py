@@ -1,17 +1,23 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "cdc": {"events": N, "sec": t, "events_per_sec": r}}
 
 Each query executes to completion through the noop sink (full computation,
-no driver-side result materialization), timed individually.
+no driver-side result materialization), timed individually. The "cdc" block
+measures the replication kernel itself — events/sec through
+apply_cdc_batch including the keyed-store merge write, the number to set
+against the reference's one-HBase-RPC-per-row apply loop.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -81,6 +87,8 @@ def main() -> None:
             spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
+    cdc = bench_cdc_throughput(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -90,9 +98,65 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cdc": cdc,
             }
         )
     )
+
+
+def bench_cdc_throughput(spark, n_events: int = 200_000) -> dict:
+    """Apply one synthetic micro-batch (60% insert / 20% update / 20% delete
+    over a 10k-key space, built entirely JVM-side from spark.range) through
+    the full kernel — validation, last-image collapse, bucketed merge write —
+    and report events/sec."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
+    from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+
+    mapping = HbaseTableInfo(
+        dbName="db", dbTableName="t", hbaseTableName="db:t", hbaseNameSpace="db",
+        sparkTableName="t", bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("sn", "int(11)", "sn", "IntegerType", True),
+            HbaseCollInfo("id", "int(11)", "id", "IntegerType", True),
+            HbaseCollInfo("score", "int(11)", "score", "IntegerType", False),
+            HbaseCollInfo("name", "varchar(10)", "name", "StringType", False),
+            HbaseCollInfo("rem", "varchar(2)", "rem", "StringType", False),
+        ],
+    )
+    mod = F.col("id") % 10
+    img = F.struct(
+        (F.col("id") % 100).cast("int").alias("sn"),
+        ((F.col("id") / 100).cast("long") % 100).cast("int").alias("id"),
+        (F.col("id") % 1000).cast("int").alias("score"),
+        F.concat(F.lit("n"), (F.col("id") % 97).cast("string")).alias("name"),
+        F.lit("r").alias("rem"),
+    )
+    events = spark.range(n_events).select(
+        (F.col("id") + 1).alias("position"),
+        F.when(mod < 6, "insert").when(mod < 8, "update").otherwise("delete").alias("op"),
+        F.lit("db").alias("db"),
+        F.lit("t").alias("table"),
+        F.when(mod >= 6, img).alias("before"),
+        F.when(mod < 8, img).alias("after"),
+        F.lit(None).cast("array<string>").alias("included_before"),
+        F.lit(None).cast("array<string>").alias("included_after"),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc-bench-")
+    try:
+        store = ParquetKeyedStore(tmp, n_buckets=32)
+        t0 = time.time()
+        apply_cdc_batch(spark, events, store, {"db.t": mapping})
+        dt = time.time() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return {
+        "events": n_events,
+        "sec": round(dt, 3),
+        "events_per_sec": int(n_events / dt),
+    }
 
 
 if __name__ == "__main__":

@@ -139,29 +139,32 @@ def apply_cdc_batch(
     result = CdcBatchResult()
     events = events.persist()
     try:
-        # --- checkpoint + counters over the WHOLE batch (incl. unmapped) ---
-        agg = events.agg(F.max("position").alias("maxpos")).collect()[0]
-        result.checkpoint_position = agg["maxpos"]
+        # --- checkpoint + counters + table discovery in ONE driver action ---
+        # (the reference pays a checkpoint write per event,
+        # HbaseApplier.scala:155-176; we pay one tiny groupBy per batch)
+        stats = (
+            events.withColumn("_full_name", _full_name())
+            .groupBy("_full_name", "op")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("position").alias("maxpos"))
+            .collect()
+        )
+        result.checkpoint_position = max(
+            (r["maxpos"] for r in stats), default=None
+        )
+        mapped = set(mappings)
+        tables_in_batch = set()
+        for r in stats:
+            if r["op"] not in ROW_OPS:
+                continue
+            if r["_full_name"] in mapped:
+                result.applied_counts[f"{r['_full_name']}.{r['op']}"] = r["n"]
+                tables_in_batch.add(r["_full_name"])
+            else:
+                result.skipped_unmapped += r["n"]
 
         row_events = events.filter(F.col("op").isin(*ROW_OPS)).withColumn(
             "_full_name", _full_name()
         )
-        counts = (
-            row_events.groupBy("_full_name", "op").agg(F.count(F.lit(1)).alias("n")).collect()
-        )
-        mapped = set(mappings)
-        for r in counts:
-            if r["_full_name"] in mapped:
-                result.applied_counts[f"{r['_full_name']}.{r['op']}"] = r["n"]
-            else:
-                result.skipped_unmapped += r["n"]
-
-        # P1: mapped-table filter; the rest of the kernel never sees the others.
-        tables_in_batch = [
-            r[0]
-            for r in row_events.select("_full_name").distinct().collect()
-            if r[0] in mapped
-        ]
 
         for full_name in sorted(tables_in_batch):
             info = mappings[full_name]
