@@ -211,3 +211,56 @@ def agg_variance_corr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).alias("corr_qty_price"),
     )
+
+
+@query(
+    "window_range_interval",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                OVER (PARTITION BY user_id
+                      ORDER BY CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_1h_value
+    FROM events
+    """,
+)
+def window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (§2.5): per user, the trailing-1-hour sum of
+    value at each event — RANGE frames over epoch seconds, the event-time
+    rolling aggregate built-ins give for free. The frame sum is decimal-exact
+    so equal-timestamp tie sets (which both engines must include wholesale in
+    a RANGE frame) cannot produce order-dependent float drift."""
+    from pyspark.sql.window import Window
+
+    from mysql_hbase_replicator_spark.sources.tables import load_table as _lt
+
+    e = _lt(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(25,6)")).over(w).cast("double").alias(
+            "trailing_1h_value"
+        ),
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r1.r_name AS region_a, r2.r_name AS region_b
+    FROM region r1 CROSS JOIN region r2
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product (§2.4 completeness) — only ever legitimate between
+    tiny dimension tables; Spark plans it as a broadcast nested loop."""
+    r = load_table(spark, sf_dir, "region")
+    return r.select(F.col("r_name").alias("region_a")).crossJoin(
+        r.select(F.col("r_name").alias("region_b"))
+    )
