@@ -264,3 +264,90 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.select(F.col("r_name").alias("region_a")).crossJoin(
         r.select(F.col("r_name").alias("region_b"))
     )
+
+
+@query(
+    "agg_collect_list_set",
+    oracle="""
+    SELECT n.n_name,
+           ARRAY_TO_STRING(LIST(s.s_name ORDER BY s.s_name), '|') AS supplier_names,
+           ARRAY_TO_STRING(LIST(DISTINCT s.s_nationkey ORDER BY s_nationkey), '|') AS nation_keys
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_collect_list_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (§2.5): collect_list/collect_set per group.
+    collect_* order is shuffle-dependent by contract, so both are wrapped in
+    sort_array — the only deterministic way to expose them — matching the
+    oracle's ORDER BY inside LIST()."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("s_name")), "|").alias(
+                "supplier_names"
+            ),
+            F.array_join(
+                F.sort_array(F.collect_set("s_nationkey")).cast("array<string>"), "|"
+            ).alias("nation_keys"),
+        )
+    )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b
+    FROM (SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer WHERE c_custkey < 50) a
+    JOIN (SELECT c_custkey, NULLIF(c_nationkey, 3) AS k FROM customer WHERE c_custkey < 50) b
+      ON a.k IS NOT DISTINCT FROM b.k AND a.c_custkey < b.c_custkey
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (§2.4): <=> treats NULL as a joinable value
+    (NULL<=>NULL is true), unlike = which drops null keys entirely —
+    the semantics needed when the join key legitimately contains nulls."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 50)
+    side = c.select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("k")
+    )
+    a = side.select(F.col("c_custkey").alias("cust_a"), F.col("k").alias("ka"))
+    b = side.select(F.col("c_custkey").alias("cust_b"), F.col("k").alias("kb"))
+    return a.join(
+        b, F.col("ka").eqNullSafe(F.col("kb")) & (F.col("cust_a") < F.col("cust_b"))
+    ).select("cust_a", "cust_b")
+
+
+Q5_SQL = """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(25,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_local_supplier_volume", oracle=Q5_SQL)
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape through the SQL-TEXT entry point: the engine registers
+    the replicated tables as views (the post-`map` surface,
+    Hbase2CataLog.scala:19-23) and the identical ANSI string runs on both
+    Spark and the oracle. Six-table join: Catalyst broadcasts the three dims,
+    the fact-fact joins shuffle once each, AQE re-plans from runtime sizes."""
+    from mysql_hbase_replicator_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(Q5_SQL)
