@@ -60,3 +60,56 @@ def sessionized_user_activity(
             "n_events",
         )
     )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame, purchases: DataFrame, attribution_window: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase joins
+    clicks by the same user within the preceding attribution window. Both
+    sides carry watermarks, so the join state store evicts clicks older than
+    click-watermark + window and purchases past their watermark — bounded
+    state on unbounded streams, the property that makes stream-stream joins
+    feasible at scale."""
+    c = clicks.select(
+        F.col("user_id"), F.col("ts").alias("click_ts")
+    ).withWatermark("click_ts", "2 hours")
+    p = purchases.select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts"), F.col("value")
+    ).withWatermark("purchase_ts", "2 hours")
+    return c.join(
+        p,
+        (c.user_id == p.user_id)
+        & (p.purchase_ts >= c.click_ts)
+        & (p.purchase_ts <= c.click_ts + F.expr(f"INTERVAL {attribution_window}")),
+        "inner",
+    ).select(c.user_id, "click_ts", "purchase_ts", "value")
+
+
+def stateful_user_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (§2.9 streaming):
+    a per-user running event count that survives micro-batch boundaries and
+    restarts through the checkpointed state store — the PySpark-native
+    replacement for hand-rolled operator state (the reference's schema cache
+    / counters, MySQLExtractor.scala:41, HbaseApplier.scala:110)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        seen = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        state.update((seen,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events_total": [seen]})
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events_total long",
+            "n long",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -108,3 +108,89 @@ def test_streaming_and_batch_windows_agree(spark, tmp_path):
         if r["w"]["end"] <= __import__("datetime").datetime(2024, 1, 1, 22, 30)
     }
     assert out == expected
+
+
+FULL_SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _write_full(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for ts, uid, et, v in rows:
+            f.write(
+                json.dumps({"ts": ts, "user_id": uid, "event_type": et, "value": v}) + "\n"
+            )
+
+
+def test_stream_stream_join_attribution(spark, tmp_path):
+    """Purchases join same-user clicks within the trailing 1h window; a
+    purchase with no in-window click emits nothing."""
+    from mysql_hbase_replicator_spark.streaming.analytics import (
+        click_purchase_attribution,
+    )
+
+    src = str(tmp_path / "ev")
+    _write_full(src, "b1.json", [
+        ("2024-01-01T10:00:00", 1, "click", 0.0),
+        ("2024-01-01T10:30:00", 1, "purchase", 9.99),   # attributed to 10:00 click
+        ("2024-01-01T09:00:00", 2, "click", 0.0),
+        ("2024-01-01T11:30:00", 2, "purchase", 5.0),    # 2.5h later — out of window
+        ("2024-01-01T23:00:00", 9, "click", 0.0),       # advances both watermarks
+    ])
+    stream = spark.readStream.schema(FULL_SCHEMA).json(src)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    rows = []
+    q = (
+        click_purchase_attribution(clicks, purchases)
+        .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.purchase_ts.isoformat(), r.value) for r in rows}
+    assert got == {(1, "2024-01-01T10:30:00", 9.99)}
+
+
+def test_stateful_counts_survive_restart(spark, tmp_path):
+    """applyInPandasWithState: per-user totals accumulate across separate
+    availableNow runs via the checkpointed state store."""
+    from mysql_hbase_replicator_spark.streaming.analytics import stateful_user_counts
+
+    src, ckpt = str(tmp_path / "ev2"), str(tmp_path / "ckpt2")
+
+    def run():
+        rows = []
+        stream = spark.readStream.schema(FULL_SCHEMA).json(src)
+        q = (
+            stateful_user_counts(stream)
+            .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {r.user_id: r.n_events_total for r in rows}
+
+    _write_full(src, "b1.json", [
+        ("2024-01-01T10:00:00", 1, "click", 0.0),
+        ("2024-01-01T10:01:00", 1, "click", 0.0),
+        ("2024-01-01T10:02:00", 2, "view", 0.0),
+    ])
+    assert run() == {1: 2, 2: 1}
+
+    _write_full(src, "b2.json", [
+        ("2024-01-01T12:00:00", 1, "click", 0.0),
+        ("2024-01-01T12:01:00", 3, "view", 0.0),
+    ])
+    out2 = run()  # state restored: user 1 continues from 2
+    assert out2[1] == 3 and out2[3] == 1
