@@ -131,3 +131,30 @@ def test_ann_ivf_rank_contract(spark):
         assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
         cosines = [c for _, c in rows]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """Banded candidate generation + popcount rerank must find exactly the
+    brute-force pairs within the hamming threshold, for every pair whose
+    distance ≤ 3 (pigeonhole-guaranteed recall band)."""
+    from mysql_hbase_replicator_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        dedup_simhash,
+        dedup_simhash_pairs,
+    )
+
+    sigs = {r.doc_id: r.simhash for r in dedup_simhash(spark, SF).collect()}
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    ids = sorted(sigs)
+    brute = {
+        (a, b): ham(sigs[a], sigs[b])
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if ham(sigs[a], sigs[b]) <= SIMHASH_MAX_HAMMING
+    }
+    got = {(r.doc_a, r.doc_b): r.hamming for r in dedup_simhash_pairs(spark, SF).collect()}
+    # distances agree wherever reported
+    for k, v in got.items():
+        assert brute[k] == v
+    # guaranteed-recall band: every pair at hamming ≤ 3 is present
+    assert {k for k, v in brute.items() if v <= 3} <= set(got)
