@@ -53,7 +53,7 @@ IVF_NPROBE = 4
         FROM v q JOIN v c ON q.vec_id <> c.vec_id
         WHERE q.vec_id < {N_QUERIES}
     )
-    SELECT query_id, neighbor_id, cosine, rn AS rank
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                        ORDER BY cosine DESC, neighbor_id) AS rn
           FROM sims)

@@ -468,7 +468,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "window_row_number_topn",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
     FROM (
         SELECT o_custkey, o_orderkey, o_totalprice,
                ROW_NUMBER() OVER (PARTITION BY o_custkey
@@ -492,8 +492,8 @@ def window_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_rank_dense",
     oracle="""
     SELECT s_nationkey, s_suppkey, s_acctbal,
-           RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank,
-           DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_dense_rank
+           CAST(RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS INT) AS bal_dense_rank
     FROM supplier
     """,
 )
@@ -650,7 +650,7 @@ def setop_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(c_name) AS name_upper,
            SUBSTRING(c_name, 10, 9) AS name_digits,
            CONCAT_WS('|', c_mktsegment, c_name) AS seg_name,
-           LENGTH(c_name) AS name_len
+           CAST(LENGTH(c_name) AS INT) AS name_len
     FROM customer
     """,
 )

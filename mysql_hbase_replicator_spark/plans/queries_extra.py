@@ -34,11 +34,11 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_funcs",
     oracle="""
     SELECT vec_id,
-           LEN(embedding) AS dim,
+           CAST(LEN(embedding) AS INT) AS dim,
            embedding[1] AS first_val,
            LIST_MAX(embedding) AS max_val,
            LIST_MIN(embedding) AS min_val,
-           LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_positive
+           CAST(LEN(LIST_FILTER(embedding, x -> x > 0)) AS INT) AS n_positive
     FROM embeddings
     """,
 )
@@ -85,7 +85,7 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile_percent",
     oracle="""
     SELECT o_orderkey, o_orderstatus,
-           NTILE(4) OVER w AS quartile,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
            PERCENT_RANK() OVER w AS pct_rank,
            CUME_DIST() OVER w AS cume
     FROM orders

@@ -20,7 +20,7 @@ from mysql_hbase_replicator_spark.sources.tables import load_table
     oracle="""
     SELECT doc_id,
            CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens,
-           LENGTH(text) AS n_chars_actual,
+           CAST(LENGTH(text) AS INT) AS n_chars_actual,
            CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
              / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS avg_token_len
     FROM documents
