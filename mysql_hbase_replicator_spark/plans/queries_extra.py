@@ -351,3 +351,35 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(Q5_SQL)
+
+
+@query(
+    "subquery_above_customer_avg",
+    oracle="""
+    WITH avgs AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+                 / COUNT(o_totalprice) AS avg_price
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.avg_price
+    """,
+)
+def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (each order vs its own customer's average
+    price), decorrelated into the aggregate-then-rejoin plan Catalyst itself
+    produces for the correlated SQL form — one shuffle on the correlation
+    key. The average is a decimal-exact sum over a double divide, so the
+    comparison boundary is identical in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    avgs = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(25,6)")).cast("double")
+         / F.count("o_totalprice")).alias("avg_price")
+    )
+    return (
+        o.join(avgs, o.o_custkey == avgs.k)
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
