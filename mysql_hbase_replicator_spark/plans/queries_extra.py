@@ -383,3 +383,51 @@ def subquery_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > F.col("avg_price"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O'
+                    THEN CAST(l_extendedprice AS DECIMAL(25,6)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+                    THEN CAST(l_extendedprice AS DECIMAL(25,6)) END) AS DOUBLE) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (§2.5): revenue by return flag spread across line-status columns.
+    The value list is given explicitly, so the plan is a single pass with
+    conditional aggregates — no extra job to discover pivot values (which at
+    100 TB would be a full scan before the real one). Oracle uses the
+    equivalent portable CASE form."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double"))
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+    SELECT s_suppkey, 'acctbal' AS metric, s_acctbal AS value
+    FROM supplier
+    UNION ALL
+    SELECT s_suppkey, 'nationkey' AS metric, CAST(s_nationkey AS DOUBLE) AS value
+    FROM supplier
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (§2.5): wide supplier columns to (key, metric, value)
+    long form — the map-only reshape feeding per-metric pipelines. The
+    oracle is the portable UNION ALL form."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.col("s_acctbal").alias("acctbal"),
+        F.col("s_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "value")
