@@ -431,3 +431,50 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").alias("acctbal"),
         F.col("s_nationkey").cast("double").alias("nationkey"),
     ).unpivot("s_suppkey", ["acctbal", "nationkey"], "metric", "value")
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT c_custkey, NULLIF(c_nationkey, 5) AS k
+    FROM customer
+    WHERE c_custkey < 200
+    ORDER BY k DESC NULLS FIRST, c_custkey
+    LIMIT 100
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null placement in sorts (§2.5): DESC NULLS FIRST with a
+    total-order tiebreak. Spark's default for DESC is nulls LAST, so the
+    explicit desc_nulls_first is semantics, not decoration."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    return (
+        c.select("c_custkey", F.nullif(F.col("c_nationkey"), F.lit(5)).alias("k"))
+        .orderBy(F.col("k").desc_nulls_first(), "c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "scalar_regexp_funcs",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_type, '([A-Z]+)$', 1) AS last_word,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           REGEXP_MATCHES(p_type, 'BRUSHED|POLISHED') AS is_finished,
+           CAST(LEN(REGEXP_EXTRACT_ALL(p_name, '[a-z]+')) AS INT) AS n_words
+    FROM part
+    """,
+)
+def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar representatives (§2.6): extract / global replace / match
+    / count-all. Patterns stay inside the Java-regex ∩ RE2 common subset so
+    both engines compile them identically; all JVM-side, codegen'd."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"([A-Z]+)$", 1).alias("last_word"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
+        F.regexp_count("p_name", F.lit("[a-z]+")).alias("n_words"),
+    )
