@@ -149,6 +149,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def band_hashes(hashed: DataFrame) -> DataFrame:
+    """(doc_id, h0=hashed shingle) → stacked LSH band table
+    (doc_id, band_idx, band_hash): 32 minhashes folded into N_BANDS band
+    hashes, exploded one row per band. Shared by the batch near-dup query
+    and the incremental (streaming) deduper — the band table IS the dedup
+    index."""
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
+            for i in range(N_MINHASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"band{b}")
+            for b in range(N_BANDS)
+        ],
+    )
+    return bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+
+
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, h0): distinct shingles hashed once to longs."""
+    return docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h0"))
+
+
 @query("dedup_minhash_lsh")  # no SQL oracle: xxhash64 minhashing isn't expressible in DuckDB
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
@@ -170,32 +211,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("shingle").alias("h0"))
         .persist()
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
-            for i in range(N_MINHASHES)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
-    stacked = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("bh"),
-    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+    stacked = band_hashes(hashed)
     left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
     right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
     candidates = (

@@ -158,3 +158,36 @@ def test_simhash_pairs_match_bruteforce(spark):
         assert brute[k] == v
     # guaranteed-recall band: every pair at hamming ≤ 3 is present
     assert {k for k, v in brute.items() if v <= 3} <= set(got)
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """Online dedup: batch 2's near-copy of an admitted batch-1 doc is
+    rejected; fresh content passes; within-batch duplicate keeps lowest id."""
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while seven wizards brew strong coffee under a pale winter moon today"
+    )
+    near = base.replace("today", "tonight")  # high shingle overlap
+    fresh = (
+        "completely different subject matter entirely about spark shuffles "
+        "parquet column pruning adaptive query execution and broadcast joins"
+    )
+    dd = IncrementalDeduper(spark, str(tmp_path / "lsh_index"))
+
+    b1 = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string"  # 2 = exact in-batch dup
+    )
+    kept1 = sorted(r.doc_id for r in dd.process_batch(b1).collect())
+    assert kept1 == [1]
+
+    b2 = spark.createDataFrame(
+        [(10, near), (11, fresh)], "doc_id long, text string"
+    )
+    kept2 = sorted(r.doc_id for r in dd.process_batch(b2).collect())
+    assert kept2 == [11]  # near-dup of admitted doc 1 rejected
+
+    # replaying batch 2 admits nothing new (fresh doc now indexed)
+    kept3 = sorted(r.doc_id for r in dd.process_batch(b2).collect())
+    assert kept3 == []
