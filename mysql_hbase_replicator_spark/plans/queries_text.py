@@ -143,3 +143,61 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(F.col("text"), F.lit(BPE_RX)).alias("n_subword_tokens"),
         F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
     )
+
+
+@query(
+    "pipeline_training_prep",
+    oracle="""
+    WITH filtered AS (
+        SELECT doc_id, text, lang,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_tokens
+        FROM documents
+        WHERE LENGTH(text) >= 50
+          AND LEN(STRING_SPLIT(text, ' ')) >= 10
+          AND lang IN ('en', 'es', 'de', 'fr')
+    ),
+    deduped AS (
+        SELECT MIN(doc_id) AS doc_id, MIN(lang) AS lang,
+               MIN(n_tokens) AS n_tokens
+        FROM filtered
+        GROUP BY text
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM deduped
+    GROUP BY lang
+    """,
+)
+def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data-prep pipeline over `documents` — the shape
+    this engine exists for: quality gate (length + token floor) → language
+    allow-list → exact dedup keeping the lowest doc_id → per-language corpus
+    stats. Each stage is a map or a single keyed shuffle; the whole chain is
+    one Catalyst plan, so filters fuse into the scan and the dedup groupBy is
+    the only wide stage. The near-dup stage would slot in between via the
+    MinHash band index (operators/dedup_stream.py) — excluded here so the
+    composition stays SQL-expressible for the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    filtered = (
+        d.filter(
+            (F.length("text") >= 50)
+            & (F.col("lang").isin("en", "es", "de", "fr"))
+        )
+        .withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens") >= 10)
+    )
+    # MIN, not first/any_value: duplicate texts can carry different lang
+    # labels at larger SFs, and first() is shuffle-order-dependent
+    deduped = filtered.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
