@@ -46,6 +46,7 @@ HEADLINE = [
     "join_skew_salted",
     "udtf_apply_in_pandas_gaps",
     "agg_percentiles",
+    "pipeline_training_prep",
 ]
 
 
