@@ -125,8 +125,12 @@ def extract_features(df: DataFrame) -> DataFrame:
             def feats(b) -> list[float] | None:
                 if b is None:
                     return None
-                h = hashlib.sha512(bytes(b)).digest()
-                arr = np.frombuffer(h[: FEATURE_DIM * 4], dtype=np.uint32).astype(np.float64)
+                # two sha256 digests (64 bytes) → 16 little-endian uint32 →
+                # [-1, 1] float32. sha256 (not sha512) so the oracle can
+                # recompute the identical features in SQL.
+                raw = bytes(b)
+                h = hashlib.sha256(raw).digest() + hashlib.sha256(raw + b"x").digest()
+                arr = np.frombuffer(h[: FEATURE_DIM * 4], dtype="<u4").astype(np.float64)
                 return (arr / np.iinfo(np.uint32).max * 2 - 1).astype(np.float32).tolist()
 
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": pdf["payload"].map(feats)})

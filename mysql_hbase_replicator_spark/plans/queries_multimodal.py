@@ -62,18 +62,48 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_feature_extract")  # hash-derived vectors: not SQL-expressible
+@query(
+    "multimodal_feature_extract",
+    oracle="""
+    WITH h AS (
+        SELECT doc_id AS media_id,
+               SHA256(text) || SHA256(text || 'x') AS hx
+        FROM documents
+    ),
+    v AS (
+        SELECT media_id, i,
+               CAST(
+                 CAST(('0x' || SUBSTR(hx, i*8 + 7, 2) || SUBSTR(hx, i*8 + 5, 2)
+                             || SUBSTR(hx, i*8 + 3, 2) || SUBSTR(hx, i*8 + 1, 2))
+                      AS BIGINT) / 4294967295.0 * 2 - 1
+                 AS FLOAT) AS val
+        FROM h, UNNEST(RANGE(0, 16)) AS t(i)
+    )
+    SELECT media_id, CAST(COUNT(*) AS INT) AS feature_dim,
+           ROUND(LIST_SUM(LIST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)
+                               ORDER BY i)), 6) AS feature_norm_sq
+    FROM v
+    GROUP BY media_id
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Payload → fixed-dim float feature vector (the embedding-extraction
     shape a model forward pass would have), via Arrow-batched mapInPandas.
-    Deterministic stand-in features; rows-only driver check, shape + range +
-    determinism asserted in tests/test_multimodal.py."""
+    The stand-in features are sha256-derived little-endian uint32s scaled to
+    [-1,1] float32 — chosen precisely so the ORACLE can recompute them in
+    SQL (hex-slice → int → identical float math) and hash-check dim + norm,
+    making even the Python-side feature plumbing value-verified."""
     media = media_from_documents(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     return feats.select(
         "media_id",
         F.size("feature").alias("feature_dim"),
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x * x), 6).alias(
-            "feature_norm_sq"
-        ),
+        F.round(
+            F.aggregate(
+                "feature",
+                F.lit(0.0),
+                lambda a, x: a + x.cast("double") * x.cast("double"),
+            ),
+            6,
+        ).alias("feature_norm_sq"),
     )
