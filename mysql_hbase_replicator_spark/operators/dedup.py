@@ -25,6 +25,38 @@ N_MINHASHES = 32
 N_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high prob
 ROWS_PER_BAND = N_MINHASHES // N_BANDS
 
+# Universal-hash family over the Mersenne prime 2^31-1: h_i = (a_i*h0 + b_i)
+# mod P, with h0 = the first 60 bits of md5(shingle). Everything fits a
+# signed 64-bit product (31-bit × 31-bit), so BOTH Spark (ANSI mode, no
+# overflow) and DuckDB evaluate it exactly — which is what makes the whole
+# MinHash+LSH pipeline oracle-checkable in SQL, unlike xxhash64. Constants
+# come from a fixed LCG so they are reproducible everywhere.
+MINHASH_P = 2_147_483_647
+
+
+def _hash_constants(n: int) -> list[tuple[int, int]]:
+    x, out = 0x9E3779B97F4A7C15, []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = x % (MINHASH_P - 1) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = x % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_AB = _hash_constants(N_MINHASHES)
+
+
+def shingle_h0(shingle: Column) -> Column:
+    """md5(shingle) → first 15 hex chars → 60-bit bigint. The 60-bit value
+    keys the exact-intersection joins (collision-free in practice); minhash
+    reduces it mod P first. SQL twin:
+    CAST(('0x' || SUBSTR(MD5(s), 1, 15)) AS BIGINT)."""
+    return F.conv(
+        F.substring(F.md5(F.encode(shingle, "UTF-8")), 1, 15), 16, 10
+    ).cast("long")
+
 
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text (empty array
@@ -151,25 +183,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def band_hashes(hashed: DataFrame) -> DataFrame:
     """(doc_id, h0=hashed shingle) → stacked LSH band table
-    (doc_id, band_idx, band_hash): 32 minhashes folded into N_BANDS band
-    hashes, exploded one row per band. Shared by the batch near-dup query
-    and the incremental (streaming) deduper — the band table IS the dedup
-    index."""
+    (doc_id, band_idx, band_hash): 32 universal-hash minhashes folded into
+    N_BANDS band hashes (Horner fold mod P), exploded one row per band.
+    Shared by the batch near-dup query, the incremental (streaming) deduper,
+    and — term for term — the DuckDB oracle SQL. Band-hash collisions across
+    genuinely different signatures (~birthday over 2^31) only add candidate
+    pairs, which the exact-Jaccard re-rank then discards."""
+    hm = F.col("h0") % MINHASH_P
     sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("h0"))).alias(f"h{i}")
-            for i in range(N_MINHASHES)
+            F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
         ]
     )
-    bands = sig.select(
-        "doc_id",
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col(f"h{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-            ).alias(f"band{b}")
-            for b in range(N_BANDS)
-        ],
-    )
+    band_cols = []
+    for b in range(N_BANDS):
+        acc: Column = F.lit(7)
+        for r in range(ROWS_PER_BAND):
+            acc = (acc * 131 + F.col(f"h{b * ROWS_PER_BAND + r}")) % MINHASH_P
+        band_cols.append(acc.alias(f"band{b}"))
+    bands = sig.select("doc_id", *band_cols)
     return bands.select(
         "doc_id",
         F.explode(
@@ -187,28 +220,93 @@ def hashed_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → (doc_id, h0): distinct shingles hashed once to longs."""
     return docs.select(
         "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h0"))
+    ).select("doc_id", shingle_h0(F.col("shingle")).alias("h0"))
 
 
-@query("dedup_minhash_lsh")  # no SQL oracle: xxhash64 minhashing isn't expressible in DuckDB
+def _minhash_oracle_sql() -> str:
+    """The ENTIRE MinHash+LSH pipeline as DuckDB SQL — possible because every
+    hash is md5-or-modular-arithmetic (see MINHASH_AB), so the oracle
+    replicates Spark term for term: shingle → h0 → 32 minhash mins → Horner
+    band fold → band-join candidates → exact h0-intersection Jaccard."""
+    P = MINHASH_P
+    mins = ",\n               ".join(
+        f"MIN(({a} * (h0 % {P}) + {b}) % {P}) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_rows = []
+    for b in range(N_BANDS):
+        acc = "7"
+        for r in range(ROWS_PER_BAND):
+            acc = f"(({acc}) * 131 + m{b * ROWS_PER_BAND + r}) % {P}"
+        band_rows.append(
+            f"SELECT doc_id, {b} AS band_idx, {acc} AS band_hash FROM sig"
+        )
+    bands_union = "\n        UNION ALL\n        ".join(band_rows)
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, u.shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+        WHERE LEN(t) >= 3
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(MD5(shingle), 1, 15)) AS BIGINT) AS h0
+        FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    bands AS (
+        {bands_union}
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l
+        JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+                    AND l.doc_id < r.doc_id
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN hashed a ON a.doc_id = c.doc_a
+        JOIN hashed b ON b.doc_id = c.doc_b AND b.h0 = a.h0
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN counts ca ON i.doc_a = ca.doc_id
+    JOIN counts cb ON i.doc_b = cb.doc_id
+    WHERE CAST(i.n_common AS DOUBLE)
+          / CAST(ca.n + cb.n - i.n_common AS DOUBLE) >= 0.3
+    """
+
+
+@query("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates, verified with exact Jaccard.
 
-    shingle → 32 xxhash64 minhashes → 8 bands of 4 → band-hash equi-join for
-    candidates → exact Jaccard re-rank on candidates only. All deterministic
-    (seeded xxhash64), all JVM-side. The band join replaces the all-pairs
-    shingle join: cost is O(docs × bands), not O(co-shingled pairs²).
-    Verified in tests against the exact-Jaccard oracle at small SF.
+    shingle → md5-derived h0 → 32 universal-hash minhashes (mod 2^31-1) →
+    8 bands of 4 (Horner fold) → band-hash equi-join for candidates → exact
+    Jaccard re-rank on candidates only. All deterministic, all JVM-side. The
+    band join replaces the all-pairs shingle join: cost is O(docs × bands),
+    not O(co-shingled pairs²). Because every hash is md5/modular arithmetic
+    (not xxhash64), the FULL pipeline has a DuckDB oracle — the approximate
+    scale path is value-hash-checked, not just rows-counted.
 
-    Efficiency: each shingle string is hashed to a 64-bit key ONCE
-    (`h0 = xxhash64(shingle)`); the 32 minhash functions then hash the long,
-    and the re-rank intersection joins on the long key — one pass over the
-    strings, long-keyed shuffles everywhere else. The (doc, h0) frame is
-    persisted because the signature and the re-rank both consume it.
-    """
+    Efficiency: each shingle string is md5'd ONCE; the 32 minhash functions
+    are two integer ops each, and the re-rank intersection joins on the
+    60-bit h0 key — one pass over the strings, long-keyed shuffles
+    everywhere else."""
     hashed = (
         shingle_pairs(spark, sf_dir)
-        .select("doc_id", F.xxhash64("shingle").alias("h0"))
+        .select("doc_id", shingle_h0(F.col("shingle")).alias("h0"))
         .persist()
     )
     stacked = band_hashes(hashed)
