@@ -347,28 +347,61 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # no SQL oracle: xxhash64 bit arithmetic isn't expressible in DuckDB
+SIMHASH_BITS = 60  # md5-derived 60-bit token hashes (see shingle_h0)
+
+
+def _simhash_sql_core() -> str:
+    """Shared CTE chain: tokens → md5 60-bit hashes → per-bit ±1 votes →
+    simhash value. Bit b of h is (h // 2^b) % 2 — pure integer arithmetic,
+    identical in both engines."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h // {2**b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    build = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return f"""tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, CAST(('0x' || SUBSTR(MD5(token), 1, 15)) AS BIGINT) AS h
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY doc_id
+    ),
+    sim AS (
+        SELECT doc_id, CAST({build} AS BIGINT) AS simhash FROM votes
+    )"""
+
+
+@query("dedup_simhash", oracle=f"WITH {_simhash_sql_core()}\n    SELECT doc_id, simhash FROM sim")
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document from token hashes: per bit, sum +1/-1
-    weighted votes across tokens, bit = 1 when the vote is positive. A single
-    groupBy(doc_id) with 64 conditional-sum aggregates — fully codegen'd."""
+    """60-bit SimHash per document from md5-derived token hashes: per bit,
+    sum +1/-1 weighted votes across tokens, bit = 1 when the vote is
+    positive. A single groupBy(doc_id) with 60 conditional-sum aggregates —
+    fully codegen'd — and, because the token hash is md5-based, the whole
+    fingerprint is recomputed and value-checked by the DuckDB oracle."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
-    hashed = tok.select("doc_id", F.xxhash64(F.col("token")).alias("h"))
+    hashed = tok.select("doc_id", shingle_h0(F.col("token")).alias("h"))
     votes = hashed.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{bit}")
-            for bit in range(64)
+            for bit in range(SIMHASH_BITS)
         ]
     )
     simhash = votes.select(
         "doc_id",
         sum(
             [
-                F.when(F.col(f"v{bit}") > 0, F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63))).otherwise(0)
-                for bit in range(64)
+                F.when(F.col(f"v{bit}") > 0, F.lit(2**bit).cast("long")).otherwise(0)
+                for bit in range(SIMHASH_BITS)
             ],
             F.lit(0).cast("long"),
         ).alias("simhash"),
@@ -525,19 +558,42 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 
 
-SIMHASH_BANDS = 4  # 4 × 16-bit bands: any pair within hamming 3 shares ≥1 band
+SIMHASH_BANDS = 4  # 4 × 15-bit bands: any pair within hamming 3 shares ≥1 band
 SIMHASH_MAX_HAMMING = 8
 
 
-@query("dedup_simhash_pairs")  # xxhash64 bit votes aren't expressible in DuckDB
+def _simhash_pairs_oracle() -> str:
+    return f"""
+    WITH {_simhash_sql_core()},
+    bands AS (
+        SELECT doc_id, simhash, i AS band_idx,
+               (simhash // CAST(POWER(2, 15 * i) AS BIGINT)) % {2**15} AS band_val
+        FROM sim, UNNEST(RANGE(0, {SIMHASH_BANDS})) AS t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l
+        JOIN bands r ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+                    AND l.doc_id < r.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(BIT_COUNT(XOR(sa.simhash, sb.simhash)) AS INT) AS hamming
+    FROM cand c
+    JOIN sim sa ON sa.doc_id = c.doc_a
+    JOIN sim sb ON sb.doc_id = c.doc_b
+    WHERE BIT_COUNT(XOR(sa.simhash, sb.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup PAIRS: the signature table banded into 4×16-bit
+    """SimHash near-dup PAIRS: the signature table banded into 4×15-bit
     chunks; docs sharing any chunk become candidates (the pigeonhole
     guarantee: hamming ≤ 3 ⇒ some band equal; higher-distance pairs are
     recalled probabilistically); exact popcount(xor) ≤ 8 re-rank. Same
     equi-join shape as MinHash-LSH — no all-pairs product, so the candidate
-    join survives web-scale corpora. Verified against brute-force hamming
-    in tests."""
+    join survives web-scale corpora. md5-based hashing makes the whole chain
+    oracle-checkable; also verified against brute-force hamming in tests."""
     sig = dedup_simhash(spark, sf_dir)
     stacked = sig.select(
         "doc_id",
@@ -547,8 +603,8 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftrightunsigned("simhash", 16 * b)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned("simhash", 15 * b)
+                        .bitwiseAND(F.lit(0x7FFF))
                         .alias("band_val"),
                     )
                     for b in range(SIMHASH_BANDS)

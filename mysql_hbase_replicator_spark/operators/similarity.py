@@ -135,7 +135,69 @@ def lsh_buckets(emb: Column) -> Column:
     )
 
 
-@query("similarity_ann_lsh")  # no SQL oracle: approximate by construction; recall tested in pytest
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """The full hyperplane-LSH ANN pipeline as DuckDB SQL. The hyperplane
+    components are plain double literals (repr round-trips exactly), the
+    dot-product fold order matches LIST_SUM, so bucket signs, candidate
+    sets, and cosines are bit-identical to the Spark plan."""
+    def plane_lit(plane):
+        return "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+
+    def dot_sql(plane_name):
+        return (f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_name})[i]))")
+
+    bucket_rows = []
+    for t in range(LSH_TABLES):
+        planes = _hyperplanes(t)
+        bits = " + ".join(
+            f"CASE WHEN {dot_sql(plane_lit(planes[p]))} > 0 THEN {2**p} ELSE 0 END"
+            for p in range(LSH_BITS)
+        )
+        bucket_rows.append(
+            f"SELECT vec_id, embedding, nsq, {t} AS lsh_table, "
+            f"CAST({bits} AS BIGINT) AS bucket FROM v"
+        )
+    buckets_union = "\n        UNION ALL\n        ".join(bucket_rows)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    buckets AS (
+        {buckets_union}
+    ),
+    qb AS (
+        SELECT vec_id AS query_id, lsh_table, bucket FROM buckets
+        WHERE vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT q.query_id, b.vec_id
+        FROM buckets b JOIN qb q ON b.lsh_table = q.lsh_table AND b.bucket = q.bucket
+        WHERE b.vec_id <> q.query_id
+    ),
+    sims AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+                 / (SQRT(q.nsq) * SQRT(e.nsq)) AS cosine
+        FROM cand c
+        JOIN v q ON q.vec_id = c.query_id
+        JOIN v e ON e.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("similarity_ann_lsh", oracle=_ann_lsh_oracle_sql())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH: each vector
     lands in LSH_TABLES buckets (6 sign bits each); candidates = vectors
