@@ -251,9 +251,17 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _l2_sq(a: Column, b: Column) -> Column:
-    """Squared L2 distance between two float arrays — pure expression."""
+    """Squared L2 distance between two float arrays — pure expression.
+    Elements are cast to double BEFORE subtracting so the arithmetic is pure
+    float64 end-to-end, matching the DuckDB oracle's CAST(... AS DOUBLE)
+    (float32 intermediate rounding would diverge)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -286,7 +294,20 @@ def _kmeans_step(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     return (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("cell", "pos")
-        .agg(F.avg("val").alias("v"))
+        # order-free exact mean: fold the SORTED member values in double —
+        # shuffle-order-independent and bit-identical to the oracle's
+        # LIST_SUM(LIST(... ORDER BY val)). collect_list bounds memory by
+        # cluster size; production would use plain avg (approximate parity).
+        .agg(
+            (
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.col("val").cast("double"))),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                )
+                / F.count("val")
+            ).alias("v")
+        )
         .groupBy("cell")
         .agg(
             F.transform(
@@ -299,7 +320,80 @@ def _kmeans_step(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     )
 
 
-@query("similarity_ann_ivf")  # approximate by construction; recall tested in pytest
+def _ann_ivf_oracle_sql() -> str:
+    """The full IVF pipeline as DuckDB SQL, mirroring the Spark plan stage
+    for stage: seed centroids (first K vectors) → assign (argmin by (L2,
+    cid), double math) → per-dimension sorted-fold exact means → float32
+    centroids → re-assign → per-query 4 nearest cells → exact cosine rerank.
+    Every float operation is sequenced identically, so cells, candidates,
+    and cosines are bit-equal."""
+    D = EMB_DIM
+    dist = (
+        "LIST_SUM(LIST_TRANSFORM(RANGE(1, {d} + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    d_seed = dist.format(d=D, a="e.embedding", b="s.c")
+    d_cent = dist.format(d=D, a="e.embedding", b="s.c")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    seeds AS (
+        SELECT CAST(vec_id AS INT) AS cid, embedding AS c
+        FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a1 AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT e.vec_id, s.cid, {d_seed} AS d FROM e, seeds s)
+    ),
+    cells1 AS (SELECT vec_id, cid AS cell FROM a1 WHERE rn = 1),
+    means AS (
+        SELECT c.cell, t.i AS pos,
+               CAST(LIST_SUM(LIST(CAST(e.embedding[t.i] AS DOUBLE) ORDER BY CAST(e.embedding[t.i] AS DOUBLE)))
+                    / COUNT(*) AS FLOAT) AS v
+        FROM cells1 c
+        JOIN e ON e.vec_id = c.vec_id, UNNEST(RANGE(1, {D} + 1)) AS t(i)
+        GROUP BY c.cell, t.i
+    ),
+    cents2 AS (SELECT cell AS cid, LIST(v ORDER BY pos) AS c FROM means GROUP BY cell),
+    a2 AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT e.vec_id, s.cid, {d_cent} AS d FROM e, cents2 s)
+    ),
+    assigned AS (SELECT vec_id, cid AS cell FROM a2 WHERE rn = 1),
+    probed AS (
+        SELECT vec_id AS query_id, cid AS cell
+        FROM a2 WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ),
+    cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probed p JOIN assigned a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    sims AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                 / (SQRT(q.nsq) * SQRT(n.nsq)) AS cosine
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n ON n.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("similarity_ann_ivf", oracle=_ann_ivf_oracle_sql())
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN — the scale path for corpus-sized query sets:
     partition the corpus into IVF_K Voronoi cells (deterministic seeds =
