@@ -170,3 +170,40 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
         df.filter(n_frames.isNotNull() & (n_frames > 0))
         .select("media_id", "kind", F.explode(idx).alias("frame_index"))
     )
+
+
+def resize_media(df: DataFrame, width: int = 16, height: int = 16, decoder: str = "fake") -> DataFrame:
+    """Resize every payload to width×height (single channel) via Arrow-batched
+    mapInPandas — same executor-side plumbing a real PIL/ffmpeg resample
+    would use. ``decoder="real"`` marks the codec call site (not shipped in
+    this container); the fake path truncates the byte stream to the target
+    size (deterministic, SQL-recomputable), updating the metadata to the new
+    geometry."""
+    if decoder == "real":
+        raise NotImplementedError(
+            "real media resize requires PIL/ffmpeg, not shipped in this container; "
+            "use decoder='fake' for the deterministic stand-in"
+        )
+    target = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[["media_id", "kind"]].copy()
+            out["payload"] = pdf["payload"].map(
+                lambda b: bytes(b)[:target] if b is not None else None
+            )
+            out["meta"] = pdf["payload"].map(
+                lambda b: {
+                    "width": width,
+                    "height": height,
+                    "channels": 1,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "format": "fake-resized",
+                }
+                if b is not None
+                else None
+            )
+            yield out
+
+    return df.mapInPandas(resize_batches, MEDIA_SCHEMA)

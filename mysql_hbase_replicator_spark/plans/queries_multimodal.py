@@ -19,6 +19,7 @@ from mysql_hbase_replicator_spark.operators.multimodal import (
     decode_media,
     extract_features,
     media_from_documents,
+    resize_media,
     sample_frames,
 )
 from mysql_hbase_replicator_spark.plans.registry import query
@@ -107,3 +108,23 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("feature_norm_sq"),
     )
+
+
+@query(
+    "multimodal_resize_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(LEAST(LENGTH(text), 256) AS BIGINT) AS n_bytes,
+           LIST_AVG(LIST_TRANSFORM(RANGE(1, LEAST(LENGTH(text), 256) + 1),
+                    i -> ORD(text[i]))) AS mean_intensity
+    FROM documents
+    """,
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (16×16 fake resample) → decode stats, i.e. two chained Arrow
+    stages over binary payloads — the decode-transform-decode pipeline shape.
+    The fake resize truncates bytes deterministically, so the oracle
+    recomputes the resized statistics exactly from the source text."""
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(media, width=16, height=16)
+    return decode_media(resized).select("media_id", "n_bytes", "mean_intensity")

@@ -53,3 +53,23 @@ def test_sample_frames_jvm_side(spark):
     # pure-JVM plan: no Python evaluation node for the sampling itself
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan.lower()
+
+
+def test_resize_media_plumbing(spark):
+    from mysql_hbase_replicator_spark.operators.multimodal import (
+        decode_media,
+        resize_media,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, 5, kind="image")  # 256-byte payloads
+    resized = resize_media(media, width=8, height=8)  # → 64 bytes
+    rows = {r.media_id: r for r in resized.collect()}
+    assert all(len(r.payload) == 64 for r in rows.values())
+    assert rows[0].meta.width == 8 and rows[0].meta.height == 8
+    # chained decode sees the resized geometry and byte count
+    dec = {r.media_id: r for r in decode_media(resized).collect()}
+    assert dec[0].n_bytes == 64 and dec[0].width == 8
+
+    with pytest.raises(NotImplementedError, match="not shipped"):
+        resize_media(media, decoder="real")
