@@ -96,3 +96,20 @@ def test_events_scan_prunes_props(spark):
     plan = formatted_plan(QUERY_REGISTRY["events_tumbling_window"](spark, SF))
     reads = [line for line in plan.splitlines() if "ReadSchema" in line]
     assert reads and all("props" not in line for line in reads)
+
+
+def test_salted_join_spreads_key(spark):
+    """The salted join's physical join keys include the salt column."""
+    plan = simple_plan(QUERY_REGISTRY["join_skew_salted"](spark, SF))
+    assert "_salt" in plan
+
+
+def test_pipeline_pushes_lang_filter_to_scan(spark):
+    plan = formatted_plan(QUERY_REGISTRY["pipeline_training_prep"](spark, SF))
+    assert "PushedFilters" in plan and "In(lang" in plan
+
+
+def test_ivf_centroids_are_broadcast(spark):
+    """IVF assignment must not shuffle the corpus against the centroid row."""
+    plan = simple_plan(QUERY_REGISTRY["similarity_ann_ivf"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
