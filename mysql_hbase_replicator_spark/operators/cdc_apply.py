@@ -286,3 +286,65 @@ def _apply_table(
 
     # --- K2/K3/K4: MERGE ----------------------------------------------------
     store.merge(spark, table_name, upserts, deletes, sink_pks)
+
+
+def replay_dead_letters(
+    spark: SparkSession,
+    store: ParquetKeyedStore,
+    mappings: dict[str, HbaseTableInfo],
+    k3_mode: str = "intended",
+) -> CdcBatchResult | None:
+    """K6 drain semantics (Rep.scala:67-97: queued failed events are retried
+    in order before new work): re-apply everything in the dead-letter table
+    under the CURRENT mappings — the recovery path after an operator fixes a
+    mapping (e.g. corrects the declared PK set). The table is cleared first;
+    events that still fail validation are re-dead-lettered by the kernel, so
+    one call = one ordered drain pass. Returns None when there is nothing to
+    replay."""
+    import shutil
+
+    path = os.path.join(store.base_dir, DEAD_LETTER_TABLE)
+    if not os.path.isdir(path):
+        return None
+    dl = spark.read.parquet(path)
+    rows = dl.select("position", "op", "table_name", "payload").collect()
+    if not rows:
+        return None
+    shutil.rmtree(path)  # drained; survivors re-append below
+
+    import json as _json
+
+    events = []
+    for r in rows:
+        full = r["table_name"]
+        db, _, table = full.partition(".")
+        images = _json.loads(r["payload"]) if r["payload"] else {}
+        events.append(
+            {
+                "position": r["position"],
+                "op": r["op"],
+                "db": db,
+                "table": table,
+                "before": images.get("before"),
+                "after": images.get("after"),
+            }
+        )
+    # route through the generic JSON path so each table parses against its
+    # CURRENT mapping schema
+    from mysql_hbase_replicator_spark.sources.cdc_events import CDC_JSON_EVENT_SCHEMA
+
+    data = [
+        (
+            e["position"],
+            e["op"],
+            e["db"],
+            e["table"],
+            _json.dumps(e["before"]) if e["before"] is not None else None,
+            _json.dumps(e["after"]) if e["after"] is not None else None,
+            None,
+            None,
+        )
+        for e in events
+    ]
+    ev_df = spark.createDataFrame(data, CDC_JSON_EVENT_SCHEMA)
+    return apply_cdc_batch(spark, ev_df, store, mappings, k3_mode=k3_mode)

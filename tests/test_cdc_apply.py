@@ -238,3 +238,48 @@ def test_two_batches_incremental(spark, tmp_path, student_struct, student_mappin
     apply_cdc_batch(spark, events_from_rows(spark, b2, student_struct), store, mappings)
     assert spark_final_state(spark, store) == duckdb_final_state(b1 + b2)
     assert read_checkpoint(store) == 8
+
+
+def test_dead_letter_replay_after_mapping_fix(spark, tmp_path, student_struct, student_mapping):
+    """K6 drain (Rep.scala:67-97): an event dead-lettered under a bad PK
+    declaration applies cleanly after the mapping is corrected; the queue is
+    drained; still-bad events would re-queue."""
+    from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        DEAD_LETTER_TABLE,
+        replay_dead_letters,
+    )
+
+    # event lacks sn → fails (sn,id) PK validation → dead letter
+    events = [
+        {"position": 1, "op": "insert", "db": "mixfs", "table": "student",
+         "after": {"sn": None, "id": 7, "score": 50, "name": "eve", "rem": None}},
+        {"position": 2, "op": "insert", "db": "mixfs", "table": "student",
+         "after": {"sn": 1, "id": 1, "score": 10, "name": "ann", "rem": "a"}},
+    ]
+    store, result = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert result.dead_letter_count == 1
+
+    # corrected mapping: PK is (id) alone
+    fixed = HbaseTableInfo(
+        dbName="mixfs", dbTableName="student", hbaseTableName="mixfs:student2",
+        hbaseNameSpace="mixfs", sparkTableName="student2", bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("sn", "int(11)", "sn", "IntegerType", False),
+            HbaseCollInfo("id", "int(11)", "id", "IntegerType", True),
+            HbaseCollInfo("score", "int(11)", "score", "IntegerType", False),
+            HbaseCollInfo("name", "varchar(10)", "name", "StringType", False),
+            HbaseCollInfo("rem", "varchar(2)", "rem", "StringType", False),
+        ],
+    )
+    res2 = replay_dead_letters(spark, store, {"mixfs.student": fixed})
+    assert res2 is not None and res2.dead_letter_count == 0
+    assert res2.applied_counts == {"mixfs.student.insert": 1}
+
+    rows = sorted(
+        (r.id, r.score, r.name) for r in store.read(spark, "mixfs:student2")
+        .select("id", "score", "name").collect()
+    )
+    assert (7, 50, "eve") in rows
+    # drained: nothing left to replay
+    assert replay_dead_letters(spark, store, {"mixfs.student": fixed}) is None
