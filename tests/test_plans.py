@@ -113,3 +113,24 @@ def test_ivf_centroids_are_broadcast(spark):
     """IVF assignment must not shuffle the corpus against the centroid row."""
     plan = simple_plan(QUERY_REGISTRY["similarity_ann_ivf"](spark, SF))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_approx_count_distinct_accuracy(spark):
+    """The only oracle-less query: HLL estimates must sit within 10% of the
+    exact distinct counts (default rsd=0.05, so 10% is a generous gate)."""
+    from pyspark.sql import functions as F
+
+    approx = {
+        r.o_orderstatus: r.approx_customers
+        for r in QUERY_REGISTRY["agg_approx_count_distinct"](spark, SF).collect()
+    }
+    exact = {
+        r.o_orderstatus: r.n
+        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for k in exact:
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.10, (k, approx[k], exact[k])
