@@ -5,8 +5,10 @@
 - MinHash + LSH banding — the scale path for near-dup at 100 TB
 - SimHash signatures
 
-Everything is built from JVM-side primitives (split / explode / xxhash64 /
-groupBy); no Python UDFs, no driver-side collection. At 100 TB the shingle
+Everything is built from JVM-side primitives (regex / explode / md5-derived
+universal hashing / groupBy); no Python UDFs, no driver-side collection. The
+hashing is deliberately md5+modular-arithmetic (not xxhash64) so every
+approximate pipeline here is replicated term for term by a DuckDB oracle. At 100 TB the shingle
 explode shuffles (doc, shingle) pairs once; MinHash collapses that to a
 128-byte signature per doc, and LSH banding turns all-pairs comparison into
 an equi-join on band hashes — the only join shape that survives web-scale

@@ -5,8 +5,12 @@
   right plan even at 100 TB (scan + per-row dot products + per-query top-k).
 - LSH-bucketed ANN (random hyperplanes): sub-linear candidate generation for
   corpus×corpus workloads where broadcast doesn't apply. Hyperplanes are
-  derived deterministically from xxhash64 so the result is reproducible with
-  no driver-side randomness.
+  derived deterministically from an integer mix so the result is
+  reproducible with no driver-side randomness — and, being plain double
+  literals, the whole pipeline is mirrored in a generated DuckDB oracle.
+- IVF (k-means cells + nprobe): the other ANN shape, also fully
+  oracle-mirrored (deterministic double distances, sorted-fold exact
+  centroid means).
 """
 
 from __future__ import annotations
