@@ -59,6 +59,18 @@ def SQL_MAVG(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({expr})"
 
 
+def ts_str(c: Column) -> Column:
+    """Canonical timestamp serialization for OUTPUT columns: fixed-width ISO
+    micros string, byte-identical to the oracle's STRFTIME. Emitting strings
+    sidesteps any pandas datetime64[ns]-vs-[us] representation skew in the
+    driver's value hash; computation upstream stays on native timestamps."""
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+def SQL_TS(expr: str) -> str:
+    return f"STRFTIME({expr}, '%Y-%m-%d %H:%M:%S.%f')"
+
+
 # --------------------------------------------------------------------------
 # Flagship (M0): TPC-H Q3-shaped shipping-priority query.
 # customer ⋈ orders ⋈ lineitem with selective filters on both fact scans;
@@ -70,7 +82,7 @@ def SQL_MAVG(expr: str) -> str:
     oracle=f"""
     SELECT l.l_orderkey,
            {SQL_MSUM("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
-           o.o_orderdate,
+           {SQL_TS("o.o_orderdate")} AS o_orderdate,
            o.o_orderpriority
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -94,7 +106,10 @@ def flagship_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(lineitem.filter(F.col("l_shipdate") > cutoff), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(msum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey", "revenue", ts_str(F.col("o_orderdate")).alias("o_orderdate"),
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -433,10 +448,13 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_asof",
     oracle="""
     -- CAST(ts AS TIMESTAMP) floors ns → µs, matching Spark's precision
-    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-           LAST_VALUE(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
+    SELECT event_id, user_id,
+           STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           STRFTIME(LAST_VALUE(CASE WHEN event_type = 'click'
+                         THEN CAST(ts AS TIMESTAMP) END IGNORE NULLS)
              OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts
     FROM events
     WHERE event_type IN ('click', 'purchase')
     QUALIFY event_type = 'purchase'
@@ -458,7 +476,11 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         both.withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "last_click_ts")
+        .select(
+            "event_id", "user_id",
+            ts_str(F.col("ts")).alias("ts"),
+            ts_str(F.col("last_click_ts")).alias("last_click_ts"),
+        )
     )
 
 
@@ -672,7 +694,7 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(YEAR(o_orderdate) AS INT) AS order_year,
            CAST(MONTH(o_orderdate) AS INT) AS order_month,
            CAST(DAY(o_orderdate) AS INT) AS order_day,
-           DATE_TRUNC('month', o_orderdate) AS order_month_start,
+           STRFTIME(DATE_TRUNC('month', o_orderdate), '%Y-%m-%d %H:%M:%S.%f') AS order_month_start,
            CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch
     FROM orders
     """,
@@ -684,7 +706,7 @@ def scalar_datetime_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").alias("order_year"),
         F.month("o_orderdate").alias("order_month"),
         F.dayofmonth("o_orderdate").alias("order_day"),
-        F.date_trunc("month", "o_orderdate").alias("order_month_start"),
+        ts_str(F.date_trunc("month", "o_orderdate")).alias("order_month_start"),
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
             "days_since_epoch"
         ),

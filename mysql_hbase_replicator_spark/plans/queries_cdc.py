@@ -132,7 +132,7 @@ def cdc_projection_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cdc_checkpoint_high_watermark",
     oracle="""
-    SELECT event_type AS stream, MAX(event_id) AS max_position, MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+    SELECT event_type AS stream, MAX(event_id) AS max_position, STRFTIME(MAX(CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
            COUNT(*) AS n_applied
     FROM events
     GROUP BY event_type
@@ -145,7 +145,7 @@ def cdc_checkpoint_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(F.col("event_type").alias("stream")).agg(
         F.max("event_id").alias("max_position"),
-        F.max("ts").alias("max_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
         F.count(F.lit(1)).alias("n_applied"),
     )
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mysql_hbase_replicator_spark.plans.queries import SQL_MSUM, msum
+from mysql_hbase_replicator_spark.plans.queries import SQL_MSUM, SQL_TS, msum, ts_str
 from mysql_hbase_replicator_spark.plans.registry import query
 from mysql_hbase_replicator_spark.sources.tables import load_table
 
@@ -45,7 +45,7 @@ def events_op_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_tumbling_window",
     oracle=f"""
-    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS window_start, event_type,
+    SELECT {SQL_TS("DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))")} AS window_start, event_type,
            COUNT(*) AS n_events,
            {SQL_MSUM("value")} AS sum_value
     FROM events
@@ -62,7 +62,10 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), msum(F.col("value")).alias("sum_value"))
         .select(
-            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+            ts_str(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
         )
     )
 
@@ -70,7 +73,7 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_sliding_window",
     oracle="""
-    SELECT ws AS window_start, COUNT(*) AS n_events
+    SELECT STRFTIME(ws, '%Y-%m-%d %H:%M:%S.%f') AS window_start, COUNT(*) AS n_events
     FROM (
         SELECT UNNEST([DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)),
                        DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR]) AS ws
@@ -88,7 +91,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "n_events")
+        .select(ts_str(F.col("w.start")).alias("window_start"), "n_events")
     )
 
 
@@ -109,8 +112,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 ROWS UNBOUNDED PRECEDING) AS sid
         FROM flagged
     )
-    SELECT user_id, MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+    SELECT user_id, STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           STRFTIME(MAX(ts) + INTERVAL 10 MINUTE, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            COUNT(*) AS n_events
     FROM sess
     GROUP BY user_id, sid
@@ -128,8 +131,8 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            ts_str(F.col("w.start")).alias("session_start"),
+            ts_str(F.col("w.end")).alias("session_end"),
             "n_events",
         )
     )
