@@ -3,7 +3,9 @@
 - exact dedup (hash-groupBy)
 - n-gram (3-word shingle) Jaccard similarity pairs — the exact near-dup oracle
 - MinHash + LSH banding — the scale path for near-dup at 100 TB
-- SimHash signatures
+- SimHash signatures + banded-Hamming near-dup pairs
+- duplicate-cluster extraction (min-label connected components)
+- (incremental/streaming screening lives in dedup_stream.py)
 
 Everything is built from JVM-side primitives (regex / explode / md5-derived
 universal hashing / groupBy); no Python UDFs, no driver-side collection. The
