@@ -478,3 +478,52 @@ def scalar_regexp_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").rlike("BRUSHED|POLISHED").alias("is_finished"),
         F.regexp_count("p_name", F.lit("[a-z]+")).alias("n_words"),
     )
+
+
+@query(
+    "scalar_bitwise_funcs",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           XOR(event_id, user_id) AS mixed,
+           event_id * 4 AS shifted
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar representatives (§2.6): and/or/xor/shift over ids —
+    the key-manipulation primitives the rowkey/banding operators build on."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 1000)
+    return e.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("mixed"),
+        F.shiftleft("event_id", 2).alias("shifted"),
+    )
+
+
+@query(
+    "agg_value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS bucket_min,
+           MAX(o_totalprice) AS bucket_max
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (§2.5): bucket = floor(value / width) — a pure
+    map-side expression, so the groupBy shuffles only one row per bucket per
+    partition; the distributed histogram shape for data profiling at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("long")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("bucket_min"),
+        F.max("o_totalprice").alias("bucket_max"),
+    )
