@@ -527,3 +527,52 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("bucket_min"),
         F.max("o_totalprice").alias("bucket_max"),
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT CAST(FLOOR(b.p_retailprice) AS BIGINT) AS bin,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(ABS(a.p_retailprice - b.p_retailprice) AS DECIMAL(25,6)))
+                AS DOUBLE) AS sum_absdiff
+    FROM part a
+    JOIN part b ON a.p_partkey < b.p_partkey
+               AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+    GROUP BY 1
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (|price_a − price_b| ≤ 1.0) with NO equi key — the
+    case Catalyst can only plan as a nested-loop product. The scalable
+    rewrite bins values at the tolerance width and explodes each probe row
+    into its 3 adjacent bins: the join becomes an EQUI join on the bin
+    (shuffle, not product), with the exact predicate as a post-filter. Each
+    qualifying pair lands in exactly one (probe-bin = build-bin) slot, so no
+    dedup pass is needed. Result is provably identical to the naive range
+    join — which is what the oracle runs."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.floor("p_retailprice").alias("bin")
+    )
+    probe = p.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_retailprice").alias("price_a"),
+        F.explode(
+            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
+        ).alias("bin"),
+    )
+    build = p.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_retailprice").alias("price_b"),
+        "bin",
+    )
+    pairs = probe.join(build, "bin").filter(
+        (F.col("key_a") < F.col("key_b"))
+        & (F.abs(F.col("price_a") - F.col("price_b")) <= 1.0)
+    )
+    return pairs.groupBy(F.floor("price_b").cast("long").alias("bin")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.abs(F.col("price_a") - F.col("price_b")).cast("decimal(25,6)"))
+        .cast("double")
+        .alias("sum_absdiff"),
+    )

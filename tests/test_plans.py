@@ -134,3 +134,11 @@ def test_approx_count_distinct_accuracy(spark):
     assert approx.keys() == exact.keys()
     for k in exact:
         assert abs(approx[k] - exact[k]) / exact[k] <= 0.10, (k, approx[k], exact[k])
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    """The binned rewrite must plan as an equi join on the bin — never a
+    nested-loop/cartesian product."""
+    plan = simple_plan(QUERY_REGISTRY["join_range_binned"](spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
