@@ -9,8 +9,8 @@
   reproducible with no driver-side randomness — and, being plain double
   literals, the whole pipeline is mirrored in a generated DuckDB oracle.
 - IVF (k-means cells + nprobe): the other ANN shape, also fully
-  oracle-mirrored (deterministic double distances, sorted-fold exact
-  centroid means).
+  oracle-mirrored (deterministic double distances, quantized integer-exact
+  centroid means — order-free, O(1) memory per group).
 """
 
 from __future__ import annotations
@@ -298,18 +298,25 @@ def _kmeans_step(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     return (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("cell", "pos")
-        # order-free exact mean: fold the SORTED member values in double —
-        # shuffle-order-independent and bit-identical to the oracle's
-        # LIST_SUM(LIST(... ORDER BY val)). collect_list bounds memory by
-        # cluster size; production would use plain avg (approximate parity).
+        # order-free exact mean with NO per-group materialization: quantize
+        # each member to a 1e-9 grid (floor(val*1e9) is pure IEEE double
+        # arithmetic — bit-identical in any IEEE-754 engine, including the
+        # DuckDB oracle), sum the grid points as exact integer decimals
+        # (associative + commutative → shuffle-order-independent; decimal(38)
+        # holds ~1e29 members of |val|≤1 without overflow), divide once.
+        # Memory per group is O(1) — the round-1 sorted-fold collect_list was
+        # an OOM risk on hot cells at scale.
         .agg(
             (
-                F.aggregate(
-                    F.array_sort(F.collect_list(F.col("val").cast("double"))),
-                    F.lit(0.0),
-                    lambda a, x: a + x,
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * F.lit(1000000000.0)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / F.count("val").cast("double")
                 )
-                / F.count("val")
+                / F.lit(1000000000.0)
             ).alias("v")
         )
         .groupBy("cell")
@@ -327,7 +334,7 @@ def _kmeans_step(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
 def _ann_ivf_oracle_sql() -> str:
     """The full IVF pipeline as DuckDB SQL, mirroring the Spark plan stage
     for stage: seed centroids (first K vectors) → assign (argmin by (L2,
-    cid), double math) → per-dimension sorted-fold exact means → float32
+    cid), double math) → per-dimension quantized integer-exact means → float32
     centroids → re-assign → per-query 4 nearest cells → exact cosine rerank.
     Every float operation is sequenced identically, so cells, candidates,
     and cosines are bit-equal."""
@@ -358,8 +365,9 @@ def _ann_ivf_oracle_sql() -> str:
     cells1 AS (SELECT vec_id, cid AS cell FROM a1 WHERE rn = 1),
     means AS (
         SELECT c.cell, t.i AS pos,
-               CAST(LIST_SUM(LIST(CAST(e.embedding[t.i] AS DOUBLE) ORDER BY CAST(e.embedding[t.i] AS DOUBLE)))
-                    / COUNT(*) AS FLOAT) AS v
+               CAST((CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS FLOAT) AS v
         FROM cells1 c
         JOIN e ON e.vec_id = c.vec_id, UNNEST(RANGE(1, {D} + 1)) AS t(i)
         GROUP BY c.cell, t.i

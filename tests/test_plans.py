@@ -115,6 +115,16 @@ def test_ivf_centroids_are_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_ivf_mean_step_never_materializes_members(spark):
+    """The k-means mean must be a sum/count aggregate, never a collect_list of
+    member values — a hot cell's members would OOM an executor at scale. The
+    only collect_lists allowed are the bounded array-assembly ones (64 struct
+    (pos,v) per cell, K cell structs per centroid row)."""
+    plan = simple_plan(QUERY_REGISTRY["similarity_ann_ivf"](spark, SF))
+    assert "collect_list(val" not in plan
+    assert "collect_list(cast(val" not in plan
+
+
 def test_approx_count_distinct_accuracy(spark):
     """The only oracle-less query: HLL estimates must sit within 10% of the
     exact distinct counts (default rsd=0.05, so 10% is a generous gate)."""
