@@ -64,6 +64,7 @@ class CdcBatchResult:
     JMX (HbaseApplier.scala:110,120-135; MySQLExtractor.scala:217-223)."""
 
     checkpoint_position: int | None = None
+    checkpoint_filename: str | None = None
     applied_counts: dict[str, int] = field(default_factory=dict)  # "db.table.op" -> n
     dead_letter_count: int = 0
     skipped_unmapped: int = 0
@@ -105,23 +106,31 @@ def _pks_valid(info: HbaseTableInfo, side: str) -> Column:
     return cond
 
 
-def read_checkpoint(store: ParquetKeyedStore) -> int | None:
-    """S2 resume: last committed position (the BinlogTable row analog,
-    HbaseApplier.scala:138-153)."""
+def read_checkpoint_state(store: ParquetKeyedStore) -> dict | None:
+    """S2 resume: last committed (filename, position) pair — the BinlogTable
+    row analog (HbaseApplier.scala:138-153). The reference persists BOTH the
+    binlog filename and the position within it (RepEvent.scala:9-10); a
+    position alone is ambiguous across a mid-stream Rotate."""
     path = os.path.join(store.base_dir, CHECKPOINT_FILE)
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f).get("position")
+        return json.load(f)
 
 
-def _write_checkpoint(store: ParquetKeyedStore, position: int) -> None:
+def read_checkpoint(store: ParquetKeyedStore) -> int | None:
+    """Position-only view of the checkpoint (back-compat convenience)."""
+    state = read_checkpoint_state(store)
+    return state.get("position") if state else None
+
+
+def _write_checkpoint(store: ParquetKeyedStore, position: int, filename: str | None) -> None:
     """S5: checkpoint written AFTER the data commit — at-least-once, replay
     is idempotent (HbaseApplier.scala:239,261,273 order)."""
     path = os.path.join(store.base_dir, CHECKPOINT_FILE)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"position": position}, f)
+        json.dump({"position": position, "filename": filename}, f)
     os.replace(tmp, path)
 
 
@@ -137,6 +146,8 @@ def apply_cdc_batch(
     if k3_mode not in ("intended", "faithful"):
         raise ValueError(f"unknown k3_mode: {k3_mode}")
     result = CdcBatchResult()
+    if "filename" not in events.columns:  # pre-rotate fixtures / legacy logs
+        events = events.withColumn("filename", F.lit(None).cast("string"))
     events = events.persist()
     try:
         # --- checkpoint + counters + table discovery in ONE driver action ---
@@ -145,12 +156,37 @@ def apply_cdc_batch(
         stats = (
             events.withColumn("_full_name", _full_name())
             .groupBy("_full_name", "op")
-            .agg(F.count(F.lit(1)).alias("n"), F.max("position").alias("maxpos"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("position").alias("maxpos"),
+                # rotate consumption (HbaseApplier.scala:155-165): the current
+                # binlog file is the filename carried by the latest
+                # filename-bearing event (rotate markers and any event stamped
+                # at source). max ignores the all-null groups.
+                F.max(
+                    F.when(
+                        F.col("filename").isNotNull(),
+                        F.struct(F.col("position"), F.col("filename")),
+                    )
+                ).alias("maxfile"),
+            )
             .collect()
         )
         result.checkpoint_position = max(
             (r["maxpos"] for r in stats), default=None
         )
+        latest_file = max(
+            (r["maxfile"] for r in stats if r["maxfile"] is not None),
+            default=None,
+        )
+        if latest_file is not None:
+            result.checkpoint_filename = latest_file["filename"]
+        else:
+            # no rotate in this batch → the file is unchanged since the last
+            # checkpoint (the reference keeps the filename in memory between
+            # events; our between-batch memory is the checkpoint itself)
+            prev = read_checkpoint_state(store)
+            result.checkpoint_filename = prev.get("filename") if prev else None
         mapped = set(mappings)
         tables_in_batch = set()
         for r in stats:
@@ -178,7 +214,9 @@ def apply_cdc_batch(
             )
 
         if result.checkpoint_position is not None:
-            _write_checkpoint(store, result.checkpoint_position)
+            _write_checkpoint(
+                store, result.checkpoint_position, result.checkpoint_filename
+            )
         return result
     finally:
         events.unpersist()
@@ -341,6 +379,7 @@ def replay_dead_letters(
             e["table"],
             _json.dumps(e["before"]) if e["before"] is not None else None,
             _json.dumps(e["after"]) if e["after"] is not None else None,
+            None,
             None,
             None,
         )

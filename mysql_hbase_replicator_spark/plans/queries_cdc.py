@@ -151,6 +151,48 @@ def cdc_checkpoint_high_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "cdc_rotate_checkpoint",
+    oracle="""
+    SELECT user_id AS stream,
+           MAX(event_id) AS position,
+           CONCAT('binlog.', LPAD(CAST(COALESCE(
+               MAX(CASE WHEN event_type = 'signup' THEN event_id END), 0)
+               AS VARCHAR), 9, '0')) AS filename,
+           COUNT(*) AS n_applied
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def cdc_rotate_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 rotate-aware checkpoint (RepEvent.scala:9-10,
+    HbaseApplier.scala:155-165): the reference persists (filename, position),
+    where the filename comes from the latest Rotate event seen. Batch analog
+    over `events`: per stream (user_id), the checkpoint pairs the max applied
+    position with the binlog filename announced by the last rotate marker
+    ('signup' events play the Rotate role; streams that never rotated resolve
+    to the initial file 'binlog.000000000'). The live kernel equivalent is
+    apply_cdc_batch's maxfile aggregation + read_checkpoint_state resume."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.col("user_id").alias("stream")).agg(
+        F.max("event_id").alias("position"),
+        F.concat(
+            F.lit("binlog."),
+            F.lpad(
+                F.coalesce(
+                    F.max(
+                        F.when(F.col("event_type") == "signup", F.col("event_id"))
+                    ),
+                    F.lit(0),
+                ).cast("string"),
+                9,
+                "0",
+            ),
+        ).alias("filename"),
+        F.count(F.lit(1)).alias("n_applied"),
+    )
+
+
+@query(
     "cdc_rowkey_encode",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -13,6 +13,10 @@ Spark schema — one record per row-change plus checkpoint markers:
 | after           | struct          | post-image (insert/update)              |
 | included_before | array<string>   | present-column list (BitSet analog,     |
 | included_after  | array<string>   |  HbaseApplier.scala:197-208); NULL = all|
+| filename        | string          | binlog filename (RepEvent.scala:9-10);  |
+|                 |                 |  rotate events announce the new file    |
+|                 |                 |  (HbaseApplier.scala:155-165); NULL =   |
+|                 |                 |  unchanged since the last known file    |
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ def cdc_event_schema(row_struct: T.StructType) -> T.StructType:
             T.StructField("after", nullable_struct, True),
             T.StructField("included_before", T.ArrayType(T.StringType()), True),
             T.StructField("included_after", T.ArrayType(T.StringType()), True),
+            T.StructField("filename", T.StringType(), True),
         ]
     )
 
@@ -74,6 +79,7 @@ def events_from_rows(
             to_struct_tuple(r.get("after")),
             r.get("included_before"),
             r.get("included_after"),
+            r.get("filename"),
         )
         for r in rows
     ]
@@ -114,6 +120,7 @@ CDC_JSON_EVENT_SCHEMA = T.StructType(
         T.StructField("after", T.StringType(), True),  # JSON row image
         T.StructField("included_before", T.ArrayType(T.StringType()), True),
         T.StructField("included_after", T.ArrayType(T.StringType()), True),
+        T.StructField("filename", T.StringType(), True),
     ]
 )
 

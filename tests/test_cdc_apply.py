@@ -240,6 +240,66 @@ def test_two_batches_incremental(spark, tmp_path, student_struct, student_mappin
     assert read_checkpoint(store) == 8
 
 
+# --- S5 rotate/filename checkpoint (RepEvent.scala:9-10,
+# --- HbaseApplier.scala:155-165) --------------------------------------------
+def test_rotate_mid_batch_checkpoints_filename_and_resumes(
+    spark, tmp_path, student_struct, student_mapping
+):
+    from mysql_hbase_replicator_spark.operators.cdc_apply import read_checkpoint_state
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    # batch 1: events in binlog.000001, then a mid-stream rotation to
+    # binlog.000002 followed by more row events
+    b1 = [
+        ev(101, "insert", after=row(1, 1, 90, "ann", "a"), filename="binlog.000001"),
+        ev(102, "insert", after=row(2, 2, 80, "bob", "b")),
+        ev(103, "rotate", filename="binlog.000002"),
+        ev(104, "insert", after=row(3, 3, 70, "cat", "c")),
+    ]
+    r1 = apply_cdc_batch(spark, events_from_rows(spark, b1, student_struct), store, mappings)
+    # checkpoint is the (filename, position) PAIR: position past the rotate,
+    # filename from the rotate (not the earlier stamped event)
+    assert r1.checkpoint_position == 104
+    assert r1.checkpoint_filename == "binlog.000002"
+    assert read_checkpoint_state(store) == {"position": 104, "filename": "binlog.000002"}
+    assert spark_final_state(spark, store) == duckdb_final_state(
+        [e for e in b1 if e["op"] in ("insert", "update", "delete")]
+    )
+
+    # batch 2 carries no filename → the current file is unchanged since the
+    # last checkpoint; position advances within it
+    b2 = [ev(207, "insert", after=row(4, 4, 60, "dan", "d"))]
+    r2 = apply_cdc_batch(spark, events_from_rows(spark, b2, student_struct), store, mappings)
+    assert r2.checkpoint_position == 207
+    assert r2.checkpoint_filename == "binlog.000002"
+    assert read_checkpoint_state(store) == {"position": 207, "filename": "binlog.000002"}
+
+    # batch 3: another rotation; resume point moves to the new file
+    b3 = [
+        ev(301, "rotate", filename="binlog.000003"),
+        ev(302, "delete", before=row(1, 1)),
+    ]
+    r3 = apply_cdc_batch(spark, events_from_rows(spark, b3, student_struct), store, mappings)
+    assert read_checkpoint_state(store) == {"position": 302, "filename": "binlog.000003"}
+    assert r3.checkpoint_filename == "binlog.000003"
+
+
+def test_legacy_events_without_filename_checkpoint_none(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """Pre-rotate fixtures (no filename column at all) still work; the
+    checkpoint records filename=None."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import read_checkpoint_state
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    ev_df = events_from_rows(
+        spark, [ev(1, "insert", after=row(1, 1, 90, "ann", "a"))], student_struct
+    ).drop("filename")
+    apply_cdc_batch(spark, ev_df, store, {"mixfs.student": student_mapping})
+    assert read_checkpoint_state(store) == {"position": 1, "filename": None}
+
+
 def test_dead_letter_replay_after_mapping_fix(spark, tmp_path, student_struct, student_mapping):
     """K6 drain (Rep.scala:67-97): an event dead-lettered under a bad PK
     declaration applies cleanly after the mapping is corrected; the queue is
