@@ -141,8 +141,13 @@ def apply_cdc_batch(
     mappings: dict[str, HbaseTableInfo],
     k3_mode: str = "intended",
     max_dead_letter: int | None = None,
+    advance_checkpoint: bool = True,
 ) -> CdcBatchResult:
-    """Apply one micro-batch of CDC events to the keyed store."""
+    """Apply one micro-batch of CDC events to the keyed store.
+
+    ``advance_checkpoint=False`` applies without touching ``_checkpoint.json``
+    — used by the dead-letter drain, whose replayed positions are historical
+    (advancing from them would REGRESS the live watermark)."""
     if k3_mode not in ("intended", "faithful"):
         raise ValueError(f"unknown k3_mode: {k3_mode}")
     result = CdcBatchResult()
@@ -213,7 +218,7 @@ def apply_cdc_batch(
                 f"max_dead_letter={max_dead_letter}"
             )
 
-        if result.checkpoint_position is not None:
+        if advance_checkpoint and result.checkpoint_position is not None:
             _write_checkpoint(
                 store, result.checkpoint_position, result.checkpoint_filename
             )
@@ -279,6 +284,11 @@ def _apply_table(
             F.lit(info.full_name).alias("table_name"),
             F.lit("sql statement does not contain all primary keys").alias("reason"),
             F.to_json(F.struct("before", "after")).alias("payload"),
+            # preserved verbatim so a replay re-applies the event exactly as
+            # received — the included-columns gate and binlog file included
+            F.col("included_before"),
+            F.col("included_after"),
+            F.col("filename"),
         ).write.mode("append").parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
     ev = ev.filter(F.col("_valid"))
 
@@ -335,55 +345,60 @@ def replay_dead_letters(
     """K6 drain semantics (Rep.scala:67-97: queued failed events are retried
     in order before new work): re-apply everything in the dead-letter table
     under the CURRENT mappings — the recovery path after an operator fixes a
-    mapping (e.g. corrects the declared PK set). The table is cleared first;
-    events that still fail validation are re-dead-lettered by the kernel, so
-    one call = one ordered drain pass. Returns None when there is nothing to
-    replay."""
+    mapping (e.g. corrects the declared PK set). Events that still fail
+    validation are re-dead-lettered by the kernel, so one call = one ordered
+    drain pass. Returns None when there is nothing to replay.
+
+    Fully distributed: the table directory is renamed aside (atomic drain —
+    survivors re-append to a fresh directory), row images are re-extracted
+    JVM-side with ``get_json_object``, and the resulting DataFrame feeds
+    straight back through ``apply_cdc_batch``. Nothing is collected to the
+    driver, so a poisoned stream's multi-million-row queue replays at the
+    same scale as a normal batch. The included-columns gate and binlog
+    filename travel with each event, so a replay applies the event exactly
+    as originally received. The checkpoint is not advanced by a drain
+    (replayed positions are historical). A drain directory left behind by a
+    crashed replay is picked up by the next call."""
+    import glob
     import shutil
 
     path = os.path.join(store.base_dir, DEAD_LETTER_TABLE)
-    if not os.path.isdir(path):
+    drain_dirs = sorted(glob.glob(path + ".draining.*"))  # stale crashed drains
+    if os.path.isdir(path):
+        dst = f"{path}.draining.{len(drain_dirs)}"
+        shutil.move(path, dst)
+        drain_dirs.append(dst)
+    if not drain_dirs:
         return None
-    dl = spark.read.parquet(path)
-    rows = dl.select("position", "op", "table_name", "payload").collect()
-    if not rows:
-        return None
-    shutil.rmtree(path)  # drained; survivors re-append below
-
-    import json as _json
-
-    events = []
-    for r in rows:
-        full = r["table_name"]
-        db, _, table = full.partition(".")
-        images = _json.loads(r["payload"]) if r["payload"] else {}
-        events.append(
-            {
-                "position": r["position"],
-                "op": r["op"],
-                "db": db,
-                "table": table,
-                "before": images.get("before"),
-                "after": images.get("after"),
-            }
-        )
+    dl = spark.read.option("mergeSchema", "true").parquet(*drain_dirs)
+    for c, t in (
+        ("included_before", "array<string>"),  # legacy pre-upgrade queues
+        ("included_after", "array<string>"),
+        ("filename", "string"),
+    ):
+        if c not in dl.columns:
+            dl = dl.withColumn(c, F.lit(None).cast(t))
     # route through the generic JSON path so each table parses against its
-    # CURRENT mapping schema
-    from mysql_hbase_replicator_spark.sources.cdc_events import CDC_JSON_EVENT_SCHEMA
-
-    data = [
-        (
-            e["position"],
-            e["op"],
-            e["db"],
-            e["table"],
-            _json.dumps(e["before"]) if e["before"] is not None else None,
-            _json.dumps(e["after"]) if e["after"] is not None else None,
-            None,
-            None,
-            None,
-        )
-        for e in events
-    ]
-    ev_df = spark.createDataFrame(data, CDC_JSON_EVENT_SCHEMA)
-    return apply_cdc_batch(spark, ev_df, store, mappings, k3_mode=k3_mode)
+    # CURRENT mapping schema. get_json_object lifts the sub-objects back out
+    # of the payload as JSON text per row, executor-side.
+    ev_df = dl.select(
+        F.col("position").cast("long").alias("position"),
+        F.col("op").cast("string").alias("op"),
+        F.substring_index("table_name", ".", 1).alias("db"),
+        F.substring_index("table_name", ".", -1).alias("table"),
+        F.get_json_object("payload", "$.before").alias("before"),
+        F.get_json_object("payload", "$.after").alias("after"),
+        F.col("included_before"),
+        F.col("included_after"),
+        F.col("filename"),
+    )
+    if ev_df.isEmpty():
+        for d in drain_dirs:
+            shutil.rmtree(d)
+        return None
+    result = apply_cdc_batch(
+        spark, ev_df, store, mappings, k3_mode=k3_mode, advance_checkpoint=False
+    )
+    for d in drain_dirs:
+        shutil.rmtree(d)
+    return result

@@ -343,3 +343,89 @@ def test_dead_letter_replay_after_mapping_fix(spark, tmp_path, student_struct, s
     assert (7, 50, "eve") in rows
     # drained: nothing left to replay
     assert replay_dead_letters(spark, store, {"mixfs.student": fixed}) is None
+
+
+def _pk_id_only_mapping():
+    """student mapping with the PK corrected to (id) alone."""
+    from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
+
+    return HbaseTableInfo(
+        dbName="mixfs", dbTableName="student", hbaseTableName="mixfs:student2",
+        hbaseNameSpace="mixfs", sparkTableName="student2", bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("sn", "int(11)", "sn", "IntegerType", False),
+            HbaseCollInfo("id", "int(11)", "id", "IntegerType", True),
+            HbaseCollInfo("score", "int(11)", "score", "IntegerType", False),
+            HbaseCollInfo("name", "varchar(10)", "name", "StringType", False),
+            HbaseCollInfo("rem", "varchar(2)", "rem", "StringType", False),
+        ],
+    )
+
+
+def test_replay_preserves_included_columns_gate(spark, tmp_path, student_struct, student_mapping):
+    """A dead-lettered event whose included_after masked a non-key column must
+    replay with that column still masked (NULL), not resurrected from the raw
+    payload image."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import replay_dead_letters
+
+    events = [
+        # raw image carries name='eve', but the included gate masks it; sn is
+        # not included either → fails the original (sn,id) PK → dead letter
+        ev(1, "insert", after=row(2, 7, 50, "eve", "e"),
+           included_after=["id", "score"]),
+    ]
+    store, result = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert result.dead_letter_count == 1
+
+    res2 = replay_dead_letters(spark, store, {"mixfs.student": _pk_id_only_mapping()})
+    assert res2 is not None and res2.dead_letter_count == 0
+    got = store.read(spark, "mixfs:student2").select("id", "score", "name", "rem").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id, r.score) == (7, 50)
+    assert r.name is None and r.rem is None  # gate preserved through the queue
+
+
+def test_replay_large_queue_is_distributed(spark, tmp_path, student_struct, student_mapping):
+    """100k-event drain: built, dead-lettered, and replayed as DataFrames
+    end-to-end — nothing driver-side. Also: a drain must not move the live
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        read_checkpoint_state,
+        replay_dead_letters,
+    )
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    n = 100_000
+    after = F.struct(
+        F.lit(None).cast("integer").alias("sn"),  # missing PK component
+        F.col("id").cast("integer").alias("id"),
+        (F.col("id") % 100).cast("integer").alias("score"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+        F.lit(None).cast("string").alias("rem"),
+    )
+    ev_df = spark.range(1, n + 1).select(
+        F.col("id").alias("position"),
+        F.lit("insert").alias("op"),
+        F.lit("mixfs").alias("db"),
+        F.lit("student").alias("table"),
+        F.when(F.lit(False), after).alias("before"),
+        after.alias("after"),
+        F.lit(None).cast("array<string>").alias("included_before"),
+        F.lit(None).cast("array<string>").alias("included_after"),
+        F.lit(None).cast("string").alias("filename"),
+    )
+    r1 = apply_cdc_batch(spark, ev_df, store, mappings)
+    assert r1.dead_letter_count == n
+    assert read_checkpoint_state(store)["position"] == n
+
+    res = replay_dead_letters(spark, store, {"mixfs.student": _pk_id_only_mapping()})
+    assert res is not None and res.dead_letter_count == 0
+    assert res.applied_counts == {"mixfs.student.insert": n}
+    assert store.read(spark, "mixfs:student2").count() == n
+    # drain does not advance (or regress) the live watermark
+    assert read_checkpoint_state(store)["position"] == n
+    assert replay_dead_letters(spark, store, {"mixfs.student": _pk_id_only_mapping()}) is None
