@@ -126,6 +126,24 @@ class CdcStreamPipeline:
             writer = writer.trigger(availableNow=True)
         return writer.start()
 
+    def run_supervised(
+        self,
+        policy=None,
+        available_now: bool = True,
+        query_name: str = "cdc-replication",
+        **supervise_kw,
+    ):
+        """Run under the §2.7 restart policy: transient failures restart the
+        query from its checkpointLocation with bounded backoff; fatal errors
+        (PK change, dead-letter overflow, stale checkpoint) propagate."""
+        from mysql_hbase_replicator_spark.streaming.supervisor import supervise
+
+        return supervise(
+            lambda: self.start(available_now=available_now, query_name=query_name),
+            policy,
+            **supervise_kw,
+        )
+
     # --- observability rollups (O1: per-op counters over all batches) ------
     def total_counts(self) -> dict[str, int]:
         totals: dict[str, int] = {}
