@@ -68,6 +68,11 @@ class CdcBatchResult:
     applied_counts: dict[str, int] = field(default_factory=dict)  # "db.table.op" -> n
     dead_letter_count: int = 0
     skipped_unmapped: int = 0
+    # O1 latency parity (HbaseApplier.scala:45-52 keeps a last-10 ring of
+    # per-op HBase RPC times): the batch engine's unit of apply is the
+    # per-table merge, so wall-times are keyed "apply:db.table" plus the
+    # whole-batch "batch". The rolling ring lives in the pipeline.
+    apply_latency_s: dict[str, float] = field(default_factory=dict)
 
 
 class DeadLetterOverflowError(RuntimeError):
@@ -150,6 +155,9 @@ def apply_cdc_batch(
     (advancing from them would REGRESS the live watermark)."""
     if k3_mode not in ("intended", "faithful"):
         raise ValueError(f"unknown k3_mode: {k3_mode}")
+    import time as _time
+
+    batch_t0 = _time.perf_counter()
     result = CdcBatchResult()
     if "filename" not in events.columns:  # pre-rotate fixtures / legacy logs
         events = events.withColumn("filename", F.lit(None).cast("string"))
@@ -210,7 +218,9 @@ def apply_cdc_batch(
         for full_name in sorted(tables_in_batch):
             info = mappings[full_name]
             ev = row_events.filter(F.col("_full_name") == full_name)
+            t0 = _time.perf_counter()
             _apply_table(spark, ev, store, info, k3_mode, result)
+            result.apply_latency_s[f"apply:{full_name}"] = _time.perf_counter() - t0
 
         if max_dead_letter is not None and result.dead_letter_count > max_dead_letter:
             raise DeadLetterOverflowError(
@@ -222,6 +232,7 @@ def apply_cdc_batch(
             _write_checkpoint(
                 store, result.checkpoint_position, result.checkpoint_filename
             )
+        result.apply_latency_s["batch"] = _time.perf_counter() - batch_t0
         return result
     finally:
         events.unpersist()

@@ -110,7 +110,10 @@ class ParquetKeyedStore:
 
         # Dynamic partition overwrite only rewrites buckets present in the
         # output; buckets whose rows were all deleted produce no output and
-        # must be cleared explicitly.
+        # must be cleared explicitly. The conf is scoped to this write — it
+        # changes overwrite semantics session-wide, so the previous value is
+        # restored for whatever else shares the session.
+        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         staged = new_state.repartition(BUCKET_COL)
         staged.persist()
@@ -123,3 +126,7 @@ class ParquetKeyedStore:
                     shutil.rmtree(bucket_dir)
         finally:
             staged.unpersist()
+            if prev_mode is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)

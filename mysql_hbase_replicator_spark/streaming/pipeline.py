@@ -22,6 +22,7 @@ replication loop of the reference (Rep.scala:21-65) re-expressed as
 from __future__ import annotations
 
 import threading
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,6 +81,9 @@ class CdcStreamPipeline:
     fresh_schema_provider: object | None = None  # Callable[[str], TableSchema]
 
     results: list[CdcBatchResult] = field(default_factory=list)
+    # O1 latency rings (HbaseApplier.scala:45-52): last-10 wall-time samples
+    # per apply key ("apply:db.table" / "batch"), rolled across batches
+    latency_rings: dict[str, deque] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
     def _check_schemas(self) -> None:
@@ -104,6 +108,8 @@ class CdcStreamPipeline:
         )
         with self._lock:
             self.results.append(result)
+            for key, seconds in result.apply_latency_s.items():
+                self.latency_rings.setdefault(key, deque(maxlen=10)).append(seconds)
 
     def start(self, available_now: bool = True, query_name: str = "cdc-replication"):
         """Start the streaming query. ``available_now=True`` processes the
@@ -152,3 +158,9 @@ class CdcStreamPipeline:
                 for k, v in r.applied_counts.items():
                     totals[k] = totals.get(k, 0) + v
         return totals
+
+    def latency_samples(self) -> dict[str, list[float]]:
+        """Last-10 apply wall-times per key — the StatusServlet latency table
+        (StatusServlet.java:83-99)."""
+        with self._lock:
+            return {k: list(ring) for k, ring in self.latency_rings.items()}

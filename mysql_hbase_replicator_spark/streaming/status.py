@@ -52,6 +52,13 @@ class StatusServer:
                         f"dead_letter: {snap['dead_letter']}",
                         "counts:",
                         *[f"  {k}: {v}" for k, v in sorted(snap["counts"].items())],
+                        "latency_s (last 10):",
+                        *[
+                            f"  {k}: avg={sum(v) / len(v):.4f} "
+                            f"samples={[round(s, 4) for s in v]}"
+                            for k, v in sorted(snap["latency"].items())
+                            if v
+                        ],
                     ]
                     self._send(200, "\n".join(lines).encode(), "text/plain")
                 else:
@@ -75,6 +82,12 @@ class StatusServer:
             "batches": len(results),
             "dead_letter": sum(r.dead_letter_count for r in results),
             "skipped_unmapped": sum(r.skipped_unmapped for r in results),
+            # last-10 apply wall-time ring per key (StatusServlet.java:83-99)
+            "latency": (
+                self.pipeline.latency_samples()
+                if hasattr(self.pipeline, "latency_samples")
+                else {}
+            ),
             "progress": list(getattr(listener, "progress", [])),
         }
 

@@ -154,7 +154,31 @@ def test_status_server_serves_counters(spark, tmp_path, student_struct, student_
         assert jmx["batches"] >= 1
         assert jmx["counts"] == pipeline.total_counts()
         assert sum(jmx["counts"].values()) > 0
+        # O1 latency ring (StatusServlet.java:83-99): per-apply wall-time
+        # samples, bounded at 10
+        assert "batch" in jmx["latency"]
+        assert "apply:mixfs.student" in jmx["latency"]
+        for samples in jmx["latency"].values():
+            assert 0 < len(samples) <= 10
+            assert all(s >= 0 for s in samples)
         html = urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/", timeout=10).read()
         assert b"checkpoint_position" in html
+        assert b"latency_s (last 10):" in html
+        assert b"apply:mixfs.student" in html
     finally:
         srv.stop()
+
+
+def test_latency_ring_is_bounded(spark, tmp_path, student_struct, student_mapping):
+    """12 micro-batches roll the ring: only the last 10 samples survive."""
+    events_dir = str(tmp_path / "events")
+    pipeline = make_pipeline(spark, tmp_path, student_struct, student_mapping)
+    for i in range(12):
+        write_event_file(
+            events_dir, f"b{i:02d}", [ev(i + 1, "insert", after=row(i + 1, 1, i, "u", "x"))]
+        )
+        q = pipeline.start(available_now=True, query_name=f"ring-{i}")
+        q.awaitTermination(120)
+    samples = pipeline.latency_samples()
+    assert len(samples["batch"]) == 10
+    assert len(pipeline.results) == 12
