@@ -9,10 +9,11 @@ UDF signatures, and Arrow batch shapes are production-shaped:
   payloads (``spark.sql.execution.arrow.maxRecordsPerBatch`` caps memory).
 - frame sampling is pure JVM (sequence + explode on metadata) — the Python
   boundary is crossed only where bytes must actually be decoded.
-- the decode itself is STUBBED: this container ships no image/audio codecs.
-  ``decoder="real"`` raises NotImplementedError where PIL/ffmpeg would be
-  called; the default ``decoder="fake"`` is a deterministic stand-in
-  (byte-statistics pseudo-decode) so the plumbing is testable end-to-end.
+- ``decoder="real"`` decodes real formats with the pure-numpy codecs in
+  media_codecs.py (BMP 24-bit images, PCM-16 WAV audio — no codec library
+  needed); formats that would need PIL/ffmpeg raise NotImplementedError at
+  the decode site. The default ``decoder="fake"`` remains the deterministic
+  byte-statistics stand-in whose outputs the DuckDB oracle can recompute.
 """
 
 from __future__ import annotations
@@ -69,11 +70,30 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
-    """Deterministic fake media rows for tests (payload = seeded bytes)."""
+    """Deterministic media rows for tests. Kinds "image"/"audio" carry opaque
+    seeded bytes (for the fake decoder); kinds "bmp"/"wav" carry REAL files
+    built by the pure-numpy encoders, so decoder="real" has true payloads."""
+    from mysql_hbase_replicator_spark.operators.media_codecs import (
+        encode_bmp,
+        encode_wav,
+    )
+
     rows = []
     for i in range(n):
-        payload = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 8  # 256 bytes
-        meta = (64, 48, 3, None, None, "fake") if kind == "image" else (None, None, 1, 16000, 100, "fake")
+        if kind == "bmp":
+            w, h = 32, 24
+            x = np.arange(w, dtype=np.int64)[None, :, None]
+            y = np.arange(h, dtype=np.int64)[:, None, None]
+            c = np.arange(3, dtype=np.int64)[None, None, :]
+            pixels = ((x * 3 + y * 7 + c * 11 + i * 13) % 256).astype(np.uint8)
+            payload, meta = encode_bmp(pixels), (w, h, 3, None, None, "bmp")
+        elif kind == "wav":
+            t = np.arange(1600, dtype=np.int64)
+            samples = (((t * (i + 3) * 257) % 4096) - 2048).astype(np.int16)
+            payload, meta = encode_wav(samples, 16000), (None, None, 1, 16000, 1600, "wav")
+        else:
+            payload = hashlib.sha256(f"{kind}-{i}".encode()).digest() * 8  # 256 bytes
+            meta = (64, 48, 3, None, None, "fake") if kind == "image" else (None, None, 1, 16000, 100, "fake")
         rows.append((i, kind, bytearray(payload), meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -88,29 +108,74 @@ def _fake_decode(payload: bytes) -> tuple[float, float]:
     return float(arr.mean()), entropy
 
 
+def _entropy_u8(arr: np.ndarray) -> float:
+    hist = np.bincount(arr.reshape(-1), minlength=256).astype(np.float64)
+    p = hist / max(arr.size, 1)
+    nz = p[p > 0]
+    return float(-(nz * np.log2(nz)).sum())
+
+
+def _real_decode(payload: bytes) -> tuple[int | None, int | None, float, float]:
+    """True decode via the pure-numpy codecs: (width, height, mean, entropy).
+    Images: mean/entropy over decoded RGB pixels. Audio: mean over the int16
+    samples, entropy over their little-endian byte view. Anything else needs
+    a codec library this container doesn't ship → NotImplementedError."""
+    from mysql_hbase_replicator_spark.operators.media_codecs import (
+        decode_bmp,
+        decode_wav,
+        sniff_format,
+    )
+
+    fmt = sniff_format(payload)
+    if fmt == "bmp":
+        pixels = decode_bmp(payload)
+        return pixels.shape[1], pixels.shape[0], float(pixels.mean()), _entropy_u8(pixels)
+    if fmt == "wav":
+        samples, _rate = decode_wav(payload)
+        return None, None, float(samples.mean()), _entropy_u8(
+            samples.astype("<i2").view(np.uint8)
+        )
+    raise NotImplementedError(
+        "decoder='real' supports BMP and PCM-16 WAV (pure-numpy); other "
+        "formats require PIL/soundfile/ffmpeg, not shipped in this container"
+    )
+
+
 def decode_media(df: DataFrame, decoder: str = "fake") -> DataFrame:
     """Decode payloads to per-item stats via mapInPandas (Arrow batches).
 
-    ``decoder="real"`` marks where a codec library (PIL / soundfile / ffmpeg)
-    would run; not available in this container.
+    ``decoder="fake"`` (default): deterministic byte-statistics pseudo-decode,
+    oracle-recomputable; width/height pass through from metadata.
+    ``decoder="real"``: true decode via the pure-numpy BMP/WAV codecs —
+    width/height come from the DECODED image, executor-side; unsupported
+    formats raise NotImplementedError inside the UDF.
     """
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media decode requires PIL/soundfile/ffmpeg, not shipped in this container; "
-            "use decoder='fake' for the deterministic stand-in"
-        )
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    real = decoder == "real"
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "media_id": pdf["media_id"],
-                "width": pdf["meta"].map(lambda m: m["width"] if m else None),
-                "height": pdf["meta"].map(lambda m: m["height"] if m else None),
-                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else None),
-            }
-            stats = pdf["payload"].map(lambda b: _fake_decode(bytes(b)) if b is not None else (None, None))
-            out["mean_intensity"] = stats.map(lambda s: s[0])
-            out["byte_entropy"] = stats.map(lambda s: s[1])
+            out = {"media_id": pdf["media_id"]}
+            n_bytes = pdf["payload"].map(lambda b: len(b) if b is not None else None)
+            if real:
+                decoded = pdf["payload"].map(
+                    lambda b: _real_decode(bytes(b)) if b is not None else (None,) * 4
+                )
+                out["width"] = decoded.map(lambda d: d[0])
+                out["height"] = decoded.map(lambda d: d[1])
+                out["n_bytes"] = n_bytes
+                out["mean_intensity"] = decoded.map(lambda d: d[2])
+                out["byte_entropy"] = decoded.map(lambda d: d[3])
+            else:
+                out["width"] = pdf["meta"].map(lambda m: m["width"] if m else None)
+                out["height"] = pdf["meta"].map(lambda m: m["height"] if m else None)
+                out["n_bytes"] = n_bytes
+                stats = pdf["payload"].map(
+                    lambda b: _fake_decode(bytes(b)) if b is not None else (None, None)
+                )
+                out["mean_intensity"] = stats.map(lambda s: s[0])
+                out["byte_entropy"] = stats.map(lambda s: s[1])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode_batches, DECODED_SCHEMA)
@@ -173,33 +238,57 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def resize_media(df: DataFrame, width: int = 16, height: int = 16, decoder: str = "fake") -> DataFrame:
-    """Resize every payload to width×height (single channel) via Arrow-batched
-    mapInPandas — same executor-side plumbing a real PIL/ffmpeg resample
-    would use. ``decoder="real"`` marks the codec call site (not shipped in
-    this container); the fake path truncates the byte stream to the target
-    size (deterministic, SQL-recomputable), updating the metadata to the new
-    geometry."""
-    if decoder == "real":
-        raise NotImplementedError(
-            "real media resize requires PIL/ffmpeg, not shipped in this container; "
-            "use decoder='fake' for the deterministic stand-in"
-        )
+    """Resize every payload to width×height via Arrow-batched mapInPandas —
+    the executor-side plumbing a PIL/ffmpeg resample would use.
+
+    ``decoder="fake"``: truncates the byte stream to the target size
+    (deterministic, SQL-recomputable), single channel.
+    ``decoder="real"``: true nearest-neighbor resample of BMP images
+    (decode → index-sample → re-encode, all numpy); non-BMP payloads raise
+    NotImplementedError inside the UDF (audio resampling would need a DSP
+    library)."""
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder: {decoder}")
+    real = decoder == "real"
     target = width * height
+
+    def _resize_real(b: bytes) -> bytes:
+        from mysql_hbase_replicator_spark.operators.media_codecs import (
+            decode_bmp,
+            encode_bmp,
+            sniff_format,
+        )
+
+        if sniff_format(b) != "bmp":
+            raise NotImplementedError(
+                "decoder='real' resize supports BMP images (pure-numpy); "
+                "other formats require PIL/ffmpeg"
+            )
+        pixels = decode_bmp(b)
+        h0, w0, _ = pixels.shape
+        ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+        xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+        return encode_bmp(pixels[ys][:, xs])
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["media_id", "kind"]].copy()
-            out["payload"] = pdf["payload"].map(
-                lambda b: bytes(b)[:target] if b is not None else None
-            )
+            if real:
+                out["payload"] = pdf["payload"].map(
+                    lambda b: _resize_real(bytes(b)) if b is not None else None
+                )
+            else:
+                out["payload"] = pdf["payload"].map(
+                    lambda b: bytes(b)[:target] if b is not None else None
+                )
             out["meta"] = pdf["payload"].map(
                 lambda b: {
                     "width": width,
                     "height": height,
-                    "channels": 1,
+                    "channels": 3 if real else 1,
                     "sample_rate": None,
                     "n_frames": None,
-                    "format": "fake-resized",
+                    "format": "bmp" if real else "fake-resized",
                 }
                 if b is not None
                 else None
