@@ -20,11 +20,20 @@ table.
 
 Used inside foreachBatch (the CDC pipeline pattern) or called directly on
 batch DataFrames, as in the tests.
+
+Index maintenance: each admitted batch appends a few small parquet files, so
+an unattended stream accumulates unbounded file counts (scheduler + file-open
+overhead, tiny scans). When the file count exceeds ``max_files`` the index is
+compacted — rewritten into ``n_compact_partitions`` band-key-partitioned
+files via an atomic directory swap (crash mid-compaction leaves the old index
+intact; stale temp dirs are reclaimed on the next pass). Screening results
+are unaffected: compaction only reorganizes rows.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,18 +42,56 @@ from mysql_hbase_replicator_spark.operators.dedup import band_hashes, hashed_shi
 
 
 class IncrementalDeduper:
-    """Persistent LSH band index + batch screening."""
+    """Persistent LSH band index + batch screening + compaction."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        max_files: int = 64,
+        n_compact_partitions: int = 8,
+    ):
         self.spark = spark
         self.index_dir = index_dir
+        self.max_files = max_files
+        self.n_compact_partitions = n_compact_partitions
+
+    def _data_files(self) -> list[str]:
+        if not os.path.isdir(self.index_dir):
+            return []
+        return [
+            os.path.join(d, f)
+            for d, _s, fs in os.walk(self.index_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+
+    def compact(self) -> int:
+        """Rewrite the index into n_compact_partitions files partitioned by
+        band key (fewer, larger, join-aligned files). Atomic: the new layout
+        is staged beside the index and swapped in with directory renames, so
+        a crash at any point leaves a readable index. Returns the resulting
+        file count."""
+        index = self._index()
+        if index is None:
+            return 0
+        staging = self.index_dir + ".compacting"
+        retired = self.index_dir + ".retired"
+        for stale in (staging, retired):  # reclaim a crashed previous pass
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+        (
+            index.repartition(self.n_compact_partitions, "band_idx", "band_hash")
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        os.replace(self.index_dir, retired)
+        os.replace(staging, self.index_dir)
+        shutil.rmtree(retired)
+        return len(self._data_files())
 
     def _index(self) -> DataFrame | None:
-        if not os.path.isdir(self.index_dir) or not any(
-            f.endswith(".parquet")
-            for _d, _s, fs in os.walk(self.index_dir)
-            for f in fs
-        ):
+        if not self._data_files():
             return None
         return self.spark.read.parquet(self.index_dir)
 
@@ -78,12 +125,19 @@ class IncrementalDeduper:
                 dups = dup_in_batch.unionByName(dup_vs_index).distinct()
             else:
                 dups = dup_in_batch
-            admitted = docs.join(dups, "doc_id", "left_anti")
-            (
-                bands.join(dups, "doc_id", "left_anti")
-                .write.mode("append")
-                .parquet(self.index_dir)
+            # materialize the rejected ids NOW (bounded by batch size): the
+            # returned `admitted` plan must not lazily reference index files
+            # that a compaction pass may rewrite before the caller collects
+            dup_ids = [r[0] for r in dups.collect()]
+            admitted = (
+                docs.filter(~F.col("doc_id").isin(dup_ids)) if dup_ids else docs
             )
+            new_bands = (
+                bands.filter(~F.col("doc_id").isin(dup_ids)) if dup_ids else bands
+            )
+            new_bands.write.mode("append").parquet(self.index_dir)
+            if len(self._data_files()) > self.max_files:
+                self.compact()
             return admitted
         finally:
             bands.unpersist()

@@ -191,3 +191,43 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # replaying batch 2 admits nothing new (fresh doc now indexed)
     kept3 = sorted(r.doc_id for r in dd.process_batch(b2).collect())
     assert kept3 == []
+
+
+def test_incremental_dedup_compaction_bounds_files(spark, tmp_path):
+    """Many micro-batches must not accumulate unbounded index files; compaction
+    keeps the count bounded without changing screening decisions."""
+    import os
+
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+
+    words = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu "
+        "xi omicron pi rho sigma tau upsilon phi chi psi omega one two three four"
+    ).split()
+
+    def doc(i: int) -> str:
+        # rotate the vocabulary so each doc is genuinely distinct
+        return " ".join(words[(i * 5 + j) % len(words)] + str((i + j) % 7) for j in range(25))
+
+    plain = IncrementalDeduper(spark, str(tmp_path / "plain"), max_files=10 ** 9)
+    compacted = IncrementalDeduper(
+        spark, str(tmp_path / "compacted"), max_files=6, n_compact_partitions=2
+    )
+    admitted_plain, admitted_compact = [], []
+    for b in range(8):
+        rows = [(b * 10 + k, doc(b * 10 + k)) for k in range(3)]
+        rows.append((b * 10 + 9, doc(0)))  # dup of the very first doc (rejected after b0)
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        admitted_plain.append(sorted(r.doc_id for r in plain.process_batch(batch).collect()))
+        admitted_compact.append(
+            sorted(r.doc_id for r in compacted.process_batch(batch).collect())
+        )
+    assert admitted_plain == admitted_compact  # compaction never changes decisions
+    n_plain = len(plain._data_files())
+    n_compact = len(compacted._data_files())
+    assert n_compact <= 8, f"index not compacted: {n_compact} files"
+    assert n_plain > n_compact  # the unbounded layout really was growing
+    # restart on the compacted index still screens correctly
+    dd2 = IncrementalDeduper(spark, str(tmp_path / "compacted"), max_files=6)
+    replay = spark.createDataFrame([(999, doc(12))], "doc_id long, text string")
+    assert [r.doc_id for r in dd2.process_batch(replay).collect()] == []
