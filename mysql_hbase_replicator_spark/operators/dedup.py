@@ -37,6 +37,17 @@ ROWS_PER_BAND = N_MINHASHES // N_BANDS
 # come from a fixed LCG so they are reproducible everywhere.
 MINHASH_P = 2_147_483_647
 
+# The registered exact-pair baselines (dedup_ngram_jaccard,
+# dedup_embedding_cosine, dedup_connected_components' edge build) are
+# quadratic by nature — they exist as the correctness oracles that the
+# MinHash-LSH / SimHash / IVF scale paths are verified against. So the
+# REGISTERED forms bound their input to the first EXACT_BASELINE_MAX_DOCS
+# ids: a user who runs them against a 100 TB corpus gets the documented
+# baseline-on-a-prefix, not an accidental O(n²) job. Identical caps in the
+# DuckDB oracles; pass max_doc_id=None to the builders for the unbounded
+# exact form (tests do, on small fixtures). No-op at test SFs (< 10k docs).
+EXACT_BASELINE_MAX_DOCS = 10_000
+
 
 def _hash_constants(n: int) -> list[tuple[int, int]]:
     x, out = 0x9E3779B97F4A7C15, []
@@ -66,6 +77,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct k-word shingles of a whitespace-tokenized text (empty array
     when the text has fewer than k tokens).
 
+    CORPUS ASSUMPTION: tokens are separated by exactly one ASCII space (the
+    synthetic `documents` corpus is canonical). The regex tokenizes on
+    single spaces to stay term-for-term identical with the DuckDB oracle's
+    STRING_SPLIT(text, ' '); runs of spaces, tabs, or newlines would make
+    the two engines diverge. Non-canonical corpora must be normalized first
+    (regexp_replace(text, r'\\s+', ' ')).
+
     Implemented as ONE native regex call per document — a lookbehind-anchored
     lookahead captures every overlapping k-token run: ``(?<!\\S)`` pins the
     match to token starts, the capture inside ``(?=...)`` grabs k tokens
@@ -76,16 +94,24 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.regexp_extract_all(text, F.lit(rx), 1))
 
 
-def shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) exploded — shared base for jaccard and minhash."""
+def shingle_pairs(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+) -> DataFrame:
+    """(doc_id, shingle) exploded — shared base for jaccard and minhash.
+    ``max_doc_id`` bounds the input doc set (pushed to the parquet scan)."""
     d = load_table(spark, sf_dir, "documents")
+    if max_doc_id is not None:
+        d = d.filter(F.col("doc_id") < max_doc_id)
     return d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
 
 
-JACCARD_SQL_BASE = """
+def _jaccard_sql_base(max_doc_id: int | None = None) -> str:
+    cap = f"AND doc_id < {max_doc_id}" if max_doc_id is not None else ""
+    return f"""
     WITH sh AS (
         SELECT DISTINCT doc_id, u.shingle
-        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+              WHERE TRUE {cap}),
              UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
         WHERE LEN(t) >= 3
@@ -105,7 +131,12 @@ JACCARD_SQL_BASE = """
 """
 
 
-def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | None = None) -> DataFrame:
+def _jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    candidates: DataFrame | None = None,
+    max_doc_id: int | None = None,
+) -> DataFrame:
     """Exact shingle-Jaccard for all co-shingled pairs (or only `candidates`
     (doc_a, doc_b) if given).
 
@@ -114,7 +145,7 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str, candidates: DataFrame | Non
     O(|candidates| × shingles/doc), NOT the all-pairs shingle join. That
     asymmetry is the whole point of LSH: the quadratic join runs only in the
     exact baseline."""
-    sh = shingle_pairs(spark, sf_dir)
+    sh = shingle_pairs(spark, sf_dir, max_doc_id=max_doc_id)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -169,7 +200,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    {JACCARD_SQL_BASE}
+    {_jaccard_sql_base(EXACT_BASELINE_MAX_DOCS)}
     ORDER BY jaccard DESC, i.doc_a, i.doc_b
     LIMIT 100
     """,
@@ -177,9 +208,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-word-shingle Jaccard, top-100 most similar pairs. This is the
     *exact* near-dup measure the MinHash path approximates; quadratic in
-    co-shingled docs, so at scale it is only ever run on LSH candidates."""
+    co-shingled docs, so the registered form bounds its input to the first
+    EXACT_BASELINE_MAX_DOCS ids (see the constant's note) — at production
+    scale the exact measure is only ever run on LSH candidates
+    (_jaccard_pairs(candidates=...), as dedup_minhash_lsh does)."""
     return (
-        _jaccard_pairs(spark, sf_dir)
+        _jaccard_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
         .limit(100)
     )
@@ -308,10 +342,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are two integer ops each, and the re-rank intersection joins on the
     60-bit h0 key — one pass over the strings, long-keyed shuffles
     everywhere else."""
+    # eager localCheckpoint, not persist(): the table is shared by banding
+    # and the re-rank, but a persist() would stay pinned in the SQL cache
+    # after the query returns (the caller never gets a handle to unpersist);
+    # checkpoint blocks are GC-reclaimed with the result instead.
     hashed = (
         shingle_pairs(spark, sf_dir)
         .select("doc_id", shingle_h0(F.col("shingle")).alias("h0"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     stacked = band_hashes(hashed)
     left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
@@ -415,12 +453,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding_cosine",
-    oracle="""
+    oracle=f"""
     WITH v AS (
         SELECT vec_id, embedding,
                LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
                         i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
         FROM embeddings
+        WHERE vec_id < {EXACT_BASELINE_MAX_DOCS}
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(a.embedding) + 1),
@@ -434,12 +473,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: top-20 most-cosine-similar pairs. Norms are
     precomputed per row before the pair join so each pair costs one dot
-    product. The all-pairs join is the correctness baseline; the scale path
-    is LSH bucketing (see operators/similarity.py)."""
+    product. The all-pairs join is the correctness baseline, so the
+    registered form bounds its input to the first EXACT_BASELINE_MAX_DOCS
+    vec_ids (see the constant's note); the scale path is LSH bucketing / IVF
+    (see operators/similarity.py)."""
     from mysql_hbase_replicator_spark.functions.vectors import cosine_from_parts, dot, norm_sq
 
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < EXACT_BASELINE_MAX_DOCS)
+        .select("vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq"))
     )
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nsq").alias("nsq_a")
@@ -463,10 +506,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_connected_components",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id, u.shingle
-        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+              WHERE doc_id < {EXACT_BASELINE_MAX_DOCS}),
              UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
                                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
         WHERE LEN(t) >= 3
@@ -516,8 +560,10 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard alternating large/small-star shape: no driver-side graph, edges
     shuffled on node id only.
     """
-    strong = _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.5).select(
-        "doc_a", "doc_b"
+    strong = (
+        _jaccard_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
     )
     edges = (
         strong.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -530,7 +576,8 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.col("node")
     ).persist()
 
-    for _ in range(20):
+    max_rounds = 20
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -556,8 +603,26 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # the oracle computes the FULL recursive closure — exiting the cap
+        # with labels still moving would silently disagree with it
+        raise RuntimeError(
+            f"connected components did not converge in {max_rounds} rounds "
+            f"({changed} labels still changing): component diameter exceeds "
+            f"the cap; raise max_rounds (plain propagation needs O(diameter) "
+            f"rounds; for pathological chains switch to large/small-star)"
+        )
 
-    comp = labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+    # terminal cache hygiene: localCheckpoint materializes the final labels
+    # and TRUNCATES the 20-join lineage, so the pinned SQL caches can be
+    # released here instead of leaking until someone calls clearCache().
+    # (checkpoint blocks are reclaimed by the ContextCleaner once the result
+    # is dropped — unlike persist(), which pins until an explicit unpersist.)
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+
+    comp = final.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
 

@@ -423,11 +423,14 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c"))
         .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
     )
-    # persist both: cents (one row) feeds assignment AND probing — without it
-    # each consumer re-runs the k-means corpus pass; assigned feeds candidate
-    # generation and the query-side probe.
-    cents = _kmeans_step(e, seeds).persist()
-    assigned = _assign_cells(e, cents).persist()
+    # materialize both via eager localCheckpoint: cents (one row) feeds
+    # assignment AND probing — without it each consumer re-runs the k-means
+    # corpus pass; assigned feeds candidate generation and the query-side
+    # probe. localCheckpoint instead of persist() so nothing stays pinned in
+    # the SQL cache after the query returns (blocks are GC-reclaimed with
+    # the result).
+    cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
+    assigned = _assign_cells(e, cents).localCheckpoint(eager=True)
 
     probed = (
         assigned.filter(F.col("vec_id") < N_QUERIES)

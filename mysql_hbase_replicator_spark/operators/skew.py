@@ -27,9 +27,23 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Equi-join where ``skewed``'s hot keys are spread across ``n_salts``
-    sub-keys and ``other`` is replicated once per salt. Result equals
-    ``skewed.join(other, on, how)`` exactly; only the shuffle layout differs.
+    sub-keys and ``other`` is replicated once per salt. For the supported
+    join types the result equals ``skewed.join(other, on, how)`` exactly;
+    only the shuffle layout differs.
+
+    ``how`` is restricted to probe-side-exact types: inner, left/left_outer,
+    left_semi, left_anti. Build-side-preserving joins (right/full outer)
+    would emit each unmatched ``other`` row once PER SALT COPY — n_salts
+    duplicated null-extended rows — so they are rejected rather than
+    silently wrong.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer", "leftsemi", "left_semi", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {h.replace("_", "") for h in allowed}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            f"the build side is replicated {n_salts}x, so build-side-preserving "
+            f"joins would duplicate unmatched rows once per salt"
+        )
     if SALT in skewed.columns or SALT in other.columns:
         raise ValueError(f"column {SALT} already present")
     probe = skewed.withColumn(

@@ -104,6 +104,22 @@ def test_salted_join_spreads_key(spark):
     assert "_salt" in plan
 
 
+def test_salted_join_rejects_build_preserving_types(spark):
+    """right/full outer would duplicate unmatched build rows once per salt;
+    salted_join must reject them instead of returning silently wrong rows."""
+    import pytest as _pytest
+
+    from mysql_hbase_replicator_spark.operators.skew import salted_join
+
+    a = spark.range(4).withColumnRenamed("id", "k")
+    b = spark.range(4).withColumnRenamed("id", "k")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with _pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(a, b, ["k"], n_salts=4, how=how)
+    # probe-side-exact types still work
+    assert salted_join(a, b, ["k"], n_salts=4, how="left_semi").count() == 4
+
+
 def test_pipeline_pushes_lang_filter_to_scan(spark):
     plan = formatted_plan(QUERY_REGISTRY["pipeline_training_prep"](spark, SF))
     assert "PushedFilters" in plan and "In(lang" in plan
