@@ -47,6 +47,8 @@ HEADLINE = [
     "udtf_apply_in_pandas_gaps",
     "agg_percentiles",
     "pipeline_training_prep",
+    "pack_sequences",
+    "text_repetition_stats",
 ]
 
 

@@ -1,0 +1,346 @@
+"""EXT corpus-curation operators over the `documents` table (SURVEY.md §2.11):
+the preprocessing stages a pretraining-data pipeline runs between raw ingest
+and tokenized shards — intra-document repetition stats, blocklist scrubbing,
+deterministic stratified sampling, train/valid/test splitting, and
+concat-and-chunk sequence packing.
+
+Design rules shared with the rest of the engine:
+
+- Everything is JVM built-ins (regexp / md5 / window) — no Python in the hot
+  path, so whole-stage codegen covers each stage and the same code runs
+  unchanged over 100 TB of documents.
+- All randomness is md5-derived from the row key (same trick as
+  operators/dedup.py `shingle_h0`), so sampling, splitting, and the packing
+  shuffle order are deterministic, reproducible across engines, and
+  independent of partitioning — the DuckDB oracles replicate them
+  term-for-term.
+- The packing prefix-sum is distributed: per-bucket window cumsum + a
+  broadcast NBUCKETS-row offset table, never a global single-partition
+  window over the corpus (see `pack_sequences`).
+
+Corpus assumption: single-space canonical tokenization (see
+operators/dedup.py `word_shingles`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.column import Column
+
+from mysql_hbase_replicator_spark.plans.registry import query
+from mysql_hbase_replicator_spark.sources.tables import load_table
+
+
+def hash60(salt: str, key: Column) -> Column:
+    """Deterministic 60-bit nonnegative hash of ``salt || key`` — md5-based
+    so the DuckDB oracle can reproduce it exactly:
+    ``CAST(('0x' || SUBSTR(MD5('<salt>' || CAST(k AS VARCHAR)), 1, 15)) AS BIGINT)``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _sql_hash60(salt: str, key_expr: str) -> str:
+    return f"CAST(('0x' || SUBSTR(MD5('{salt}' || CAST({key_expr} AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Intra-document repetition (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+# all overlapping 2-word grams: lookbehind pins to token starts, the capture
+# inside the lookahead grabs 2 tokens without consuming them (same pattern
+# family as word_shingles, but NOT distinct — repetition is the signal here)
+_2GRAM_RX = r"(?<!\S)(?=((?:\S+ ){1}\S+))"
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(RANGE(1, LEN(t)), i -> t[i] || ' ' || t[i+1]) AS grams
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+        WHERE LEN(t) >= 2
+    )
+    SELECT doc_id,
+           CAST(LEN(grams) AS INT) AS n_grams,
+           CAST(LEN(LIST_DISTINCT(grams)) AS INT) AS n_distinct_grams,
+           1.0 - CAST(LEN(LIST_DISTINCT(grams)) AS DOUBLE) / CAST(LEN(grams) AS DOUBLE)
+             AS dup_2gram_frac
+    FROM g
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-2-gram fraction per document — the Gopher repetition rule
+    (high fraction = boilerplate / degenerate text a pretraining pipeline
+    drops). Map-only over the corpus: one regex pass builds the overlapping
+    gram array, size/array_distinct stay inside codegen; no shuffle at all,
+    so the stage scales linearly with corpus bytes."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.regexp_extract_all(F.col("text"), F.lit(_2GRAM_RX), 1)
+    n = F.size(grams)
+    n_dist = F.size(F.array_distinct(grams))
+    return (
+        d.select("doc_id", grams.alias("grams"))
+        .filter(n > 0)
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.size(F.array_distinct("grams")).alias("n_distinct_grams"),
+            (
+                F.lit(1.0)
+                - F.size(F.array_distinct("grams")).cast("double")
+                / F.size("grams").cast("double")
+            ).alias("dup_2gram_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist scrubbing (C4-style bad-word filtering + redaction)
+# ---------------------------------------------------------------------------
+
+# term scrub demo list: words that occur in the synthetic corpus; a real
+# deployment swaps in its PII/bad-word patterns (same plan shape)
+_BLOCKLIST_RX = r"\b(?:merge|checkpoint)\b"
+
+
+@query(
+    "text_blocklist_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{_BLOCKLIST_RX}')) AS INT) AS n_hits,
+           MD5(REGEXP_REPLACE(text, '{_BLOCKLIST_RX}', '[REDACTED]', 'g')) AS scrubbed_md5,
+           LEN(REGEXP_EXTRACT_ALL(text, '{_BLOCKLIST_RX}')) = 0 AS kept
+    FROM documents
+    """,
+)
+def text_blocklist_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist scrub: count matches of a term/PII pattern, produce the
+    redacted text (md5 digest registered so the oracle value-checks the
+    full scrubbed string), and the C4-style keep/drop decision. Map-only,
+    single regex pass, codegen end-to-end — the canonical cheap gate that
+    runs before any expensive dedup stage."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BLOCKLIST_RX), 0))
+    scrubbed = F.regexp_replace(F.col("text"), _BLOCKLIST_RX, "[REDACTED]")
+    return d.select(
+        "doc_id",
+        hits.alias("n_hits"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+        (hits == 0).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep rates out of 100: downsample the dominant language,
+# keep low-resource languages whole (the usual pretraining-mix shape)
+_SAMPLE_RATES = {"en": 30, "de": 100, "es": 80, "fr": 80, "zh": 60}
+_SAMPLE_DEFAULT = 50
+
+
+def _rate_col() -> Column:
+    c = F.lit(_SAMPLE_DEFAULT)
+    for lang, rate in _SAMPLE_RATES.items():
+        c = F.when(F.col("lang") == lang, F.lit(rate)).otherwise(c)
+    return c
+
+
+_RATE_SQL_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_RATES.items())
+    + f" ELSE {_SAMPLE_DEFAULT} END"
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_sql_hash60("smpl:", "doc_id")} % 100 < {_RATE_SQL_CASE}
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-language percentage of
+    documents, selected by md5(doc_id) mod 100 — reproducible across runs,
+    engines, and partitionings (unlike df.sample, whose output depends on
+    partition layout). Map-only filter; at 100 TB this is a pushed-down
+    scan + filter with zero shuffle, and re-running it on a grown corpus
+    keeps every previously-sampled doc (stable ids → stable membership)."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = hash60("smpl:", F.col("doc_id")) % 100
+    return d.filter(bucket < _rate_col()).select("doc_id", "lang", "source")
+
+
+@query(
+    "split_train_valid",
+    oracle=f"""
+    WITH s AS (
+        SELECT lang,
+               CASE WHEN {_sql_hash60("split:", "doc_id")} % 1000 < 10 THEN 'valid'
+                    WHEN {_sql_hash60("split:", "doc_id")} % 1000 < 30 THEN 'test'
+                    ELSE 'train' END AS split,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM s GROUP BY split, lang
+    """,
+)
+def split_train_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test assignment (1% valid, 2% test) by
+    md5(doc_id) mod 1000, reported as per-(split, lang) doc/token counts.
+    The split is a pure map — each doc's membership is computable anywhere,
+    no coordination — and the report is one partial-aggregated shuffle on
+    (split, lang): 15 groups regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60("split:", F.col("doc_id")) % 1000
+    split = (
+        F.when(h < 10, F.lit("valid")).when(h < 30, F.lit("test")).otherwise(F.lit("train"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk) via distributed prefix sum
+# ---------------------------------------------------------------------------
+
+PACK_CTX = 512  # tokens per training chunk
+PACK_BUCKETS = 32  # prefix-sum fan-out; at 100 TB raise to O(partitions)
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+               {_sql_hash60("pack:", "doc_id")} AS h
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens, h,
+               CAST(SUM(n_tokens) OVER (
+                   ORDER BY h % {PACK_BUCKETS}, h, doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // {PACK_CTX} AS INT) AS first_chunk,
+           CAST((cum - 1) // {PACK_CTX} - (cum - n_tokens) // {PACK_CTX} + 1 AS INT)
+             AS n_chunks
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid out in a
+    deterministic md5-shuffled order, token counts are prefix-summed, and
+    each doc learns its byte^Wtoken offset in the virtual concatenated
+    stream plus which fixed-size training chunks it spans.
+
+    The prefix sum is DISTRIBUTED — the textbook two-pass pattern, because a
+    single `Window.orderBy(...)` over the whole corpus collapses to ONE
+    partition and dies at scale:
+
+      1. bucket = h % PACK_BUCKETS; global order is (bucket, h, doc_id), so
+         each bucket owns a contiguous range of the stream;
+      2. within-bucket cumsum — window PARTITIONED by bucket (parallel);
+      3. bucket offsets — an aggregate producing PACK_BUCKETS rows; the
+         running-total window over it is single-partition but over
+         PACK_BUCKETS rows, not the corpus;
+      4. broadcast-join offsets back; start = bucket_offset + cum - n.
+
+    tests/test_plans.py pins the shape (big window partitioned, offsets
+    broadcast). The oracle computes the same global cumsum directly."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        hash60("pack:", F.col("doc_id")).alias("h"),
+    ).withColumn("bucket", F.col("h") % PACK_BUCKETS)
+
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = t.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("btot"))
+    # PACK_BUCKETS rows: the unpartitioned window is bounded and cheap
+    w_off = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("btot").over(w_off), F.lit(0)).alias("boff")
+    )
+
+    j = cum_in.join(F.broadcast(offsets), "bucket")
+    cum = (F.col("boff") + F.col("cum_in")).cast("long")
+    start = cum - F.col("n_tokens")
+    return j.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+        F.floor(start / PACK_CTX).cast("int").alias("first_chunk"),
+        (
+            F.floor((cum - 1) / PACK_CTX) - F.floor(start / PACK_CTX) + 1
+        ).cast("int").alias("n_chunks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus token-count histogram
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 16
+
+
+@query(
+    "corpus_token_histogram",
+    oracle=f"""
+    SELECT lang,
+           CAST((LEN(STRING_SPLIT(text, ' ')) // {_HIST_WIDTH}) * {_HIST_WIDTH} AS INT)
+             AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width token-count histogram per language — the corpus-shape
+    report a data curator reads before setting packing/filter thresholds.
+    Integer bucket math (no float binning drift), partial-aggregated single
+    shuffle on (lang, bucket): output is O(languages × buckets), independent
+    of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    bucket = (n - n % _HIST_WIDTH).cast("int")
+    return (
+        d.select("lang", bucket.alias("bucket_lo"), n.alias("n_tokens"))
+        .groupBy("lang", "bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )

@@ -44,6 +44,7 @@ def load_all_queries() -> None:
     import mysql_hbase_replicator_spark.operators.similarity  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_cdc  # noqa: F401
+    import mysql_hbase_replicator_spark.plans.queries_corpus  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_events  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_extra  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_multimodal  # noqa: F401

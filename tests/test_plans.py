@@ -104,6 +104,18 @@ def test_salted_join_spreads_key(spark):
     assert "_salt" in plan
 
 
+def test_pack_sequences_prefix_sum_is_distributed(spark):
+    """The corpus-wide cumsum must run as per-bucket windows plus a broadcast
+    offsets join — a global unpartitioned window over the corpus would
+    collapse to one partition. The only unpartitioned window allowed is the
+    PACK_BUCKETS-row offsets table."""
+    plan = simple_plan(QUERY_REGISTRY["pack_sequences"](spark, SF))
+    # the corpus-sized window is partitioned by bucket
+    assert "windowspecdefinition(bucket" in plan
+    # offsets come back via broadcast, not a shuffled join
+    assert "BroadcastHashJoin" in plan
+
+
 def test_salted_join_rejects_build_preserving_types(spark):
     """right/full outer would duplicate unmatched build rows once per salt;
     salted_join must reject them instead of returning silently wrong rows."""
