@@ -11,6 +11,13 @@
 - IVF (k-means cells + nprobe): the other ANN shape, also fully
   oracle-mirrored (deterministic double distances, quantized integer-exact
   centroid means — order-free, O(1) memory per group).
+- PQ (product quantization + asymmetric-distance scan): the memory-bound
+  ANN shape — the corpus is compressed to PQ_M one-byte codes per vector
+  (64× smaller than the raw floats at these settings), queries precompute a
+  PQ_M×PQ_K distance table and every corpus distance becomes PQ_M array
+  lookups. Codebooks train with the same deterministic quantized-mean
+  k-means as IVF, one subspace each, so the whole pipeline is mirrored in
+  DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -38,6 +45,12 @@ LSH_BITS = 4
 # production; 16 suits the test corpora (500-50k vectors).
 IVF_K = 16
 IVF_NPROBE = 4
+# PQ: PQ_M subspaces of SUBDIM dims, PQ_K codewords per subspace. 16 codes
+# suit the 500-50k test corpora; production uses 256 (one byte per code) and
+# the same plan shape.
+PQ_M = 8
+PQ_K = 16
+PQ_SUBDIM = EMB_DIM // PQ_M
 
 
 @query(
