@@ -166,12 +166,27 @@ def apply_cdc_batch(
         # --- checkpoint + counters + table discovery in ONE driver action ---
         # (the reference pays a checkpoint write per event,
         # HbaseApplier.scala:155-176; we pay one tiny groupBy per batch)
+        #
+        # Stream-order for the checkpoint pair: real MySQL positions reset
+        # per binlog file (RepEvent.scala:9-10 pairs filename+position for
+        # exactly this reason), so "max(position) over the batch" can pair
+        # the NEW filename with the OLD file's larger position after a
+        # mid-batch rotate. Sources that interleave rotates mid-batch must
+        # therefore stamp a globally monotonic ``seq`` column (arrival
+        # order); when present, the checkpoint is taken from the LAST event
+        # by seq — its position, and the filename of the last
+        # filename-bearing event by seq. Without ``seq`` we fall back to
+        # position order, which is only correct for globally monotonic
+        # positions (true of the file-log stand-in fixtures).
+        ord_col = F.col("seq") if "seq" in events.columns else F.col("position")
         stats = (
             events.withColumn("_full_name", _full_name())
             .groupBy("_full_name", "op")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.max("position").alias("maxpos"),
+                F.max(
+                    F.struct(ord_col.alias("o"), F.col("position").alias("position"))
+                ).alias("maxpos"),
                 # rotate consumption (HbaseApplier.scala:155-165): the current
                 # binlog file is the filename carried by the latest
                 # filename-bearing event (rotate markers and any event stamped
@@ -179,15 +194,16 @@ def apply_cdc_batch(
                 F.max(
                     F.when(
                         F.col("filename").isNotNull(),
-                        F.struct(F.col("position"), F.col("filename")),
+                        F.struct(ord_col.alias("o"), F.col("filename").alias("filename")),
                     )
                 ).alias("maxfile"),
             )
             .collect()
         )
-        result.checkpoint_position = max(
-            (r["maxpos"] for r in stats), default=None
+        latest_pos = max(
+            (r["maxpos"] for r in stats if r["maxpos"] is not None), default=None
         )
+        result.checkpoint_position = latest_pos["position"] if latest_pos else None
         latest_file = max(
             (r["maxfile"] for r in stats if r["maxfile"] is not None),
             default=None,
@@ -275,6 +291,10 @@ def _apply_table(
     sink_pks = [c.hbaseColumnName for c in info.key_columns()]
     table_name = info.hbaseTableName or info.full_name
 
+    # stream-order key for the K5 collapse: seq when the source stamps it
+    # (positions reset per binlog file — see apply_cdc_batch), else position
+    ev = ev.withColumn("_ord", F.col("seq") if "seq" in ev.columns else F.col("position"))
+
     # --- K1 validation → dead letter ---------------------------------------
     valid = (
         F.when(F.col("op") == OP_INSERT, _pks_valid(info, "after"))
@@ -306,7 +326,7 @@ def _apply_table(
     # --- expand events into keyed actions ----------------------------------
     def upsert_from_after(src: DataFrame) -> DataFrame:
         return src.select(
-            "position",
+            "_ord",
             F.lit(1).alias("_seq"),
             F.lit("upsert").alias("_kind"),
             *_sink_projection(info, "after"),
@@ -323,8 +343,8 @@ def _apply_table(
             F.lit(None).cast(spark_type_from_name(c.hbaseColumnType, restrict_to_six=False)).alias(c.hbaseColumnName)
             for c in info.non_key_columns()
         ]
-        proj = src.select("position", F.lit(0).alias("_seq"), F.lit("delete").alias("_kind"), *before_pks, *non_keys)
-        return proj.select("position", "_seq", "_kind", *sink_cols)
+        proj = src.select("_ord", F.lit(0).alias("_seq"), F.lit("delete").alias("_kind"), *before_pks, *non_keys)
+        return proj.select("_ord", "_seq", "_kind", *sink_cols)
 
     actions = upsert_from_after(ev.filter(F.col("op") == OP_INSERT))
     updates = ev.filter(F.col("op") == OP_UPDATE)
@@ -336,8 +356,8 @@ def _apply_table(
         actions = actions.unionByName(delete_from_before(updates))
     actions = actions.unionByName(delete_from_before(ev.filter(F.col("op") == OP_DELETE)))
 
-    # --- K5: last action per PK by (position, seq) -------------------------
-    w = Window.partitionBy(*sink_pks).orderBy(F.desc("position"), F.desc("_seq"))
+    # --- K5: last action per PK by (stream order, seq) ---------------------
+    w = Window.partitionBy(*sink_pks).orderBy(F.desc("_ord"), F.desc("_seq"))
     final = actions.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
     upserts = final.filter(F.col("_kind") == "upsert").select(*sink_cols)
@@ -376,7 +396,13 @@ def replay_dead_letters(
     path = os.path.join(store.base_dir, DEAD_LETTER_TABLE)
     drain_dirs = sorted(glob.glob(path + ".draining.*"))  # stale crashed drains
     if os.path.isdir(path):
-        dst = f"{path}.draining.{len(drain_dirs)}"
+        # next suffix = max(existing)+1, NOT len(drain_dirs): after a crash
+        # mid-cleanup the surviving set can be sparse (".draining.1" alive,
+        # ".draining.0" removed) and a len-derived name would collide —
+        # shutil.move would then nest the live dir INSIDE the stale one,
+        # hiding its files from the parquet reader and losing the replay.
+        used = [int(d.rsplit(".", 1)[-1]) for d in drain_dirs if d.rsplit(".", 1)[-1].isdigit()]
+        dst = f"{path}.draining.{max(used, default=-1) + 1}"
         shutil.move(path, dst)
         drain_dirs.append(dst)
     if not drain_dirs:

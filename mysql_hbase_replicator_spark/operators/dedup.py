@@ -605,7 +605,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
     else:
         # the oracle computes the FULL recursive closure — exiting the cap
-        # with labels still moving would silently disagree with it
+        # with labels still moving would silently disagree with it. Release
+        # the pinned caches before propagating (the caller never gets a
+        # handle to them).
+        labels.unpersist()
+        edges.unpersist()
         raise RuntimeError(
             f"connected components did not converge in {max_rounds} rounds "
             f"({changed} labels still changing): component diameter exceeds "

@@ -13,10 +13,15 @@ corpus.
 
 Decision rule: a new doc sharing ANY band with an admitted doc (or with an
 earlier-by-id doc in the same batch) is rejected. That is LSH-level
-near-dup screening (the 8×4 banding targets jaccard ≳ 0.5); a borderline
-pipeline would re-rank candidates with exact Jaccard against the matched
-docs' stored shingle hashes before rejecting — same join shape, one more
-table.
+near-dup screening (the 8×4 banding targets jaccard ≳ 0.5). With
+``rerank_threshold`` set, band collisions become CANDIDATES instead of
+verdicts: each (doc, prior) candidate pair is re-ranked with exact Jaccard
+over stored per-doc shingle hashes and the doc is rejected only when some
+pair reaches the threshold — band-collision false positives are admitted.
+The prior side is "earlier-by-id or already-indexed" regardless of the
+prior's own admission (same closure as the band-level rule). Cost is
+O(candidate pairs × shingles/doc) in equi-joins on the 60-bit h0 key —
+still no all-pairs product.
 
 Used inside foreachBatch (the CDC pipeline pattern) or called directly on
 batch DataFrames, as in the tests.
@@ -25,9 +30,11 @@ Index maintenance: each admitted batch appends a few small parquet files, so
 an unattended stream accumulates unbounded file counts (scheduler + file-open
 overhead, tiny scans). When the file count exceeds ``max_files`` the index is
 compacted — rewritten into ``n_compact_partitions`` band-key-partitioned
-files via an atomic directory swap (crash mid-compaction leaves the old index
-intact; stale temp dirs are reclaimed on the next pass). Screening results
-are unaffected: compaction only reorganizes rows.
+files via an atomic directory swap. A crash at any point leaves a
+recoverable index: the swap retires the old directory BEFORE promoting the
+staged one, and recovery (run before every screen/compact) restores the
+retired copy if the promotion never happened. Screening results are
+unaffected: compaction only reorganizes rows.
 """
 
 from __future__ import annotations
@@ -42,7 +49,12 @@ from mysql_hbase_replicator_spark.operators.dedup import band_hashes, hashed_shi
 
 
 class IncrementalDeduper:
-    """Persistent LSH band index + batch screening + compaction."""
+    """Persistent LSH band index + batch screening + compaction.
+
+    ``rerank_threshold=None`` (default) rejects on any band collision;
+    a float in (0, 1] enables the exact-Jaccard re-rank, which also
+    persists per-doc shingle hashes beside the band index.
+    """
 
     def __init__(
         self,
@@ -50,94 +62,152 @@ class IncrementalDeduper:
         index_dir: str,
         max_files: int = 64,
         n_compact_partitions: int = 8,
+        rerank_threshold: float | None = None,
     ):
         self.spark = spark
         self.index_dir = index_dir
+        self.shingle_dir = index_dir + ".shingles"
         self.max_files = max_files
         self.n_compact_partitions = n_compact_partitions
+        self.rerank_threshold = rerank_threshold
 
-    def _data_files(self) -> list[str]:
-        if not os.path.isdir(self.index_dir):
+    def _parquet_files(self, root: str) -> list[str]:
+        if not os.path.isdir(root):
             return []
         return [
             os.path.join(d, f)
-            for d, _s, fs in os.walk(self.index_dir)
+            for d, _s, fs in os.walk(root)
             for f in fs
             if f.endswith(".parquet")
         ]
 
-    def compact(self) -> int:
-        """Rewrite the index into n_compact_partitions files partitioned by
-        band key (fewer, larger, join-aligned files). Atomic: the new layout
-        is staged beside the index and swapped in with directory renames, so
-        a crash at any point leaves a readable index. Returns the resulting
-        file count."""
-        index = self._index()
-        if index is None:
+    def _data_files(self) -> list[str]:
+        return self._parquet_files(self.index_dir)
+
+    def _recover(self, live_dir: str) -> None:
+        """Reclaim a crashed compaction pass for one directory. If the crash
+        hit between retire and promote, the '.retired' copy is the ONLY
+        surviving index — restore it. Only '.compacting' (never promoted,
+        possibly incomplete) is unconditionally deleted."""
+        staging, retired = live_dir + ".compacting", live_dir + ".retired"
+        if os.path.isdir(staging):
+            shutil.rmtree(staging)
+        if os.path.isdir(retired):
+            if not os.path.isdir(live_dir):
+                os.replace(retired, live_dir)
+            else:
+                shutil.rmtree(retired)  # promotion completed; copy is stale
+
+    def _compact_dir(self, live_dir: str, partition_cols: list[str]) -> int:
+        """Atomic swap: stage → retire old → promote staged → drop retired."""
+        self._recover(live_dir)
+        if not self._parquet_files(live_dir):
             return 0
-        staging = self.index_dir + ".compacting"
-        retired = self.index_dir + ".retired"
-        for stale in (staging, retired):  # reclaim a crashed previous pass
-            if os.path.isdir(stale):
-                shutil.rmtree(stale)
+        staging, retired = live_dir + ".compacting", live_dir + ".retired"
         (
-            index.repartition(self.n_compact_partitions, "band_idx", "band_hash")
+            self.spark.read.parquet(live_dir)
+            .repartition(self.n_compact_partitions, *partition_cols)
             .write.mode("overwrite")
             .parquet(staging)
         )
-        os.replace(self.index_dir, retired)
-        os.replace(staging, self.index_dir)
+        os.replace(live_dir, retired)
+        os.replace(staging, live_dir)
         shutil.rmtree(retired)
-        return len(self._data_files())
+        return len(self._parquet_files(live_dir))
+
+    def compact(self) -> int:
+        """Rewrite the index (and, in re-rank mode, the shingle store) into
+        n_compact_partitions join-aligned files each. Returns the resulting
+        band-index file count."""
+        n = self._compact_dir(self.index_dir, ["band_idx", "band_hash"])
+        if self.rerank_threshold is not None:
+            self._compact_dir(self.shingle_dir, ["doc_id"])
+        return n
 
     def _index(self) -> DataFrame | None:
         if not self._data_files():
             return None
         return self.spark.read.parquet(self.index_dir)
 
+    def _shingle_store(self) -> DataFrame | None:
+        if not self._parquet_files(self.shingle_dir):
+            return None
+        return self.spark.read.parquet(self.shingle_dir)
+
+    def _rejected(self, bands: DataFrame, hashed: DataFrame) -> DataFrame:
+        """The (doc_id) rows to reject for this batch — band-level verdicts,
+        or Jaccard-re-ranked verdicts when rerank_threshold is set."""
+        other = bands.select(F.col("doc_id").alias("prior_id"), "band_idx", "band_hash")
+        cand_in_batch = (
+            bands.join(other, ["band_idx", "band_hash"])
+            .filter(F.col("prior_id") < F.col("doc_id"))
+            .select("doc_id", "prior_id")
+        )
+        index = self._index()
+        if index is not None:
+            cand_vs_index = bands.join(
+                index.select(
+                    F.col("doc_id").alias("prior_id"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            ).select("doc_id", "prior_id")
+            cands = cand_in_batch.unionByName(cand_vs_index)
+        else:
+            cands = cand_in_batch
+        if self.rerank_threshold is None:
+            return cands.select("doc_id").distinct()
+
+        cands = cands.distinct()
+        # prior-side shingles: current batch (in-batch priors) + the store
+        store = self._shingle_store()
+        prior_sh = hashed if store is None else hashed.unionByName(store)
+        prior_sh = prior_sh.select(F.col("doc_id").alias("prior_id"), "h0")
+        inter = (
+            cands.join(hashed, "doc_id")
+            .join(prior_sh, ["prior_id", "h0"])
+            .groupBy("doc_id", "prior_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        n_doc = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_a"))
+        n_prior = prior_sh.groupBy("prior_id").agg(F.count(F.lit(1)).alias("n_b"))
+        return (
+            inter.join(n_doc, "doc_id")
+            .join(n_prior, "prior_id")
+            .filter(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                >= F.lit(float(self.rerank_threshold))
+            )
+            .select("doc_id")
+            .distinct()
+        )
+
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Screen one batch of (doc_id, text) rows. Returns the admitted
-        docs; their bands are appended to the index. Within-batch dups keep
-        the lowest doc_id (deterministic)."""
-        bands = band_hashes(hashed_shingles(docs)).persist()
+        docs; their bands (and shingle hashes, in re-rank mode) are appended
+        to the index. Within-batch dups keep the lowest doc_id
+        (deterministic)."""
+        self._recover(self.index_dir)
+        if self.rerank_threshold is not None:
+            self._recover(self.shingle_dir)
+        hashed = hashed_shingles(docs).persist()
+        bands = band_hashes(hashed).persist()
         try:
-            # within-batch: any band shared with an earlier (lower-id) doc
-            other = bands.select(
-                F.col("doc_id").alias("prior_id"), "band_idx", "band_hash"
-            )
-            dup_in_batch = (
-                bands.join(other, ["band_idx", "band_hash"])
-                .filter(F.col("prior_id") < F.col("doc_id"))
-                .select("doc_id")
-                .distinct()
-            )
-            # against the accumulated index
-            index = self._index()
-            if index is not None:
-                dup_vs_index = (
-                    bands.join(
-                        index.select("band_idx", "band_hash").dropDuplicates(),
-                        ["band_idx", "band_hash"],
-                    )
-                    .select("doc_id")
-                    .distinct()
-                )
-                dups = dup_in_batch.unionByName(dup_vs_index).distinct()
-            else:
-                dups = dup_in_batch
-            # materialize the rejected ids NOW (bounded by batch size): the
+            # materialize the rejected-id set NOW, distributed (eager local
+            # checkpoint — no driver round-trip, no literal IN list): the
             # returned `admitted` plan must not lazily reference index files
             # that a compaction pass may rewrite before the caller collects
-            dup_ids = [r[0] for r in dups.collect()]
-            admitted = (
-                docs.filter(~F.col("doc_id").isin(dup_ids)) if dup_ids else docs
-            )
-            new_bands = (
-                bands.filter(~F.col("doc_id").isin(dup_ids)) if dup_ids else bands
-            )
+            dups = self._rejected(bands, hashed).localCheckpoint(eager=True)
+            admitted = docs.join(dups, "doc_id", "left_anti")
+            new_bands = bands.join(dups, "doc_id", "left_anti")
             new_bands.write.mode("append").parquet(self.index_dir)
+            if self.rerank_threshold is not None:
+                hashed.join(dups, "doc_id", "left_anti").write.mode("append").parquet(
+                    self.shingle_dir
+                )
             if len(self._data_files()) > self.max_files:
                 self.compact()
             return admitted
         finally:
             bands.unpersist()
+            hashed.unpersist()

@@ -53,6 +53,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- timestamps: parquet int96/µs round-trip sanity ---------------
         .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
+        # rejects; read as long and truncate at the query layer (tables.py).
+        # Set here, once, so no query mutates the shared session conf.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

@@ -17,6 +17,12 @@ Spark schema — one record per row-change plus checkpoint markers:
 |                 |                 |  rotate events announce the new file    |
 |                 |                 |  (HbaseApplier.scala:155-165); NULL =   |
 |                 |                 |  unchanged since the last known file    |
+| seq (optional)  | long            | globally monotonic arrival order. Real  |
+|                 |                 |  MySQL positions reset per binlog file, |
+|                 |                 |  so sources that rotate mid-batch MUST  |
+|                 |                 |  stamp seq; without it the kernel falls |
+|                 |                 |  back to position order (valid only for |
+|                 |                 |  globally monotonic positions)          |
 """
 
 from __future__ import annotations
@@ -32,25 +38,26 @@ OP_NEXT_POSITION = "next_position"
 ROW_OPS = (OP_INSERT, OP_UPDATE, OP_DELETE)
 
 
-def cdc_event_schema(row_struct: T.StructType) -> T.StructType:
+def cdc_event_schema(row_struct: T.StructType, with_seq: bool = False) -> T.StructType:
     """Event schema for a given source-table row struct (all fields nullable
     — absence is expressed via included_* or null structs)."""
     nullable_struct = T.StructType(
         [T.StructField(f.name, f.dataType, nullable=True) for f in row_struct.fields]
     )
-    return T.StructType(
-        [
-            T.StructField("position", T.LongType(), False),
-            T.StructField("op", T.StringType(), False),
-            T.StructField("db", T.StringType(), True),
-            T.StructField("table", T.StringType(), True),
-            T.StructField("before", nullable_struct, True),
-            T.StructField("after", nullable_struct, True),
-            T.StructField("included_before", T.ArrayType(T.StringType()), True),
-            T.StructField("included_after", T.ArrayType(T.StringType()), True),
-            T.StructField("filename", T.StringType(), True),
-        ]
-    )
+    fields = [
+        T.StructField("position", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("db", T.StringType(), True),
+        T.StructField("table", T.StringType(), True),
+        T.StructField("before", nullable_struct, True),
+        T.StructField("after", nullable_struct, True),
+        T.StructField("included_before", T.ArrayType(T.StringType()), True),
+        T.StructField("included_after", T.ArrayType(T.StringType()), True),
+        T.StructField("filename", T.StringType(), True),
+    ]
+    if with_seq:
+        fields.append(T.StructField("seq", T.LongType(), True))
+    return T.StructType(fields)
 
 
 def events_from_rows(
@@ -61,7 +68,8 @@ def events_from_rows(
     Each dict: {position, op, db, table, before: dict|None, after: dict|None,
     included_before: list|None, included_after: list|None}.
     """
-    schema = cdc_event_schema(row_struct)
+    with_seq = any("seq" in r for r in rows)
+    schema = cdc_event_schema(row_struct, with_seq=with_seq)
     field_names = [f.name for f in row_struct.fields]
 
     def to_struct_tuple(d: dict | None):
@@ -81,6 +89,7 @@ def events_from_rows(
             r.get("included_after"),
             r.get("filename"),
         )
+        + ((r.get("seq"),) if with_seq else ())
         for r in rows
     ]
     return spark.createDataFrame(data, schema)

@@ -285,6 +285,37 @@ def test_rotate_mid_batch_checkpoints_filename_and_resumes(
     assert r3.checkpoint_filename == "binlog.000003"
 
 
+def test_rotate_with_per_file_position_reset_uses_seq_order(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """Real MySQL positions reset per binlog file: after a mid-batch rotate,
+    max(position) pairs the NEW filename with the OLD file's larger position
+    — an invalid resume point. With a globally monotonic ``seq`` stamped by
+    the source, both the checkpoint pair AND the K5 last-image collapse
+    follow true stream order."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import read_checkpoint_state
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    b = [
+        ev(500, "insert", after=row(1, 1, 90, "ann", "a"),
+           filename="binlog.000001", seq=1),
+        ev(510, "insert", after=row(2, 2, 80, "bob", "b"), seq=2),
+        ev(4, "rotate", filename="binlog.000002", seq=3),
+        # same-PK update AFTER the rotate at a SMALLER position: stream order
+        # must beat position order in the collapse too
+        ev(8, "update", before=row(1, 1, 90, "ann", "a"),
+           after=row(1, 1, 99, "ann2", "z"), seq=4),
+    ]
+    r = apply_cdc_batch(spark, events_from_rows(spark, b, student_struct), store, mappings)
+    # resume point = (new file, position WITHIN it) — not the old file's 510
+    assert r.checkpoint_position == 8
+    assert r.checkpoint_filename == "binlog.000002"
+    assert read_checkpoint_state(store) == {"position": 8, "filename": "binlog.000002"}
+    # the post-rotate update won despite its smaller position
+    assert spark_final_state(spark, store) == [(1, 1, 99, "ann2", "z"), (2, 2, 80, "bob", "b")]
+
+
 def test_legacy_events_without_filename_checkpoint_none(
     spark, tmp_path, student_struct, student_mapping
 ):

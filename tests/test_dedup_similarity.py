@@ -231,3 +231,110 @@ def test_incremental_dedup_compaction_bounds_files(spark, tmp_path):
     dd2 = IncrementalDeduper(spark, str(tmp_path / "compacted"), max_files=6)
     replay = spark.createDataFrame([(999, doc(12))], "doc_id long, text string")
     assert [r.doc_id for r in dd2.process_batch(replay).collect()] == []
+
+
+def test_incremental_dedup_rejects_are_distributed(spark, tmp_path):
+    """The admitted-docs plan must be a left_anti join against the
+    materialized reject set — never a driver-side collect + literal IN list
+    (a 10M-doc micro-batch would otherwise build a 10M-element expression)."""
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+
+    dd = IncrementalDeduper(spark, str(tmp_path / "idx"))
+    text = "one two three four five six seven eight nine ten eleven twelve"
+    b1 = spark.createDataFrame([(1, text), (2, text)], "doc_id long, text string")
+    admitted = dd.process_batch(b1)
+    plan = admitted._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert " IN (" not in plan and "isin" not in plan
+    assert sorted(r.doc_id for r in admitted.collect()) == [1]
+
+
+def test_incremental_dedup_crash_recovery(spark, tmp_path):
+    """Crash between retire and promote leaves only '.retired' — the next
+    call must restore it, not rmtree the sole surviving index copy."""
+    import os
+    import shutil
+
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+
+    idx = str(tmp_path / "idx")
+    dd = IncrementalDeduper(spark, idx)
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while seven wizards brew strong coffee under a pale winter moon today"
+    )
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    assert [r.doc_id for r in dd.process_batch(b1).collect()] == [1]
+
+    # simulate the torn swap: index retired, promotion never happened, and a
+    # half-written staging dir is lying around
+    os.replace(idx, idx + ".retired")
+    os.makedirs(idx + ".compacting")
+    with open(os.path.join(idx + ".compacting", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+
+    b2 = spark.createDataFrame([(2, base)], "doc_id long, text string")
+    assert dd.process_batch(b2).collect() == []  # index restored → dup caught
+    assert not os.path.isdir(idx + ".retired")
+    assert not os.path.isdir(idx + ".compacting")
+
+    # completed-promotion crash (live dir AND stale retired copy): retired
+    # copy is dropped, live index survives
+    shutil.copytree(idx, idx + ".retired")
+    b3 = spark.createDataFrame([(3, base)], "doc_id long, text string")
+    assert dd.process_batch(b3).collect() == []
+    assert not os.path.isdir(idx + ".retired")
+
+
+def test_incremental_dedup_jaccard_rerank(spark, tmp_path):
+    """With rerank_threshold, a band collision is only a CANDIDATE: a pair
+    whose exact shingle Jaccard is below the threshold is admitted (it would
+    be rejected by the band-level rule), while a true near-dup above the
+    threshold is still rejected — across batches and within one."""
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+    from pyspark.sql import functions as F
+
+    # fixtures found by deterministic search over the md5 minhash pipeline:
+    # `half` shares exactly base's band 0 (a genuine LSH collision) at exact
+    # shingle jaccard 0.414; `near` is a one-word edit at jaccard 0.909
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while seven wizards brew coffee strong a under pale"
+    )
+    half = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "parquet codegen broadcast shuffle adaptive pruning catalyst tungsten"
+    )
+    near = base.rsplit(" ", 1)[0] + " dim"
+
+    def jaccard(a: str, b: str) -> float:
+        df = spark.createDataFrame([(a,), (b,)], "text string").select(
+            word_shingles(F.col("text")).alias("sh")
+        )
+        sa, sb = [set(r.sh) for r in df.collect()]
+        return len(sa & sb) / len(sa | sb)
+
+    j_half, j_near = jaccard(base, half), jaccard(base, near)
+    assert j_half < 0.6 < j_near  # fixture sanity
+
+    # band-level deduper: rejects BOTH (any shared band)
+    plain = IncrementalDeduper(spark, str(tmp_path / "plain"))
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    b2 = spark.createDataFrame([(10, half), (11, near)], "doc_id long, text string")
+    plain.process_batch(b1)
+    plain_kept = sorted(r.doc_id for r in plain.process_batch(b2).collect())
+    assert plain_kept == []  # the moderate-overlap doc band-collides → fixture is a real FP
+
+    # re-rank deduper: the sub-threshold pair survives, the near-dup dies
+    rr = IncrementalDeduper(spark, str(tmp_path / "rr"), rerank_threshold=0.6)
+    rr.process_batch(b1)
+    rr_kept = sorted(r.doc_id for r in rr.process_batch(b2).collect())
+    assert rr_kept == [10]
+
+    # within-batch: same rule, prior = earlier-by-id
+    rr2 = IncrementalDeduper(spark, str(tmp_path / "rr2"), rerank_threshold=0.6)
+    one = spark.createDataFrame(
+        [(1, base), (2, half), (3, near)], "doc_id long, text string"
+    )
+    assert sorted(r.doc_id for r in rr2.process_batch(one).collect()) == [1, 2]
