@@ -35,3 +35,24 @@ def decimal_to_double(c: Column) -> Column:
 def bytes_to_utf8(c: Column) -> Column:
     """TEXT arrives from the binlog as bytes → UTF-8 string."""
     return F.decode(c, "UTF-8")
+
+
+# Whitespace canonicalization for the text/dedup operators. The explicit
+# character class (not \s) is deliberate: Java regex \s includes \x0B
+# (vertical tab) while DuckDB's RE2 \s does not, so the class is spelled out
+# identically for both engines. Runs collapse to one ASCII space, then
+# leading/trailing space is trimmed — after this, STRING_SPLIT(text, ' ')
+# and the single-space shingle/token regexes are exact on any corpus.
+WS_CLASS_RX = r"[ \t\n\r\f]+"
+
+
+def normalize_ws(text: Column) -> Column:
+    """Collapse whitespace runs to single spaces and trim. Pre-pass for
+    non-canonical corpora feeding the single-space tokenizers (see
+    operators/dedup.py word_shingles CORPUS ASSUMPTION)."""
+    return F.trim(F.regexp_replace(text, WS_CLASS_RX, " "))
+
+
+def normalize_ws_sql(expr: str) -> str:
+    """DuckDB twin of :func:`normalize_ws` — same class, global replace."""
+    return f"TRIM(REGEXP_REPLACE({expr}, '[ \\t\\n\\r\\f]+', ' ', 'g'))"

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mysql_hbase_replicator_spark.functions.normalize import normalize_ws
 from mysql_hbase_replicator_spark.plans.registry import query
 from mysql_hbase_replicator_spark.sources.tables import load_table
 
@@ -95,14 +96,20 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def shingle_pairs(
-    spark: SparkSession, sf_dir: str, max_doc_id: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_id: int | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """(doc_id, shingle) exploded — shared base for jaccard and minhash.
-    ``max_doc_id`` bounds the input doc set (pushed to the parquet scan)."""
+    ``max_doc_id`` bounds the input doc set (pushed to the parquet scan);
+    ``normalize=True`` collapses whitespace runs first (the pre-pass for
+    non-canonical corpora — see word_shingles' CORPUS ASSUMPTION)."""
     d = load_table(spark, sf_dir, "documents")
     if max_doc_id is not None:
         d = d.filter(F.col("doc_id") < max_doc_id)
-    return d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    text = normalize_ws(F.col("text")) if normalize else F.col("text")
+    return d.select("doc_id", F.explode(word_shingles(text)).alias("shingle"))
 
 
 def _jaccard_sql_base(max_doc_id: int | None = None) -> str:
@@ -254,10 +261,12 @@ def band_hashes(hashed: DataFrame) -> DataFrame:
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
 
 
-def hashed_shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, h0): distinct shingles hashed once to longs."""
+def hashed_shingles(docs: DataFrame, normalize: bool = False) -> DataFrame:
+    """(doc_id, text) → (doc_id, h0): distinct shingles hashed once to longs.
+    ``normalize=True`` canonicalizes whitespace before shingling."""
+    text = normalize_ws(F.col("text")) if normalize else F.col("text")
     return docs.select(
-        "doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle")
+        "doc_id", F.explode(word_shingles(text)).alias("shingle")
     ).select("doc_id", shingle_h0(F.col("shingle")).alias("h0"))
 
 
@@ -342,51 +351,57 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are two integer ops each, and the re-rank intersection joins on the
     60-bit h0 key — one pass over the strings, long-keyed shuffles
     everywhere else."""
-    # eager localCheckpoint, not persist(): the table is shared by banding
-    # and the re-rank, but a persist() would stay pinned in the SQL cache
-    # after the query returns (the caller never gets a handle to unpersist);
-    # checkpoint blocks are GC-reclaimed with the result instead.
-    hashed = (
-        shingle_pairs(spark, sf_dir)
-        .select("doc_id", shingle_h0(F.col("shingle")).alias("h0"))
-        .localCheckpoint(eager=True)
-    )
-    stacked = band_hashes(hashed)
-    left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-    right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-    candidates = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
-    )
-    # exact-Jaccard re-rank on candidates only, joining on the long keys
-    counts = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = hashed.select(F.col("doc_id").alias("doc_a"), "h0")
-    b = hashed.select(F.col("doc_id").alias("doc_b"), "h0")
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "h0"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-    spark_jaccard = (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            (
-                F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-            ).alias("jaccard"),
+    # persist() the shared shingle-hash table for the DURATION OF THE BUILD
+    # only: the small final result is eagerly checkpointed below, then the
+    # cache is released in the finally — full reuse across the four
+    # consumers (banding, counts, both re-rank sides) with zero SQL-cache
+    # residue after the query returns. (An eager localCheckpoint here
+    # materialized the full exploded table as a standalone job first and
+    # cost ~40% wall-clock at sf0.1.)
+    hashed = shingle_pairs(spark, sf_dir).select(
+        "doc_id", shingle_h0(F.col("shingle")).alias("h0")
+    ).persist()
+    try:
+        stacked = band_hashes(hashed)
+        left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+        candidates = (
+            left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
         )
-    )
-    return spark_jaccard.filter(F.col("jaccard") >= 0.3).orderBy(
-        F.desc("jaccard"), "doc_a", "doc_b"
-    )
+        # exact-Jaccard re-rank on candidates only, joining on the long keys
+        counts = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = hashed.select(F.col("doc_id").alias("doc_a"), "h0")
+        b = hashed.select(F.col("doc_id").alias("doc_b"), "h0")
+        inter = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "h0"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+        spark_jaccard = (
+            inter.join(ca, "doc_a")
+            .join(cb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                ).alias("jaccard"),
+            )
+        )
+        return (
+            spark_jaccard.filter(F.col("jaccard") >= 0.3)
+            .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        hashed.unpersist()
 
 
 SIMHASH_BITS = 60  # md5-derived 60-bit token hashes (see shingle_h0)

@@ -47,10 +47,12 @@ IVF_K = 16
 IVF_NPROBE = 4
 # PQ: PQ_M subspaces of SUBDIM dims, PQ_K codewords per subspace. 16 codes
 # suit the 500-50k test corpora; production uses 256 (one byte per code) and
-# the same plan shape.
+# the same plan shape. PQ_CAND asymmetric-distance candidates are exact-
+# cosine re-ranked down to TOP_K.
 PQ_M = 8
 PQ_K = 16
 PQ_SUBDIM = EMB_DIM // PQ_M
+PQ_CAND = 4 * TOP_K
 
 
 @query(
@@ -488,6 +490,288 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _pq_codebooks(e: DataFrame) -> DataFrame:
+    """Train PQ_M per-subspace codebooks (PQ_K words each) and collapse them
+    into ONE broadcastable row ``cbs: array<array<array<float>>>`` — outer
+    index = subspace, middle = codeword ordered by ascending cell id, inner =
+    PQ_SUBDIM floats. Training mirrors IVF exactly: seeds are the first PQ_K
+    vectors' sub-slices, one Lloyd refinement with the quantized
+    integer-exact decimal mean (order-free, O(1) memory per group). The
+    result is eagerly localCheckpoint-ed so the scan phase's plan starts
+    from a materialized 1-row table, not the training lineage."""
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("sub"),
+                        F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                            "svec"
+                        ),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.sub", "s.svec")
+    seeds = (
+        sub.filter(F.col("vec_id") < PQ_K)
+        .groupBy("sub")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").cast("int").alias("cid"), F.col("svec").alias("c")
+                    )
+                )
+            ).alias("cents")
+        )
+    )
+    assigned = (
+        sub.join(F.broadcast(seeds), "sub")
+        .withColumn(
+            "cell",
+            F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda c: F.struct(
+                        _l2_sq(F.col("svec"), c["c"]).alias("d"), c["cid"].alias("cid")
+                    ),
+                )
+            )["cid"],
+        )
+        .drop("cents")
+    )
+    cbs = (
+        assigned.select("sub", "cell", F.posexplode("svec").alias("pos", "val"))
+        .groupBy("sub", "cell", "pos")
+        .agg(
+            (
+                (
+                    F.sum(
+                        F.floor(F.col("val").cast("double") * F.lit(1000000000.0)).cast(
+                            "decimal(38,0)"
+                        )
+                    ).cast("double")
+                    / F.count("val").cast("double")
+                )
+                / F.lit(1000000000.0)
+            ).alias("v")
+        )
+        .groupBy("sub", "cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                lambda s: s["v"].cast("float"),
+            ).alias("c")
+        )
+        .groupBy("sub")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("cell").alias("cid"), "c"))),
+                lambda s: s["c"],
+            ).alias("words")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub", "words"))),
+                lambda s: s["words"],
+            ).alias("cbs")
+        )
+    )
+    return cbs.localCheckpoint(eager=True)
+
+
+def _ann_pq_oracle_sql() -> str:
+    """The full PQ pipeline as DuckDB SQL, stage-for-stage with the Spark
+    plan: sub-slice → seed codebooks → assign (argmin by (L2, cid), double
+    math) → quantized integer-exact means → float32 codewords → encode →
+    per-query distance tables (the SAME word distances, filtered to query
+    rows) → ADC sum folded in ascending subspace order → top-PQ_CAND by
+    (dist, vec_id) → exact-cosine rerank. Spark codes are POSITIONS in the
+    cid-ordered word array while the oracle keys by cid — identical
+    selection because the position order IS ascending-cid order and both
+    argmins tie-break the same way."""
+    D, S = EMB_DIM, PQ_SUBDIM
+    l2 = (
+        "LIST_SUM(LIST_TRANSFORM(RANGE(1, {s} + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    d_seed = l2.format(s=S, a="s.svec", b="sd.c")
+    d_word = l2.format(s=S, a="s.svec", b="w.c")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, t.m AS sub,
+               LIST_TRANSFORM(RANGE(1, {S} + 1), i -> embedding[t.m * {S} + i]) AS svec
+        FROM e, UNNEST(RANGE(0, {PQ_M})) AS t(m)
+    ),
+    seeds AS (
+        SELECT sub, CAST(vec_id AS INT) AS cid, svec AS c
+        FROM sub WHERE vec_id < {PQ_K}
+    ),
+    a1 AS (
+        SELECT vec_id, sub, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+        FROM (SELECT s.vec_id, s.sub, sd.cid, {d_seed} AS d
+              FROM sub s JOIN seeds sd ON sd.sub = s.sub)
+    ),
+    cells1 AS (SELECT vec_id, sub, cid AS cell FROM a1 WHERE rn = 1),
+    means AS (
+        SELECT c.sub, c.cell, t.i AS pos,
+               CAST((CAST(SUM(CAST(FLOOR(CAST(s.svec[t.i] AS DOUBLE) * 1000000000.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS FLOAT) AS v
+        FROM cells1 c
+        JOIN sub s ON s.vec_id = c.vec_id AND s.sub = c.sub,
+             UNNEST(RANGE(1, {S} + 1)) AS t(i)
+        GROUP BY c.sub, c.cell, t.i
+    ),
+    cb AS (SELECT sub, cell AS cid, LIST(v ORDER BY pos) AS c FROM means GROUP BY sub, cell),
+    enc AS (
+        SELECT s.vec_id, s.sub, w.cid, {d_word} AS d
+        FROM sub s JOIN cb w ON w.sub = s.sub
+    ),
+    codes AS (
+        SELECT vec_id, sub, cid AS code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY d, cid) AS rn FROM enc)
+        WHERE rn = 1
+    ),
+    dtab AS (
+        SELECT vec_id AS query_id, sub, cid AS code, d FROM enc
+        WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT q.query_id, c.vec_id, LIST_SUM(LIST(q.d ORDER BY q.sub)) AS dist
+        FROM codes c JOIN dtab q ON q.sub = c.sub AND q.code = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY q.query_id, c.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY dist, vec_id) AS rn FROM adc)
+        WHERE rn <= {PQ_CAND}
+    ),
+    sims AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                 / (SQRT(q.nsq) * SQRT(n.nsq)) AS cosine
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n ON n.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("similarity_pq", oracle=_ann_pq_oracle_sql())
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (product quantization) approximate NN — the memory-bound ANN
+    shape: each corpus vector is compressed to PQ_M small codes (one byte
+    each at production PQ_K=256 — 64× smaller than raw float32), each query
+    precomputes a PQ_M×PQ_K table of subspace distances, and the scan then
+    costs PQ_M array lookups + adds per corpus row instead of EMB_DIM
+    multiplies. At 100 TB: codebooks are one broadcast row; encode and the
+    ADC scan are map-only over the corpus (no shuffle, no UDF — lookups are
+    ``zip_with``/``element_at`` expressions inside codegen); the only
+    shuffles are the two tiny top-k windows keyed by query_id. Candidates
+    are exact-cosine re-ranked from the raw vectors (asymmetric distance is
+    an estimate — the re-rank restores exact ordering among the PQ_CAND
+    survivors). Recall vs brute force is asserted in
+    tests/test_dedup_similarity.py; plan shape pinned in tests/test_plans.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    cbs = _pq_codebooks(e)
+
+    code_cols = []
+    for m in range(PQ_M):
+        svec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        code_cols.append(
+            F.array_min(
+                F.transform(
+                    F.col("cbs")[m],
+                    # bound immediately by F.transform, so loop capture is safe
+                    lambda w, i: F.struct(_l2_sq(svec, w).alias("d"), i.alias("idx")),
+                )
+            )["idx"]
+        )
+    coded = e.crossJoin(F.broadcast(cbs)).select(
+        "vec_id", F.array(*code_cols).alias("codes")
+    )
+
+    dtab_cols = []
+    for m in range(PQ_M):
+        qsvec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dtab_cols.append(F.transform(F.col("cbs")[m], lambda w: _l2_sq(qsvec, w)))
+    qrow = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cbs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nsq").alias("q_nsq"),
+            F.array(*dtab_cols).alias("dtab"),
+        )
+    )
+
+    adc = (
+        coded.crossJoin(F.broadcast(qrow.select("query_id", "dtab")))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("dtab"),
+                    lambda code, row: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+
+    sims = (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qrow.select("query_id", "q_emb", "q_nsq")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )

@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mysql_hbase_replicator_spark.functions.normalize import (
+    normalize_ws,
+    normalize_ws_sql,
+)
 from mysql_hbase_replicator_spark.plans.registry import query
 from mysql_hbase_replicator_spark.sources.tables import load_table
 
@@ -38,6 +42,42 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars_actual"),
         (
             F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double")
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+_NWS = normalize_ws_sql("text")
+
+
+@query(
+    "text_token_count_ws",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT({_NWS}, ' ')) AS INT) AS n_tokens,
+           CAST(LENGTH({_NWS}) AS INT) AS n_chars_actual,
+           CAST(LENGTH(REPLACE({_NWS}, ' ', '')) AS DOUBLE)
+             / CAST(LEN(STRING_SPLIT({_NWS}, ' ')) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+)
+def text_token_count_ws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text_token_count with the whitespace-canonicalization pre-pass: tabs,
+    newlines, and space runs collapse to single spaces before tokenizing, so
+    counts are correct on non-canonical corpora (a no-op on the canonical
+    synthetic one — which is exactly what makes it oracle-checkable there;
+    the messy-corpus behavior is hash-checked against DuckDB in
+    tests/test_text_normalize.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    text = normalize_ws(F.col("text"))
+    tokens = F.split(text, " ")
+    n_tokens = F.size(tokens)
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length(text).alias("n_chars_actual"),
+        (
+            F.length(F.regexp_replace(text, " ", "")).cast("double")
             / n_tokens.cast("double")
         ).alias("avg_token_len"),
     )

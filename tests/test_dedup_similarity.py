@@ -118,6 +118,37 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
 
 
+def test_ann_pq_recall_vs_bruteforce(spark):
+    """PQ with 8 subspaces × 16 codewords + exact rerank of 4k candidates
+    must recall a reasonable share of true top-5 neighbors."""
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        similarity_pq,
+        similarity_topk_cosine,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk_cosine(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in similarity_pq(spark, SF).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"PQ recall too low: {recall:.2f}"
+
+
+def test_ann_pq_rank_contract(spark):
+    """Per query: ranks are 1..k dense, cosines non-increasing."""
+    from mysql_hbase_replicator_spark.operators.similarity import similarity_pq
+
+    per_q = {}
+    for r in similarity_pq(spark, SF).collect():
+        per_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+    assert per_q
+    for q, rows in per_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        cosines = [c for _, c in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
 def test_ann_ivf_rank_contract(spark):
     """Per query: ranks are 1..k dense, cosines non-increasing."""
     from mysql_hbase_replicator_spark.operators.similarity import similarity_ann_ivf

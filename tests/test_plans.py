@@ -153,6 +153,18 @@ def test_ivf_mean_step_never_materializes_members(spark):
     assert "collect_list(cast(val" not in plan
 
 
+def test_pq_scan_is_map_only(spark):
+    """The PQ encode + ADC scan must be map-side work against broadcast
+    codebooks/distance-tables: no sort-merge join, no row-wise Python, and
+    the only shuffles in the whole query are the two query_id-keyed top-k
+    windows (training lineage is truncated by the codebook checkpoint)."""
+    plan = simple_plan(QUERY_REGISTRY["similarity_pq"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
 def test_approx_count_distinct_accuracy(spark):
     """The only oracle-less query: HLL estimates must sit within 10% of the
     exact distinct counts (default rsd=0.05, so 10% is a generous gate)."""
