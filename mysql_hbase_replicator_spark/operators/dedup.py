@@ -519,9 +519,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_connected_components",
-    oracle=f"""
+# Shared recursive-closure CTE: exact-Jaccard strong edges (≥ 0.5) over the
+# capped doc prefix → min-label components. Reused by the cluster-extraction
+# oracle AND the survivor-corpus oracle below, so both stay term-for-term
+# equivalent to the same Spark label-propagation kernel.
+_CC_ORACLE_CTE = f"""
     WITH RECURSIVE sh AS (
         SELECT DISTINCT doc_id, u.shingle
         FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
@@ -554,7 +556,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.node
     ),
-    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node)
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node)"""
+
+
+@query(
+    "dedup_connected_components",
+    oracle=_CC_ORACLE_CTE
+    + """
     SELECT c.doc_id, c.cluster_id, s.cluster_size
     FROM comp c
     JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
@@ -644,6 +652,41 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = final.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+@query(
+    "dedup_survivors",
+    oracle=_CC_ORACLE_CTE
+    + f"""
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS INT) AS n_chars
+    FROM (SELECT * FROM documents WHERE doc_id < {EXACT_BASELINE_MAX_DOCS}) d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end keeper selection — the corpus that actually SURVIVES
+    near-dup removal: connected components over strong (exact-Jaccard ≥ 0.5)
+    edges pick one keeper per duplicate cluster (the min doc_id, i.e. the
+    cluster label itself); every doc outside any cluster is a singleton and
+    survives untouched. This is the composition a pretraining pipeline runs,
+    not just the pair/cluster report.
+
+    Scale shape: the cluster labels come from the distributed
+    label-propagation kernel above; the drop set (cluster members that are
+    not their own label) anti-joins back onto `documents` on doc_id — one
+    equi-shuffle, no driver materialization, output ~ corpus size minus
+    duplicates. The oracle reuses the exact same recursive-closure CTE as
+    the cluster query, so both verdicts come from one shared edge
+    definition."""
+    comp = dedup_connected_components(spark, sf_dir)
+    drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EXACT_BASELINE_MAX_DOCS
+    )
+    return d.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    )
 
 
 SIMHASH_BANDS = 4  # 4 × 15-bit bands: any pair within hamming 3 shares ≥1 band

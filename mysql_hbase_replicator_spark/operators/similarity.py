@@ -775,3 +775,110 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+EMB_DUP_THRESHOLD = 0.4  # near-dup cosine gate (corpus cosines cluster ~0.43-0.51)
+
+
+def _emb_lsh_pairs_oracle_sql() -> str:
+    """Corpus×corpus hyperplane-LSH near-dup pairs as DuckDB SQL — same
+    literal-hyperplane bucket construction as the ANN oracle, but the
+    candidate join is the full self-join on (table, bucket) with vec_a <
+    vec_b, then exact-cosine verified against EMB_DUP_THRESHOLD."""
+    def plane_lit(plane):
+        return "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+
+    def dot_sql(plane_name):
+        return (f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1), "
+                f"i -> CAST(embedding[i] AS DOUBLE) * ({plane_name})[i]))")
+
+    bucket_rows = []
+    for t in range(LSH_TABLES):
+        planes = _hyperplanes(t)
+        bits = " + ".join(
+            f"CASE WHEN {dot_sql(plane_lit(planes[p]))} > 0 THEN {2**p} ELSE 0 END"
+            for p in range(LSH_BITS)
+        )
+        bucket_rows.append(
+            f"SELECT vec_id, {t} AS lsh_table, "
+            f"CAST({bits} AS BIGINT) AS bucket FROM v"
+        )
+    buckets_union = "\n        UNION ALL\n        ".join(bucket_rows)
+    return f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    buckets AS (
+        {buckets_union}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a
+        JOIN buckets b ON a.lsh_table = b.lsh_table AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+    ),
+    sims AS (
+        SELECT c.vec_a, c.vec_b,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1),
+                        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / (SQRT(x.nsq) * SQRT(y.nsq)) AS cosine
+        FROM cand c
+        JOIN v x ON x.vec_id = c.vec_a
+        JOIN v y ON y.vec_id = c.vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM sims WHERE cosine >= {EMB_DUP_THRESHOLD}
+    """
+
+
+@query("dedup_embedding_lsh", oracle=_emb_lsh_pairs_oracle_sql())
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup PAIRS at corpus scale — the LSH-bucketed
+    replacement for `dedup_embedding_cosine`'s capped all-pairs baseline:
+    every vector lands in LSH_TABLES sign-bit buckets, candidates are the
+    bucket-equi self-join (vec_a < vec_b), and each candidate is verified
+    with the exact cosine before the EMB_DUP_THRESHOLD gate.
+
+    At 100 TB: the self-join shuffles on (table, bucket) — a small key with
+    bounded fan-out per bucket — instead of the O(n²) cross product; the
+    exact-cosine verify touches only candidate pairs. Same plan family as
+    MinHash-LSH banding for text. Candidate quality vs the exact baseline is
+    asserted in tests/test_dedup_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    buckets = e.select(
+        "vec_id", F.explode(lsh_buckets(F.col("embedding"))).alias("tb")
+    ).select("vec_id", "tb.lsh_table", "tb.bucket")
+    a = buckets.select(F.col("vec_id").alias("vec_a"), "lsh_table", "bucket")
+    b = buckets.select(F.col("vec_id").alias("vec_b"), "lsh_table", "bucket")
+    cand = (
+        a.join(b, ["lsh_table", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .dropDuplicates()
+    )
+    ea = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_from_parts(
+                dot(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )

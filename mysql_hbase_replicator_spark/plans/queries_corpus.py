@@ -344,3 +344,60 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle (sharded, seeded)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 32
+
+
+@query(
+    "corpus_shuffle",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_sql_hash60("shuffle:", "doc_id")} AS h FROM documents
+    ),
+    s AS (SELECT doc_id, h, CAST(h % {SHUFFLE_SHARDS} AS INT) AS shard FROM t)
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INT)
+             AS pos_in_shard,
+           CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) - 1 AS BIGINT)
+             AS global_pos
+    FROM s
+    """,
+)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle — the epoch-ordering step of a
+    training pipeline: every document gets a stable pseudo-random shard and
+    position, reproducible on any engine/partitioning because the order key
+    is md5-derived from doc_id (change the salt to get a new epoch's
+    permutation).
+
+    The global position uses the same distributed two-pass prefix sum as
+    `pack_sequences` (global order = (shard, h, doc_id)): a per-shard
+    row_number window runs in parallel, shard offsets come from an
+    O(SHUFFLE_SHARDS)-row broadcast table, so there is never a
+    single-partition window over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", hash60("shuffle:", F.col("doc_id")).alias("h")).withColumn(
+        "shard", (F.col("h") % SHUFFLE_SHARDS).cast("int")
+    )
+    w_in = Window.partitionBy("shard").orderBy("h", "doc_id")
+    pos = t.withColumn("pos_in_shard", F.row_number().over(w_in))
+    counts = t.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    # SHUFFLE_SHARDS rows: the unpartitioned window is bounded and cheap
+    w_off = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    return (
+        pos.join(F.broadcast(offsets), "shard")
+        .select(
+            "doc_id",
+            "shard",
+            F.col("pos_in_shard").cast("int").alias("pos_in_shard"),
+            (F.col("off") + F.col("pos_in_shard") - 1).cast("long").alias("global_pos"),
+        )
+    )

@@ -241,3 +241,70 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.min("doc_id").alias("min_doc_id"),
     )
+
+
+TFIDF_TOP_N = 3
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, u.term
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(t) AS u(term)
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rn
+          FROM scored)
+    WHERE rn <= {TFIDF_TOP_N}
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top distinguishing terms per document by a log-free TF-IDF:
+    score = tf × N_docs / df — the same ordering as tf × (N/df) with the
+    familiar idf log dropped, because bigint multiply + one double divide is
+    bit-identical across engines while ln() implementations can differ in
+    the last ulp (the engine's oracle-exactness rule beats textbook
+    cosmetics; the ranking is unchanged for fixed tf since x/df is monotone
+    in df).
+
+    Scale shape: tokenize is map-only; tf is one (doc, term) shuffle with
+    partial aggregation; df is a second shuffle over the already-collapsed
+    tf table; N_docs is a broadcast 1-row cross join; the final top-N window
+    partitions by doc_id. No step holds more than (distinct terms per doc)
+    rows per key."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_N)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

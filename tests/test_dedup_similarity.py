@@ -369,3 +369,81 @@ def test_incremental_dedup_jaccard_rerank(spark, tmp_path):
         [(1, base), (2, half), (3, near)], "doc_id long, text string"
     )
     assert sorted(r.doc_id for r in rr2.process_batch(one).collect()) == [1, 2]
+
+
+def test_survivors_partition_capped_corpus(spark):
+    """Survivors = exactly one keeper (the min doc_id) per duplicate cluster
+    plus every singleton: survivors ∪ dropped must tile the capped corpus,
+    and each cluster's sole survivor must be its label."""
+    from mysql_hbase_replicator_spark.operators.dedup import (
+        EXACT_BASELINE_MAX_DOCS,
+        dedup_connected_components,
+        dedup_survivors,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    survivors = {r.doc_id for r in dedup_survivors(spark, SF).collect()}
+    comp = dedup_connected_components(spark, SF).collect()
+    clusters: dict[int, list[int]] = {}
+    for r in comp:
+        clusters.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert clusters, "fixture should contain at least one duplicate cluster"
+    corpus = {
+        r.doc_id
+        for r in load_table(spark, SF, "documents")
+        .filter(F.col("doc_id") < EXACT_BASELINE_MAX_DOCS)
+        .select("doc_id")
+        .collect()
+    }
+    clustered = {d for members in clusters.values() for d in members}
+    assert survivors == (corpus - clustered) | set(clusters.keys())
+    for label, members in clusters.items():
+        assert min(members) == label
+        assert set(members) & survivors == {label}
+
+
+def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark):
+    """Every emitted LSH pair must be a TRUE near-dup (cosine ≥ threshold —
+    precision 1.0 by construction of the exact verify), and the bucketing
+    must recall a reasonable share of all true pairs."""
+    from mysql_hbase_replicator_spark.functions.vectors import (
+        cosine_from_parts,
+        dot,
+        norm_sq,
+    )
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        EMB_DUP_THRESHOLD,
+        dedup_embedding_lsh,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine_from_parts(
+                dot(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .collect()
+    }
+    assert exact, "fixture should contain near-dup embedding pairs"
+    approx = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, SF).collect()}
+    assert approx <= exact
+    assert len(approx) / len(exact) >= 0.4, (len(approx), len(exact))

@@ -192,3 +192,21 @@ def test_binned_range_join_avoids_nested_loop(spark):
     plan = simple_plan(QUERY_REGISTRY["join_range_binned"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_corpus_shuffle_prefix_sum_is_distributed(spark):
+    """Same contract as pack_sequences: the corpus-sized position window must
+    be partitioned by shard, with shard offsets joined back via broadcast —
+    never a global single-partition row_number over the corpus."""
+    plan = simple_plan(QUERY_REGISTRY["corpus_shuffle"](spark, SF))
+    assert "windowspecdefinition(shard" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tfidf_stays_jvm_side(spark):
+    """TF-IDF is three shuffles (tf, df, top-N window) of JVM built-ins: no
+    Python nodes, no cartesian product (the 1-row N_docs join must plan as a
+    broadcast nested loop, not CartesianProduct)."""
+    plan = simple_plan(QUERY_REGISTRY["text_tfidf_top_terms"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
