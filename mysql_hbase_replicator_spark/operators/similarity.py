@@ -882,3 +882,104 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
     )
+
+
+def _kmeans_clusters_oracle_sql() -> str:
+    """Corpus k-means cluster profile as DuckDB SQL — the same seed → assign
+    → quantized-mean → re-assign stages as the IVF oracle, finishing with
+    per-cell counts and the quantized integer-exact mean of the squared
+    distance to the final centroid (so the double aggregate is
+    shuffle-order-independent on the Spark side and bit-equal here)."""
+    D = EMB_DIM
+    dist = (
+        "LIST_SUM(LIST_TRANSFORM(RANGE(1, {d} + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    d_expr = dist.format(d=D, a="e.embedding", b="s.c")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    seeds AS (
+        SELECT CAST(vec_id AS INT) AS cid, embedding AS c
+        FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a1 AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT e.vec_id, s.cid, {d_expr} AS d FROM e, seeds s)
+    ),
+    cells1 AS (SELECT vec_id, cid AS cell FROM a1 WHERE rn = 1),
+    means AS (
+        SELECT c.cell, t.i AS pos,
+               CAST((CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS FLOAT) AS v
+        FROM cells1 c
+        JOIN e ON e.vec_id = c.vec_id, UNNEST(RANGE(1, {D} + 1)) AS t(i)
+        GROUP BY c.cell, t.i
+    ),
+    cents2 AS (SELECT cell AS cid, LIST(v ORDER BY pos) AS c FROM means GROUP BY cell),
+    a2 AS (
+        SELECT vec_id, cid, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT e.vec_id, s.cid, {d_expr} AS d FROM e, cents2 s)
+    ),
+    asg AS (SELECT vec_id, cid AS cell, d FROM a2 WHERE rn = 1)
+    SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors,
+           (CAST(SUM(CAST(FLOOR(d * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
+            / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS mean_dist_sq
+    FROM asg GROUP BY cell
+    """
+
+
+@query("embedding_kmeans_clusters", oracle=_kmeans_clusters_oracle_sql())
+def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering profile — the data-mixture report a curation
+    pipeline reads before up/down-sampling domains: every embedding assigned
+    to its k-means cell (same deterministic seeds + one Lloyd refinement as
+    the IVF index) with per-cluster membership counts and mean squared
+    distance to the centroid (cohesion).
+
+    Scale shape: training is the IVF `_kmeans_step` (posexplode + partial
+    aggregation, O(1) memory per group); assignment is a map-only pass
+    against the one-row broadcast centroid table; the profile is a single
+    groupBy on a K-valued key, output O(K) rows. The distance mean uses the
+    same 1e-9-quantized integer-exact decimal sum as the centroid means, so
+    the double result is independent of shuffle order and bit-equal to the
+    DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seeds = (
+        e.filter(F.col("vec_id") < IVF_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c"))
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+    cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _l2_sq(F.col("embedding"), c["c"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    assigned = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", best["cid"].alias("cell"), best["d"].alias("d")
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (
+                (
+                    F.sum(
+                        F.floor(F.col("d") * F.lit(1000000000.0)).cast("decimal(38,0)")
+                    ).cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                )
+                / F.lit(1000000000.0)
+            ).alias("mean_dist_sq"),
+        )
+        .select(
+            F.col("cell").cast("int").alias("cell"), "n_vectors", "mean_dist_sq"
+        )
+    )

@@ -401,3 +401,137 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("off") + F.col("pos_in_shard") - 1).cast("long").alias("global_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+# deterministic held-out stand-in: every 50th doc is "the benchmark set"
+DECONTAM_TEST_MOD = 50
+
+
+@query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, u.shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+        WHERE LEN(t) >= 3
+    ),
+    test AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONTAM_TEST_MOD} = 0)
+    SELECT s.doc_id, CAST(COUNT(*) AS INT) AS n_shared_shingles
+    FROM sh s JOIN test t USING (shingle)
+    WHERE s.doc_id % {DECONTAM_TEST_MOD} <> 0
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the check every training pipeline runs
+    before a model ships: which TRAINING documents share verbatim n-grams
+    with the held-out evaluation set (here the deterministic stand-in
+    doc_id % DECONTAM_TEST_MOD == 0)? Output = contaminated doc ids with the
+    count of distinct 3-word shingles they share with any test doc.
+
+    Scale shape: the test set's distinct shingles are tiny relative to the
+    corpus (benchmarks are MBs, corpora are TBs) — broadcast them and the
+    whole check is a map-side hash join over the exploded training shingles
+    plus one count shuffle on doc_id. No corpus self-join anywhere."""
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(word_shingles(F.col("text"))).alias("shingle"))
+    test_sh = (
+        sh.filter(F.col("doc_id") % DECONTAM_TEST_MOD == 0)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % DECONTAM_TEST_MOD != 0)
+        .join(F.broadcast(test_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_shingles"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget subset selection (quality-ordered prefix under a budget)
+# ---------------------------------------------------------------------------
+
+BUDGET_FRAC = 0.5  # keep the best half of the corpus by token count
+BUDGET_BUCKET_CHARS = 64  # quality buckets = n_chars // 64 (descending)
+
+
+@query(
+    "corpus_token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens, n_chars
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(FLOOR({BUDGET_FRAC} * CAST(SUM(n_tokens) AS DOUBLE)) AS BIGINT)
+          AS budget FROM t
+    ),
+    o AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY n_chars // {BUDGET_BUCKET_CHARS} DESC,
+                                            n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM t
+    )
+    SELECT o.doc_id, CAST(o.n_tokens AS INT) AS n_tokens,
+           CAST(o.cum - o.n_tokens AS BIGINT) AS start_offset
+    FROM o, tot WHERE o.cum - o.n_tokens < tot.budget
+    """,
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget subset selection: walk the corpus in quality order
+    (longer documents first — the stand-in scoring; swap any deterministic
+    score) and keep every document whose stream position starts inside the
+    BUDGET_FRAC token budget — "give me the best N tokens", the final gate
+    before tokenization.
+
+    The global quality-ordered prefix sum is the same distributed two-pass
+    pattern as `pack_sequences`, with the bucket key derived from the SORT
+    key (n_chars // BUDGET_BUCKET_CHARS, descending) so each bucket owns a
+    contiguous range of the global order: per-bucket window cumsum in
+    parallel, O(buckets)-row broadcast offset table, broadcast 1-row budget.
+    Never a single-partition window over the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        "n_chars",
+    ).withColumn("qb", F.floor(F.col("n_chars") / BUDGET_BUCKET_CHARS).cast("long"))
+
+    w_in = (
+        Window.partitionBy("qb")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_in = t.withColumn("cum_in", F.sum("n_tokens").over(w_in))
+
+    totals = t.groupBy("qb").agg(F.sum("n_tokens").alias("btot"))
+    # O(buckets) rows: the unpartitioned window is bounded and cheap
+    w_off = Window.orderBy(F.desc("qb")).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "qb", F.coalesce(F.sum("btot").over(w_off), F.lit(0)).alias("boff")
+    )
+    budget = t.agg(
+        F.floor(F.lit(BUDGET_FRAC) * F.sum("n_tokens").cast("double"))
+        .cast("long")
+        .alias("budget")
+    )
+    j = cum_in.join(F.broadcast(offsets), "qb").crossJoin(F.broadcast(budget))
+    start = (F.col("boff") + F.col("cum_in") - F.col("n_tokens")).cast("long")
+    return (
+        j.filter(start < F.col("budget"))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            start.alias("start_offset"),
+        )
+    )

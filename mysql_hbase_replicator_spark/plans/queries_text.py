@@ -308,3 +308,57 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TFIDF_TOP_N)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+# PII patterns — conservative syntax that parses identically as Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repeats, \b word
+# boundaries; no lookaround, no backrefs.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RX = r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b"
+PII_IP_RX = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(text,
+               '{PII_EMAIL_RX}', '<EMAIL>', 'g'),
+               '{PII_PHONE_RX}', '<PHONE>', 'g'),
+               '{PII_IP_RX}', '<IP>', 'g') AS redacted_text,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_EMAIL_RX}')) AS INT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_PHONE_RX}')) AS INT) AS n_phones,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '{PII_IP_RX}')) AS INT) AS n_ips
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — redact emails, US-style phone numbers, and IPv4
+    addresses to typed placeholder tags, reporting per-document match counts
+    (counted on the ORIGINAL text; replacement is sequenced email → phone →
+    ip on the progressively redacted string, identically in both engines).
+
+    Map-only over the corpus: three regexp_replace + three
+    regexp_extract_all calls inside whole-stage codegen, no shuffle at all.
+    A no-op on the clean synthetic corpus (which is what makes it
+    oracle-checkable there); redaction behavior on PII-bearing text is
+    hash-checked against DuckDB with a constructed fixture in
+    tests/test_text_normalize.py."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, PII_EMAIL_RX, "<EMAIL>"),
+            PII_PHONE_RX,
+            "<PHONE>",
+        ),
+        PII_IP_RX,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        redacted.alias("redacted_text"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RX), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RX), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(text, F.lit(PII_IP_RX), 0)).alias("n_ips"),
+    )

@@ -447,3 +447,62 @@ def test_embedding_lsh_pairs_subset_of_exact_with_recall(spark):
     approx = {(r.vec_a, r.vec_b) for r in dedup_embedding_lsh(spark, SF).collect()}
     assert approx <= exact
     assert len(approx) / len(exact) >= 0.4, (len(approx), len(exact))
+
+
+def test_decontaminate_counts_match_bruteforce(spark):
+    """Every reported contaminated doc must be a genuine training doc whose
+    shingle set intersects the test set's, with the exact intersection
+    size."""
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+    from mysql_hbase_replicator_spark.plans.queries_corpus import (
+        DECONTAM_TEST_MOD,
+        corpus_decontaminate,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    rows = load_table(spark, SF, "documents").select(
+        "doc_id", word_shingles(F.col("text")).alias("sh")
+    ).collect()
+    test_sh = set()
+    for r in rows:
+        if r.doc_id % DECONTAM_TEST_MOD == 0:
+            test_sh |= set(r.sh)
+    want = {
+        r.doc_id: len(set(r.sh) & test_sh)
+        for r in rows
+        if r.doc_id % DECONTAM_TEST_MOD != 0 and set(r.sh) & test_sh
+    }
+    got = {
+        r.doc_id: r.n_shared_shingles
+        for r in corpus_decontaminate(spark, SF).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_token_budget_select_is_quality_prefix(spark):
+    """The selection must be exactly the quality-ordered prefix whose start
+    offsets fall inside the budget: every selected start < budget, the
+    selected set covers the budget, and it is downward-closed in the global
+    (bucket desc, n_chars desc, doc_id) order."""
+    from mysql_hbase_replicator_spark.plans.queries_corpus import (
+        BUDGET_FRAC,
+        corpus_token_budget_select,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens"), "n_chars"
+    ).collect()
+    budget = int(BUDGET_FRAC * sum(r.n_tokens for r in docs))
+    order = sorted(docs, key=lambda r: (-(r.n_chars // 64), -r.n_chars, r.doc_id))
+    want, cum = {}, 0
+    for r in order:
+        if cum < budget:
+            want[r.doc_id] = (r.n_tokens, cum)
+        cum += r.n_tokens
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset)
+        for r in corpus_token_budget_select(spark, SF).collect()
+    }
+    assert got == want
+    assert 0 < len(got) < len(docs)

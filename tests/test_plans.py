@@ -210,3 +210,21 @@ def test_tfidf_stays_jvm_side(spark):
     plan = simple_plan(QUERY_REGISTRY["text_tfidf_top_terms"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_budget_prefix_sum_is_distributed(spark):
+    """Budget selection's corpus-sized cumsum window must be partitioned by
+    the quality bucket with offsets and the budget scalar broadcast back —
+    same contract as pack_sequences/corpus_shuffle."""
+    plan = simple_plan(QUERY_REGISTRY["corpus_token_budget_select"](spark, SF))
+    assert "windowspecdefinition(qb" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_broadcasts_test_set(spark):
+    """The test-set shingle side must come back as a broadcast hash join —
+    the corpus is never shuffled on the shingle string at scale."""
+    plan = simple_plan(QUERY_REGISTRY["corpus_decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan

@@ -122,3 +122,57 @@ def test_normalized_minhash_equals_canonical_on_messy_variant(spark, messy_dir, 
     }
     want = {(r.doc_id, r.h0) for r in hashed_shingles(canonical).collect()}
     assert got == want and len(want) > 0
+
+
+PII_DOCS = [
+    (0, "contact me at bob.smith+spam@example.com or 555-123-4567 today"),
+    (1, "server at 192.168.0.1 and 10.0.0.255 went down"),
+    (2, "no pii here at all"),
+    (3, "alice@sub.domain.org wrote from 172.16.254.3 then called 800-555-0199"),
+    (4, "edge: a@b.co x@y.io 000-000-0000 999.999.999.999"),
+    (5, "email-in-text bob@example.com.and.more trailing"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pii_sf")
+    pd.DataFrame(PII_DOCS, columns=["doc_id", "text"]).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    return str(d)
+
+
+def test_pii_redact_matches_duckdb_on_pii_corpus(spark, pii_dir):
+    """The registered text_pii_redact builder and its oracle SQL agree
+    cell-for-cell on a fixture that actually CONTAINS emails, phone numbers,
+    and IPs (the driver only exercises the clean-corpus no-op path)."""
+    from mysql_hbase_replicator_spark.plans.registry import (
+        ORACLE_REGISTRY,
+        QUERY_REGISTRY,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    sdf = (
+        QUERY_REGISTRY["text_pii_redact"](spark, pii_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = _duck(pii_dir)
+    odf = (
+        con.sql(ORACLE_REGISTRY["text_pii_redact"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    for c in sdf.columns:
+        for i, (a, b) in enumerate(zip(sdf[c], odf[c])):
+            assert a == b or (pd.isna(a) and pd.isna(b)), (c, i, a, b)
+    # the fixture must actually exercise every pattern at least once
+    assert sdf.n_emails.sum() >= 3
+    assert sdf.n_phones.sum() >= 2
+    assert sdf.n_ips.sum() >= 3
