@@ -48,5 +48,6 @@ def load_all_queries() -> None:
     import mysql_hbase_replicator_spark.plans.queries_events  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_extra  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_multimodal  # noqa: F401
+    import mysql_hbase_replicator_spark.plans.queries_sql  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_text  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_udf  # noqa: F401
