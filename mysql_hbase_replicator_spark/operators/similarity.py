@@ -983,3 +983,64 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cell").cast("int").alias("cell"), "n_vectors", "mean_dist_sq"
         )
     )
+
+
+# Radius (range) search: all neighbors within a cosine threshold rather than
+# a fixed k — the dedup-adjacent form ("everything ≥ 0.25 similar to these
+# probes"). Threshold sits ~2σ above the random-pair cosine concentration
+# (σ ≈ 1/√EMB_DIM = 0.125) so it returns a small, meaningful neighbor set.
+SIM_RANGE_THRESHOLD = 0.25
+
+
+@query(
+    "similarity_range_search",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, LEN(q.embedding) + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (SQRT(q.nsq) * SQRT(c.nsq)) AS cosine
+        FROM v q JOIN v c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, neighbor_id, cosine
+    FROM sims
+    WHERE cosine >= {SIM_RANGE_THRESHOLD}
+    """,
+)
+def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All neighbors within cosine >= SIM_RANGE_THRESHOLD of each of the
+    first N_QUERIES probe vectors — the radius-search companion to top-k
+    (same surface as the reference-adjacent "find near things" ask, but with
+    a similarity floor instead of a count).
+
+    Scale shape: the probe side is broadcast, the corpus scan is map-only
+    with the threshold filter fused into the same codegen stage, and there is
+    no shuffle at all — the plan streams unchanged over a 100 TB corpus. The
+    cosine arithmetic reuses the exact sequential-fold `dot`/`norm_sq`
+    helpers, so values are bit-identical to the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    probes = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    return (
+        e.join(F.broadcast(probes), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(SIM_RANGE_THRESHOLD)))
+    )

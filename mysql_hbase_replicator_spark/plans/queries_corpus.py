@@ -535,3 +535,55 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             start.alias("start_offset"),
         )
     )
+
+
+BIGRAM_TOP_N = 100
+
+
+@query(
+    "corpus_bigram_top",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT {BIGRAM_TOP_N}
+    """,
+)
+def corpus_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-N bigram counts — the unit step of n-gram LM counting
+    (KenLM-style) and of repeated-phrase contamination scans. Adjacent-pair
+    construction is a zip_with of two array slices (pure codegen, no explode
+    of anything wider than the token list); the count is one (bigram) keyed
+    shuffle with map-side partial aggregation, and the top-N has a total
+    order (count desc, bigram asc) so the cut is deterministic. At 100 TB
+    the shuffle key space is vocabulary², but partial aggregation collapses
+    per-partition counts first — the classic word-count shape."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(F.when(n >= 2, bigrams)).alias("bigram"),
+    )
+    return (
+        bg.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "bigram")
+        .limit(BIGRAM_TOP_N)
+    )

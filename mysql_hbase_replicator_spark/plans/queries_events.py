@@ -136,3 +136,85 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS stage_view,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
+           CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
+    FROM u
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (first view → first click after it → first purchase
+    after that) counted per user. One shuffle on user_id collapses each user
+    to a 3-timestamp row via conditional MIN — the standard trick that makes
+    funnels a single-pass aggregate instead of a self-join per stage; the
+    final global rollup is a 1-row reduce. Scale: per-user state is O(1),
+    skew-free (conditional mins combine map-side)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_ts(et: str):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    u = e.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    c2 = F.col("t_click") > F.col("t_view")
+    c3 = c2 & (F.col("t_purchase") > F.col("t_click"))
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("stage_view"),
+        F.sum(F.when(c2, 1).otherwise(0)).alias("stage_click"),
+        F.sum(F.when(c3, 1).otherwise(0)).alias("stage_purchase"),
+    )
+
+
+@query(
+    "events_user_retention",
+    oracle="""
+    WITH d AS (SELECT user_id,
+                      DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS active_day
+               FROM events),
+    a AS (SELECT DISTINCT user_id, active_day FROM d),
+    c AS (SELECT user_id, MIN(active_day) AS cohort_day FROM d GROUP BY user_id)
+    SELECT STRFTIME(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(DATEDIFF('day', c.cohort_day, a.active_day) AS INT) AS day_offset,
+           COUNT(*) AS n_active
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day, counted
+    on each later active day as a day offset. Three keyed shuffles, all on
+    user_id or the tiny (cohort, offset) key: dedup to (user, day), per-user
+    min for the cohort, a co-partitioned user_id join (both sides were just
+    shuffled on user_id, so AQE reuses the exchange), then the final rollup
+    whose key space is O(days²) regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    d = e.select("user_id", day.alias("active_day"))
+    a = d.distinct()
+    c = d.groupBy("user_id").agg(F.min("active_day").alias("cohort_day"))
+    return (
+        a.join(c, "user_id")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("active_day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -576,3 +576,37 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_absdiff"),
     )
+
+
+@query(
+    "window_cume_dist_first_last",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CUME_DIST() OVER w AS cd,
+           FIRST_VALUE(o_orderkey) OVER wf AS cheapest_key,
+           LAST_VALUE(o_orderkey) OVER wf AS running_last_key,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+           wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_cume_dist_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + first_value/last_value/nth_value over an explicit running
+    frame, completing the window-function family (row_number/rank/lag/ntile/
+    percent_rank/range-interval live in sibling queries). The ordering key
+    (o_totalprice, o_orderkey) is unique, so cume_dist is an exact rational
+    count/total (bit-stable double) and the frame functions are
+    deterministic. One shuffle on the partition key, as any window."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("running_last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )

@@ -362,3 +362,50 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RX), 0)).alias("n_phones"),
         F.size(F.regexp_extract_all(text, F.lit(PII_IP_RX), 0)).alias("n_ips"),
     )
+
+
+@query(
+    "text_gopher_quality",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS INT) AS n_words,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')) AS mean_word_len,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')) AS frac_distinct_words,
+           CAST(LIST_MAX(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                                        w -> LENGTH(w))) AS INT) AS longest_word_len,
+           CAST(CASE WHEN LEN(STRING_SPLIT(text, ' ')) BETWEEN 50 AND 100000
+                      AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                            / LEN(STRING_SPLIT(text, ' ')) BETWEEN 3 AND 10
+                     THEN 1 ELSE 0 END AS INT) AS passes_gopher
+    FROM documents
+    """,
+)
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/shape quality gates (word count bounds, mean
+    word length bounds, distinct-word fraction, longest word) with a 0/1
+    pass flag — the rule family the Gopher/MassiveText pipeline applies
+    before any model-based scoring. All exact integer/division arithmetic
+    (no logs), so the flag is bit-stable across engines; map-only, fully
+    inside whole-stage codegen."""
+    d = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    n_words = F.size(tokens)
+    mean_len = F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        (F.size(F.array_distinct(tokens)).cast("double") / n_words).alias(
+            "frac_distinct_words"
+        ),
+        F.array_max(F.transform(tokens, F.length)).alias("longest_word_len"),
+        F.when(
+            (n_words >= 50) & (n_words <= 100000) & (mean_len >= 3.0) & (mean_len <= 10.0),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("passes_gopher"),
+    )

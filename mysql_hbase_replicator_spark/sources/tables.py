@@ -34,21 +34,27 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. No .cache() here — callers decide lifetime.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. We read it as a long (nanos since epoch) and truncate to
-    microseconds — the same floor the DuckDB oracle applies when casting
-    TIMESTAMP_NS → TIMESTAMP, so both sides see identical values.
+    ``events.ts`` is parquet TIMESTAMP(NANOS). Depending on the Spark build
+    and the ``spark.sql.legacy.parquet.nanosAsLong`` flag, that column scans
+    as either a long (nanos since epoch) or a TIMESTAMP_NTZ already truncated
+    to micros — so we branch on the dtype the reader actually produced and
+    normalize both to a session-zone TIMESTAMP floored to microseconds, the
+    same floor the DuckDB oracle applies casting TIMESTAMP_NS → TIMESTAMP.
     """
     if name == "events":
-        # normally set once by session.get_spark; defensive for sessions the
-        # driver harness built itself (read-semantics flag, needed to scan
-        # the nanos-typed column at all)
-        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            # session tz is UTC everywhere in this engine, so NTZ → LTZ is
+            # value-preserving; cast keeps downstream dtypes identical
+            # across both reader behaviors
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
