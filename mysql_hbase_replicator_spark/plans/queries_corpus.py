@@ -587,3 +587,66 @@ def corpus_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "bigram")
         .limit(BIGRAM_TOP_N)
     )
+
+
+NGRAM_W = 8  # window for cross-doc repeated-sequence detection
+
+
+@query(
+    "corpus_repeated_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    ng AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - {NGRAM_W} + 2),
+                                     i -> ARRAY_TO_STRING(t[i:i + {NGRAM_W} - 1], ' '))) AS ngram
+        FROM toks
+    ),
+    shared AS (
+        SELECT ngram
+        FROM (SELECT ngram, COUNT(DISTINCT doc_id) AS n_docs FROM ng GROUP BY ngram)
+        WHERE n_docs > 1
+    )
+    SELECT doc_id,
+           COUNT(DISTINCT ngram) AS n_shared_ngrams
+    FROM ng JOIN shared USING (ngram)
+    GROUP BY doc_id
+    """,
+)
+def corpus_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-sequence detection: for every document, count
+    the distinct {NGRAM_W}-token windows it shares with at least one OTHER
+    document — the doc-level signal of the "dedup exact substrings"
+    pretraining step (Lee et al.'s suffix-array dedup finds the same
+    sequences; here the fixed window makes it a pure groupBy).
+
+    Scale shape: n-gram construction is a codegen'd slice/join per row (the
+    exploded stream is ~tokens-per-doc rows per doc, same as tokenize);
+    the shared-ngram set is one (ngram) shuffle with map-side partial
+    count-distinct, and the join back is ngram-keyed. No all-pairs step
+    anywhere, so the plan holds at corpus scale — skew only if one n-gram
+    dominates (boilerplate), which partial aggregation absorbs."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+    # clamp to ≥1 so short docs can't feed sequence() a descending range if
+    # the when() branch is evaluated eagerly; the when() still drops them
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(NGRAM_W - 1), F.lit(1)))
+    ngrams = F.transform(
+        idx, lambda i: F.array_join(F.slice(t, i, NGRAM_W), " ")
+    )
+    ng = d.select(
+        "doc_id",
+        F.explode(F.when(n >= NGRAM_W, ngrams)).alias("ngram"),
+    )
+    shared = (
+        ng.groupBy("ngram")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+        .select("ngram")
+    )
+    return (
+        ng.join(shared, "ngram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("ngram").alias("n_shared_ngrams"))
+    )

@@ -409,3 +409,56 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("passes_gopher"),
     )
+
+
+TRIGRAM_TOP_N = 10
+
+
+@query(
+    "text_char_trigram_profile",
+    oracle=f"""
+    WITH tg AS (
+        SELECT lang,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LENGTH(text) - 1),
+                                     i -> SUBSTRING(text, i, 3))) AS trigram
+        FROM documents
+    ),
+    counted AS (
+        SELECT lang, trigram, COUNT(*) AS n
+        FROM tg GROUP BY lang, trigram
+    )
+    SELECT lang, trigram, n, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, trigram) AS rn
+          FROM counted)
+    WHERE rn <= {TRIGRAM_TOP_N}
+    """,
+)
+def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top character trigrams — the model behind real n-gram
+    language ID (langid/CLD build exactly these profiles; text_lang_id's
+    stopword heuristic is the inference side). Trigram construction is a
+    transform over an index sequence (codegen, no Python); the count is one
+    (lang, trigram) shuffle with partial aggregation; the top-N window
+    partitions by lang. The per-lang key space is bounded (alphabet³), so
+    the final stage is O(langs × alphabet³) regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n = F.length(text)
+    # clamped so sub-3-char docs can't produce a descending sequence under
+    # eager branch evaluation; the when() still drops them
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(2), F.lit(1)))
+    trigrams = F.transform(idx, lambda i: F.substring(text, i, F.lit(3)))
+    tg = d.select(
+        "lang",
+        F.explode(F.when(n >= 3, trigrams)).alias("trigram"),
+    )
+    counted = tg.groupBy("lang", "trigram").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "trigram")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TRIGRAM_TOP_N)
+        .select("lang", "trigram", "n", "rank")
+    )

@@ -113,3 +113,24 @@ def stateful_user_counts(events: DataFrame, watermark: str = "1 hour") -> DataFr
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def deduped_event_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once → effectively-once repair for an event stream:
+    dropDuplicatesWithinWatermark keeps the FIRST arrival of each key and
+    drops re-deliveries that arrive within the watermark of it. This is the
+    engine-level companion to the CDC replay gate (operators/cdc_apply.py —
+    idempotence by last-image collapse) for sources that retry sends, e.g.
+    an exactly-once-less event bus in front of the training-data pipeline.
+
+    Unlike plain streaming dropDuplicates (state grows forever), state here
+    is evicted once the watermark passes a key's first-seen event time —
+    bounded state on an unbounded stream, which is what makes the operator
+    runnable on a 1000-executor cluster. The trade: a duplicate arriving
+    later than the watermark is re-admitted, the documented contract."""
+    k = keys if keys is not None else ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(k)

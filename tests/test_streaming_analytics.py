@@ -194,3 +194,79 @@ def test_stateful_counts_survive_restart(spark, tmp_path):
     ])
     out2 = run()  # state restored: user 1 continues from 2
     assert out2[1] == 3 and out2[3] == 1
+
+
+DEDUP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+def _write_ids(path, name, rows):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, name), "w") as f:
+        for eid, ts, uid, et in rows:
+            f.write(
+                json.dumps(
+                    {"event_id": eid, "ts": ts, "user_id": uid, "event_type": et}
+                )
+                + "\n"
+            )
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Re-delivered event_ids within the watermark are dropped (first
+    arrival wins); a duplicate arriving beyond the watermark is re-admitted
+    (state for its key was evicted) — the documented bounded-state trade."""
+    from mysql_hbase_replicator_spark.streaming.analytics import deduped_event_stream
+
+    src, ckpt = str(tmp_path / "events"), str(tmp_path / "ckpt")
+    rows: list = []
+
+    def run_once():
+        stream = spark.readStream.schema(DEDUP_SCHEMA).json(src)
+        q = (
+            deduped_event_stream(stream, watermark="30 minutes")
+            .writeStream.foreachBatch(lambda df, _b: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: event 1 twice (exact retry), event 2 once
+    _write_ids(
+        src,
+        "b1.json",
+        [
+            (1, "2024-01-01T10:00:00", 7, "click"),
+            (1, "2024-01-01T10:00:00", 7, "click"),
+            (2, "2024-01-01T10:05:00", 8, "view"),
+        ],
+    )
+    run_once()
+    assert sorted(r.event_id for r in rows) == [1, 2]
+
+    # batch 2: event 1 re-delivered while still within watermark state →
+    # dropped; event 3 advances the watermark far past event 1's ts
+    _write_ids(
+        src,
+        "b2.json",
+        [
+            (1, "2024-01-01T10:00:30", 7, "click"),
+            (3, "2024-01-01T14:00:00", 9, "click"),
+        ],
+    )
+    run_once()
+    assert sorted(r.event_id for r in rows) == [1, 2, 3]
+
+    # batch 3: event 1 again, now long past the watermark (state evicted) →
+    # re-admitted; this is the bounded-state contract, not a bug
+    _write_ids(src, "b3.json", [(1, "2024-01-01T14:30:00", 7, "click")])
+    run_once()
+    assert sorted(r.event_id for r in rows) == [1, 1, 2, 3]
