@@ -650,3 +650,59 @@ def corpus_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("ngram").alias("n_shared_ngrams"))
     )
+
+
+# domain mixture: per-source-tier keep rates (percent), the knob a
+# pretraining pipeline turns to hit a target domain mix (e.g. upsample
+# curated sources, downsample crawl)
+MIX_HI = 80
+MIX_MID = 50
+MIX_LO = 20
+_HI_SRC = "('src0','src1','src2','src3','src4')"
+_MID_SRC = "('src5','src6','src7','src8','src9')"
+
+
+@query(
+    "corpus_domain_mixture",
+    oracle=f"""
+    WITH rated AS (
+        SELECT doc_id, source, lang,
+               CASE WHEN source IN {_HI_SRC} THEN {MIX_HI}
+                    WHEN source IN {_MID_SRC} THEN {MIX_MID}
+                    ELSE {MIX_LO} END AS keep_pct,
+               {_sql_hash60("mix:", "doc_id")} % 100 AS ticket
+        FROM documents
+    )
+    SELECT doc_id, source, lang, CAST(keep_pct AS INT) AS keep_pct
+    FROM rated
+    WHERE ticket < keep_pct
+    """,
+)
+def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain-mixture sampling: each source tier gets a keep
+    rate (80/50/20%), and a document survives iff its md5-derived ticket
+    falls under its tier's rate — the reproducible form of weighted domain
+    mixing (upsample curated, downsample crawl). Map-only: the tier CASE and
+    the hash are row-local expressions inside one codegen stage, so the same
+    scan works at any corpus size with zero shuffle; downstream stages see a
+    stable sample regardless of partitioning or run count."""
+    d = load_table(spark, sf_dir, "documents")
+    hi = [f"src{i}" for i in range(5)]
+    mid = [f"src{i}" for i in range(5, 10)]
+    keep_pct = (
+        F.when(F.col("source").isin(hi), MIX_HI)
+        .when(F.col("source").isin(mid), MIX_MID)
+        .otherwise(MIX_LO)
+    )
+    ticket = hash60("mix:", F.col("doc_id")) % 100
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            keep_pct.cast("int").alias("keep_pct"),
+            ticket.alias("ticket"),
+        )
+        .filter(F.col("ticket") < F.col("keep_pct"))
+        .drop("ticket")
+    )

@@ -610,3 +610,45 @@ def window_cume_dist_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("running_last_key"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
     )
+
+
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+                 || '?lang=' || lang AS url
+        FROM documents
+    )
+    SELECT doc_id, url,
+           REGEXP_EXTRACT(url, 'https?://([^/]+)', 1) AS host,
+           REGEXP_EXTRACT(url, 'https?://[^/]+(/[^?]*)', 1) AS path,
+           REGEXP_EXTRACT(url, '\\?(.*)$', 1) AS query_string,
+           REGEXP_EXTRACT(url, '\\?lang=(.*)$', 1) AS lang_param
+    FROM u
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL component extraction — provenance/domain columns a web-corpus
+    pipeline derives before domain mixing or URL-based dedup. Spark side
+    uses the native parse_url (HOST/PATH/QUERY and keyed QUERY lookup, all
+    JVM codegen); DuckDB mirrors with regexes over the same synthesized
+    URL. Map-only, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_string"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -206,3 +206,50 @@ def sql_subquery_scalar_uncorrelated(spark: SparkSession, sf_dir: str) -> DataFr
         customer=load_table(spark, sf_dir, "customer"),
         customer2=load_table(spark, sf_dir, "customer"),
     )
+
+
+@query(
+    "sql_cte_window_top_orders",
+    oracle="""
+    WITH cust_orders AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT c.c_custkey, c.c_name,
+           co.o_orderkey AS top_orderkey,
+           co.o_totalprice AS top_price
+    FROM cust_orders co
+    JOIN customer c ON co.o_custkey = c.c_custkey
+    WHERE co.rn = 1
+    """,
+)
+def sql_cte_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + window function through the SQL text front-end: each customer's
+    single most expensive order. The analyzer inlines the CTE, and the
+    optimizer pushes rn = 1 into the window as a per-partition top-1
+    (WindowGroupLimit in the physical plan — no full sort of every
+    customer's orders survives), then joins customer on the already-reduced
+    row set. Unique tiebreak (price desc, orderkey) keeps the pick
+    deterministic on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        WITH cust_orders AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM {orders}
+        )
+        SELECT c.c_custkey, c.c_name,
+               co.o_orderkey AS top_orderkey,
+               co.o_totalprice AS top_price
+        FROM cust_orders co
+        JOIN {customer} c ON co.o_custkey = c.c_custkey
+        WHERE co.rn = 1
+        """,
+        orders=orders,
+        customer=customer,
+    )

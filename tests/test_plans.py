@@ -228,3 +228,36 @@ def test_decontaminate_broadcasts_test_set(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_range_search_broadcasts_probes_no_shuffle(spark):
+    """The cosine radius search must broadcast the probe side and keep the
+    corpus scan shuffle-free — the property that lets it stream over 100 TB."""
+    plan = simple_plan(QUERY_REGISTRY["similarity_range_search"](spark, SF))
+    assert "Broadcast" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_cte_window_top1_uses_group_limit(spark):
+    """rn = 1 must push into the window as a per-partition top-1
+    (WindowGroupLimit), not survive as filter-after-full-window."""
+    plan = simple_plan(QUERY_REGISTRY["sql_cte_window_top_orders"](spark, SF))
+    assert "WindowGroupLimit" in plan
+
+
+def test_new_text_corpus_queries_stay_jvm_side(spark):
+    """Bigram/ngram/trigram/gopher/mixture/url pipelines are pure built-ins:
+    no row-wise Python evaluation may appear in their plans."""
+    for name in (
+        "corpus_bigram_top",
+        "corpus_repeated_ngrams",
+        "corpus_domain_mixture",
+        "text_char_trigram_profile",
+        "text_gopher_quality",
+        "scalar_url_funcs",
+        "events_funnel_conversion",
+        "events_user_retention",
+    ):
+        plan = simple_plan(QUERY_REGISTRY[name](spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
