@@ -48,6 +48,9 @@ HEADLINE = [
     "agg_percentiles",
     "pipeline_training_prep",
     "pack_sequences",
+    "corpus_bigram_top",
+    "corpus_repeated_ngrams",
+    "similarity_range_search",
     "text_repetition_stats",
 ]
 

@@ -706,3 +706,97 @@ def corpus_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ticket") < F.col("keep_pct"))
         .drop("ticket")
     )
+
+
+@query(
+    "corpus_filter_funnel",
+    oracle="""
+    SELECT COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN LENGTH(text) >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass_length,
+           CAST(SUM(CASE WHEN LENGTH(text) >= 50
+                          AND lang IN ('en', 'es', 'de', 'fr')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_lang,
+           CAST(SUM(CASE WHEN LENGTH(text) >= 50
+                          AND lang IN ('en', 'es', 'de', 'fr')
+                          AND LEN(STRING_SPLIT(text, ' ')) >= 50
+                          AND CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                                / LEN(STRING_SPLIT(text, ' ')) BETWEEN 3 AND 10
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gopher
+    FROM documents
+    """,
+)
+def corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-funnel observability: how many documents survive each
+    cumulative quality gate (length → language allow-list → Gopher shape
+    rules). The number a pipeline owner reads before/after touching any
+    threshold. One map-only pass with conditional sums (partial-aggregated,
+    single 1-row reduce) — at 100 TB this is a scan, nothing more."""
+    d = load_table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " "))
+    mean_len = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / n_words
+    )
+    c_len = F.length("text") >= 50
+    c_lang = c_len & F.col("lang").isin("en", "es", "de", "fr")
+    c_gopher = c_lang & (n_words >= 50) & (mean_len >= 3.0) & (mean_len <= 10.0)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(c_len, 1).otherwise(0)).alias("n_pass_length"),
+        F.sum(F.when(c_lang, 1).otherwise(0)).alias("n_pass_lang"),
+        F.sum(F.when(c_gopher, 1).otherwise(0)).alias("n_pass_gopher"),
+    )
+
+
+# URL dedup: ~10 docs share each synthetic page; md5 ticket picks which
+# tracking-noise variant each carries, canonicalization strips it
+URL_PAGES = 50
+
+
+@query(
+    "dedup_url_canonicalize",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/page/'
+                 || CAST(doc_id % {URL_PAGES} AS VARCHAR)
+                 || CASE {_sql_hash60("url:", "doc_id")} % 3
+                      WHEN 1 THEN '?utm_source=feed&utm_campaign=x'
+                      WHEN 2 THEN '#section-2'
+                      ELSE '' END AS url
+        FROM documents
+    )
+    SELECT REGEXP_REPLACE(url, '[?#].*$', '') AS canonical_url,
+           COUNT(*) AS n_variants,
+           MIN(doc_id) AS keeper_doc_id
+    FROM u
+    GROUP BY 1
+    """,
+)
+def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the first dedup a web corpus runs,
+    before any content hashing: strip tracking query strings and fragments,
+    then collapse to one keeper per canonical URL (lowest doc_id, the same
+    keeper rule as exact dedup). The synthetic URLs give ~10 docs per page
+    with md5-chosen tracking noise so the collapse is meaningful. Shape:
+    map-only canonicalize (regexp in codegen) + one groupBy on the
+    canonical key — identical cost profile to exact dedup."""
+    d = load_table(spark, sf_dir, "documents")
+    variant = hash60("url:", F.col("doc_id")) % 3
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/page/"),
+        (F.col("doc_id") % URL_PAGES).cast("string"),
+        F.when(variant == 1, "?utm_source=feed&utm_campaign=x")
+        .when(variant == 2, "#section-2")
+        .otherwise(""),
+    )
+    return (
+        d.select(F.regexp_replace(url, r"[?#].*$", "").alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
