@@ -219,3 +219,45 @@ def cdc_rowkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").cast("string"),
         ).alias("rowkey"),
     )
+
+
+@query(
+    "cdc_scd2_history",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           STRFTIME(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(STRFTIME(LEAD(CAST(ts AS TIMESTAMP))
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY CAST(ts AS TIMESTAMP), event_id),
+                             '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS valid_to,
+           CAST(CASE WHEN LEAD(CAST(ts AS TIMESTAMP))
+                              OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+                     THEN 1 ELSE 0 END AS INT) AS is_current
+    FROM events
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build from a change stream: every change event
+    becomes a versioned row with [valid_from, valid_to) effectivity, the
+    open version flagged current — the standard way a warehouse consumes the
+    CDC feed the reference replicates (its HBase cells keep only the last
+    image; timestamped versions are HBase's own version dimension —
+    HbaseApplier.scala keeps one cell version, this materializes them all).
+    One shuffle on the key; lead() is a per-partition scan — the same cost
+    envelope as last-image collapse, at any scale."""
+    from mysql_hbase_replicator_spark.plans.queries import ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        ts_str(F.col("ts")).alias("valid_from"),
+        F.coalesce(ts_str(nxt), F.lit("9999-12-31 00:00:00.000000")).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
+    )

@@ -218,3 +218,49 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               EPOCH_US(CAST(ts AS TIMESTAMP))
+                 - EPOCH_US(LAG(CAST(ts AS TIMESTAMP))
+                              OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(gap_us) AS n_gaps,
+           CAST(CAST(SUM(gap_us) AS BIGINT) AS DOUBLE) / COUNT(gap_us) AS avg_gap_us,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival-time statistics (microsecond gaps between
+    consecutive events) — the feed for rate-anomaly and bot detection, and
+    the lag()-under-window companion to the session queries. Gaps are exact
+    integer epoch-microsecond differences (no float time math), so the
+    double mean is a single exact division. One shuffle on user_id for the
+    window + the same key for the aggregate — AQE reuses the exchange."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        e.select("user_id", gap.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            (F.sum("gap_us").cast("double") / F.count("gap_us")).alias("avg_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )

@@ -652,3 +652,34 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query_string"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "agg_string_agg",
+    oracle="""
+    SELECT n.n_name,
+           COUNT(*) AS n_suppliers,
+           STRING_AGG(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG): collect, sort, join
+    — Spark has no ordered string_agg, so the deterministic form is
+    array_sort(collect_list()) + array_join, which is also the
+    shuffle-order-independent form (collect_list alone is
+    partition-order-dependent and would break value hashes). The nation dim
+    is broadcast; one shuffle on the group key."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_csv"
+            ),
+        )
+    )
