@@ -59,10 +59,17 @@ class ParquetKeyedStore:
         return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(self.n_buckets))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
-        """Current table state (without the bucket column)."""
+        """Current table state (without the bucket column). mergeSchema
+        reconciles footers across buckets after additive column evolution —
+        buckets not yet rewritten since a column arrived lack it physically;
+        their rows read as null for it."""
         if not self.exists(name) or not self._has_data_files(name):
             return None
-        return spark.read.parquet(self.table_path(name)).drop(BUCKET_COL)
+        return (
+            spark.read.option("mergeSchema", "true")
+            .parquet(self.table_path(name))
+            .drop(BUCKET_COL)
+        )
 
     def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
         """Full (re)load — initial snapshot path."""
@@ -104,9 +111,20 @@ class ParquetKeyedStore:
         if not affected:
             return
 
-        current = spark.read.parquet(path).filter(F.col(BUCKET_COL).isin(affected))
+        current = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(path)
+            .filter(F.col(BUCKET_COL).isin(affected))
+        )
         kept = current.drop(BUCKET_COL).join(F.broadcast(changed_keys), pk_cols, "left_anti")
-        new_state = kept.unionByName(upserts).withColumn(BUCKET_COL, self._bucket(pk_cols))
+        # allowMissingColumns = additive schema evolution: a column arriving
+        # in upserts backfills null for kept rows (and vice versa for columns
+        # a source stopped sending) — the CDC analog of MySQL ADD COLUMN,
+        # which the reference tolerates because HBase is schemaless per cell;
+        # only PK changes kill the stream (catalog/schema.py)
+        new_state = kept.unionByName(upserts, allowMissingColumns=True).withColumn(
+            BUCKET_COL, self._bucket(pk_cols)
+        )
 
         # Dynamic partition overwrite only rewrites buckets present in the
         # output; buckets whose rows were all deleted produce no output and

@@ -460,3 +460,40 @@ def test_replay_large_queue_is_distributed(spark, tmp_path, student_struct, stud
     # drain does not advance (or regress) the live watermark
     assert read_checkpoint_state(store)["position"] == n
     assert replay_dead_letters(spark, store, {"mixfs.student": _pk_id_only_mapping()}) is None
+
+
+def test_store_additive_column_evolution(spark, tmp_path):
+    """A new column arriving in upserts (MySQL ADD COLUMN) widens the store:
+    kept/old rows read null for it, buckets not rewritten reconcile via
+    mergeSchema, and a later merge WITHOUT the column keeps it. Only PK
+    changes kill the stream; additive evolution flows through."""
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(8)], "id int, name string"
+    )
+    store.overwrite(spark, "t", base, ["id"])
+
+    widened = spark.createDataFrame(
+        [(3, "name3b", 30), (100, "new", 99)], "id int, name string, score int"
+    )
+    empty_keys = spark.createDataFrame([], "id int")
+    store.merge(spark, "t", widened, empty_keys, ["id"])
+
+    state = store.read(spark, "t")
+    assert set(state.columns) == {"id", "name", "score"}
+    rows = {r.id: (r.name, r.score) for r in state.collect()}
+    assert rows[3] == ("name3b", 30)
+    assert rows[100] == ("new", 99)
+    assert rows[0] == ("name0", None)  # untouched bucket, column backfills null
+    assert len(rows) == 9
+
+    # a narrower late batch (source restarted pre-ALTER) must not drop the column
+    narrow = spark.createDataFrame([(0, "name0b")], "id int, name string")
+    store.merge(spark, "t", narrow, empty_keys, ["id"])
+    state2 = store.read(spark, "t")
+    assert set(state2.columns) == {"id", "name", "score"}
+    rows2 = {r.id: (r.name, r.score) for r in state2.collect()}
+    assert rows2[0] == ("name0b", None)
+    assert rows2[3] == ("name3b", 30)
