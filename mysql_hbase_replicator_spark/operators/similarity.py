@@ -1044,3 +1044,260 @@ def similarity_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= F.lit(float(SIM_RANGE_THRESHOLD)))
     )
+
+
+def _ann_ivf_pq_oracle_sql() -> str:
+    """The composed IVF-PQ pipeline as DuckDB SQL: the IVF oracle's coarse
+    stages (suffix _c) pick per-query probe cells, the PQ oracle's stages
+    (suffix _p) build codebooks/codes/distance tables, and the ADC scan is
+    restricted to corpus vectors in probed cells before the exact-cosine
+    rerank. Every fragment is verbatim from the two verified single-method
+    oracles, so float sequencing stays bit-identical to the Spark plan."""
+    D, S = EMB_DIM, PQ_SUBDIM
+    l2 = (
+        "LIST_SUM(LIST_TRANSFORM(RANGE(1, {s} + 1), "
+        "i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+    d_seed_c = l2.format(s=D, a="e.embedding", b="s.c")
+    d_seed_p = l2.format(s=S, a="s.svec", b="sd.c")
+    d_word_p = l2.format(s=S, a="s.svec", b="w.c")
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    seeds_c AS (
+        SELECT CAST(vec_id AS INT) AS cid, embedding AS c
+        FROM embeddings WHERE vec_id < {IVF_K}
+    ),
+    a1_c AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT e.vec_id, s.cid, {d_seed_c} AS d FROM e, seeds_c s)
+    ),
+    cells1_c AS (SELECT vec_id, cid AS cell FROM a1_c WHERE rn = 1),
+    means_c AS (
+        SELECT c.cell, t.i AS pos,
+               CAST((CAST(SUM(CAST(FLOOR(CAST(e.embedding[t.i] AS DOUBLE) * 1000000000.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS FLOAT) AS v
+        FROM cells1_c c
+        JOIN e ON e.vec_id = c.vec_id, UNNEST(RANGE(1, {D} + 1)) AS t(i)
+        GROUP BY c.cell, t.i
+    ),
+    cents2_c AS (SELECT cell AS cid, LIST(v ORDER BY pos) AS c FROM means_c GROUP BY cell),
+    a2_c AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM (SELECT e.vec_id, s.cid, {l2.format(s=D, a="e.embedding", b="s.c")} AS d
+              FROM e, cents2_c s)
+    ),
+    assigned_c AS (SELECT vec_id, cid AS cell FROM a2_c WHERE rn = 1),
+    probed_c AS (
+        SELECT vec_id AS query_id, cid AS cell
+        FROM a2_c WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ),
+    sub AS (
+        SELECT vec_id, t.m AS sub,
+               LIST_TRANSFORM(RANGE(1, {S} + 1), i -> embedding[t.m * {S} + i]) AS svec
+        FROM e, UNNEST(RANGE(0, {PQ_M})) AS t(m)
+    ),
+    seeds_p AS (
+        SELECT sub, CAST(vec_id AS INT) AS cid, svec AS c
+        FROM sub WHERE vec_id < {PQ_K}
+    ),
+    a1_p AS (
+        SELECT vec_id, sub, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) AS rn
+        FROM (SELECT s.vec_id, s.sub, sd.cid, {d_seed_p} AS d
+              FROM sub s JOIN seeds_p sd ON sd.sub = s.sub)
+    ),
+    cells1_p AS (SELECT vec_id, sub, cid AS cell FROM a1_p WHERE rn = 1),
+    means_p AS (
+        SELECT c.sub, c.cell, t.i AS pos,
+               CAST((CAST(SUM(CAST(FLOOR(CAST(s.svec[t.i] AS DOUBLE) * 1000000000.0)
+                                  AS DECIMAL(38,0))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS FLOAT) AS v
+        FROM cells1_p c
+        JOIN sub s ON s.vec_id = c.vec_id AND s.sub = c.sub,
+             UNNEST(RANGE(1, {S} + 1)) AS t(i)
+        GROUP BY c.sub, c.cell, t.i
+    ),
+    cb_p AS (SELECT sub, cell AS cid, LIST(v ORDER BY pos) AS c
+             FROM means_p GROUP BY sub, cell),
+    enc_p AS (
+        SELECT s.vec_id, s.sub, w.cid, {d_word_p} AS d
+        FROM sub s JOIN cb_p w ON w.sub = s.sub
+    ),
+    codes_p AS (
+        SELECT vec_id, sub, cid AS code
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY d, cid) AS rn FROM enc_p)
+        WHERE rn = 1
+    ),
+    dtab_p AS (
+        SELECT vec_id AS query_id, sub, cid AS code, d FROM enc_p
+        WHERE vec_id < {N_QUERIES}
+    ),
+    cand0 AS (
+        SELECT p.query_id, a.vec_id
+        FROM probed_c p JOIN assigned_c a ON a.cell = p.cell
+        WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+        SELECT c.query_id, c.vec_id, LIST_SUM(LIST(q.d ORDER BY q.sub)) AS dist
+        FROM cand0 c
+        JOIN codes_p k ON k.vec_id = c.vec_id
+        JOIN dtab_p q ON q.query_id = c.query_id AND q.sub = k.sub AND q.code = k.code
+        GROUP BY c.query_id, c.vec_id
+    ),
+    cand AS (
+        SELECT query_id, vec_id
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY dist, vec_id) AS rn FROM adc)
+        WHERE rn <= {PQ_CAND}
+    ),
+    sims AS (
+        SELECT c.query_id, c.vec_id AS neighbor_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+                 / (SQRT(q.nsq) * SQRT(n.nsq)) AS cosine
+        FROM cand c
+        JOIN e q ON q.vec_id = c.query_id
+        JOIN e n ON n.vec_id = c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("similarity_ann_ivf_pq", oracle=_ann_ivf_pq_oracle_sql())
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ — the production ANN shape (FAISS IVFPQ without
+    residual encoding): the IVF coarse quantizer restricts each query to
+    IVF_NPROBE cells, the PQ codes make the in-cell scan a table-lookup ADC
+    sum instead of full-dimension float math, and the PQ_CAND survivors are
+    exact-cosine re-ranked. At 100 TB this is the plan that wins on BOTH
+    axes: the corpus is touched once for coarse assignment (broadcast
+    centroids, map-only) and once for encoding (broadcast codebooks,
+    map-only), the scan reads PQ_M bytes per vector instead of EMB_DIM
+    floats, and candidate generation is a cell-keyed equi-join — no step
+    crosses the corpus with itself. Training reuses the verified IVF k-means
+    and PQ codebook builders unchanged, so the composed oracle is assembled
+    from the two already-verified SQL texts."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    # ---- coarse quantizer (verbatim IVF path) ----
+    seeds = (
+        e.filter(F.col("vec_id") < IVF_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c"))
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+    cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
+    assigned = _assign_cells(e, cents).localCheckpoint(eager=True)
+    probed = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: F.struct(
+                                _l2_sq(F.col("embedding"), c["c"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    IVF_NPROBE,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", F.col("probe")["cid"].alias("cell"))
+    )
+    # ---- PQ encode (verbatim PQ path) ----
+    cbs = _pq_codebooks(e)
+    code_cols = []
+    for m in range(PQ_M):
+        svec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        code_cols.append(
+            F.array_min(
+                F.transform(
+                    F.col("cbs")[m],
+                    lambda w, i: F.struct(_l2_sq(svec, w).alias("d"), i.alias("idx")),
+                )
+            )["idx"]
+        )
+    coded = e.crossJoin(F.broadcast(cbs)).select(
+        "vec_id", F.array(*code_cols).alias("codes")
+    )
+    dtab_cols = []
+    for m in range(PQ_M):
+        qsvec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+        dtab_cols.append(F.transform(F.col("cbs")[m], lambda w: _l2_sq(qsvec, w)))
+    qrow = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .crossJoin(F.broadcast(cbs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nsq").alias("q_nsq"),
+            F.array(*dtab_cols).alias("dtab"),
+        )
+    )
+    # ---- candidates = corpus vectors in probed cells, ADC-ranked ----
+    cand0 = (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        cand0.join(coded, "vec_id")
+        .join(F.broadcast(qrow.select("query_id", "dtab")), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("dtab"),
+                    lambda code, row: F.element_at(row, code + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    cand = (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= PQ_CAND)
+        .select("query_id", "vec_id")
+    )
+    sims = (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qrow.select("query_id", "q_emb", "q_nsq")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -506,3 +506,23 @@ def test_token_budget_select_is_quality_prefix(spark):
     }
     assert got == want
     assert 0 < len(got) < len(docs)
+
+
+def test_ann_ivf_pq_recall_vs_bruteforce(spark):
+    """Composed IVF-PQ (coarse cells + ADC scan + exact rerank) must recall
+    a reasonable share of true top-5 neighbors. The composition can only
+    lose candidates the IVF probe already lost, so it is gated at the same
+    floor as IVF alone."""
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        similarity_ann_ivf_pq,
+        similarity_topk_cosine,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk_cosine(spark, SF).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id) for r in similarity_ann_ivf_pq(spark, SF).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF-PQ recall too low: {recall:.2f}"
