@@ -264,3 +264,84 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("gap_us").alias("max_gap_us"),
         )
     )
+
+
+@query(
+    "events_hourly_error_rate",
+    oracle=f"""
+    SELECT {SQL_TS("DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS error_rate
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_hourly_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour error-rate SLO metric — the ratio form of the tumbling
+    window (conditional sum over count, one exact double division). The
+    same plan runs under readStream with a watermark; alert thresholds
+    compare against error_rate downstream. One shuffle on the hour key."""
+    e = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.alias("n_errors"),
+            (n_err.cast("double") / F.count(F.lit(1))).alias("error_rate"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "n_errors",
+            "error_rate",
+        )
+    )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events
+    ),
+    grouped AS (
+        SELECT user_id, d,
+               d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                        AS INT) AS grp
+        FROM days
+    )
+    SELECT user_id,
+           STRFTIME(MIN(d), '%Y-%m-%d') AS streak_start,
+           STRFTIME(MAX(d), '%Y-%m-%d') AS streak_end,
+           CAST(COUNT(*) AS INT) AS streak_days
+    FROM grouped
+    GROUP BY user_id, grp
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-active-day streaks per user — the gaps-and-islands
+    pattern in its canonical form: distinct active days, then
+    day − row_number() is constant exactly within a consecutive run, so one
+    groupBy collapses each island. Two shuffles on user_id (dedup + window,
+    AQE reuses the exchange) and one on the island key."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grouped = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return grouped.groupBy("user_id", "grp").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).cast("int").alias("streak_days"),
+    ).drop("grp")

@@ -683,3 +683,27 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_count_if_bools",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT_IF(l_discount > 0.05) AS BIGINT) AS n_discounted,
+           BOOL_AND(l_quantity > 0) AS all_positive_qty,
+           BOOL_OR(l_tax > 0.07) AS any_high_tax
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_if_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate aggregates: count_if / bool_and / bool_or — identical
+    names and semantics on both engines (exact comparisons on 2-decimal
+    parquet doubles, no float accumulation). Partial-aggregated before the
+    single small-key shuffle."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_discount") > 0.05).alias("n_discounted"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
+        F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
+    )
