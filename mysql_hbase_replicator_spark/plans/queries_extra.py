@@ -707,3 +707,93 @@ def agg_count_if_bools(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("l_quantity") > 0).alias("all_positive_qty"),
         F.bool_or(F.col("l_tax") > 0.07).alias("any_high_tax"),
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+    WITH both_ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    nxt AS (
+        SELECT event_id, user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS next_purchase_ts
+        FROM both_ev
+    )
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           STRFTIME(next_purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS next_purchase_ts
+    FROM nxt WHERE event_type = 'click'
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click matched to the user's next
+    strictly-later purchase (time-to-convert feeds). The mirror of
+    join_asof's backward lookup — same union+window rewrite, frame flipped
+    to [1 FOLLOWING, ∞); one shuffle on user_id, no range self-join, no
+    row explosion at any scale."""
+    from pyspark.sql.window import Window
+
+    from mysql_hbase_replicator_spark.plans.queries import ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    purchase_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    return (
+        both.withColumn("next_purchase_ts", F.min(purchase_ts).over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts")).alias("ts"),
+            ts_str(F.col("next_purchase_ts")).alias("next_purchase_ts"),
+        )
+    )
+
+
+@query(
+    "window_range_numeric",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_within_1000,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,6))) OVER w AS DOUBLE)
+             AS sum_within_1000
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                 RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric RANGE frame: for each order, how many orders (and how much
+    value) in the same priority class fall within $1000 below its price —
+    the value-based sibling of the time-interval frame. RANGE peers are
+    defined by value, so ties share results regardless of row order; the
+    sum is decimal-exact, making the output hash-stable. One shuffle on the
+    partition key."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_1000"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_within_1000"),
+    )
