@@ -797,3 +797,26 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_within_1000"),
     )
+
+
+@query(
+    "agg_median_exact",
+    oracle="""
+    SELECT o_orderpriority,
+           MEDIAN(o_totalprice) AS median_price,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median (interpolating between the middle pair on
+    even counts — the same (a+b)/2 double arithmetic on both engines, so
+    values hash-match). Spark computes it as percentile(0.5): a per-group
+    sort, the only O(n log n) aggregate in the surface; at scale the groups
+    shard across executors."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.median("o_totalprice").alias("median_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

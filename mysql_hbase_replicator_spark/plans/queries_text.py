@@ -462,3 +462,41 @@ def text_char_trigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TRIGRAM_TOP_N)
         .select("lang", "trigram", "n", "rank")
     )
+
+
+HASH_DIM = 256  # feature-hashing buckets
+
+
+@query(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, u.term
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(t) AS u(term)
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || SUBSTR(MD5(term), 1, 15)) AS BIGINT)
+                % {HASH_DIM} AS INT) AS bucket,
+           COUNT(*) AS cnt
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing-trick vectorizer): each token maps to
+    one of HASH_DIM buckets by md5, per-document bucket counts are the
+    sparse feature vector — the fixed-width, vocabulary-free featurization
+    a streaming ML pipeline uses (no global vocab pass, no dictionary to
+    broadcast). The md5-derived bucket reproduces exactly in DuckDB, unlike
+    murmur-based hashingTF. One (doc, bucket) shuffle with map-side partial
+    counts; output is O(docs × distinct buckets per doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10).cast("long")
+        % HASH_DIM
+    ).cast("int")
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
