@@ -621,41 +621,59 @@ def corpus_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences; here the fixed window makes it a pure groupBy).
 
     Scale shape: n-gram construction is a codegen'd slice/join per row (the
-    exploded stream is ~tokens-per-doc rows per doc, same as tokenize);
-    the shared-ngram set is one (ngram) shuffle with map-side partial
-    count-distinct, and the join back is ngram-keyed. No all-pairs step
-    anywhere, so the plan holds at corpus scale — skew only if one n-gram
-    dominates (boilerplate), which partial aggregation absorbs."""
+    exploded stream is ~tokens-per-doc rows per doc, same as tokenize).
+    The (ngram, doc_id) stream is deduplicated ONCE on the balanced
+    two-column key, after which both counts are plain ``count()`` with
+    map-side partial aggregation — a boilerplate n-gram present in a large
+    fraction of docs reaches its reducer as O(partitions) partial counts,
+    never as O(docs) raw pairs. (A naive
+    ``groupBy(ngram).agg(count_distinct(doc_id))`` shuffles the raw pairs on
+    ngram alone, making the hottest n-gram a single-reducer O(docs) key at
+    100×; this shape removes that.) The join back is ngram-keyed against the
+    small shared set (broadcast at test SF, SMJ at scale). No all-pairs step
+    anywhere, so the plan holds at corpus scale."""
     d = load_table(spark, sf_dir, "documents")
     t = F.split(F.col("text"), " ")
     n = F.size(t)
     # clamp to ≥1 so short docs can't feed sequence() a descending range if
     # the when() branch is evaluated eagerly; the when() still drops them.
-    # Each window is xxhash64-folded to a long AT THE MAP SIDE, so every
-    # shuffle/join key downstream is 8 bytes instead of a ~50-char string
-    # (~15% wall-clock at sf0.1, more at scale where shuffle dominates).
+    # Each window is folded AT THE MAP SIDE to a struct of two independent
+    # xxhash64 values (second uses a distinct extra-column seed), so every
+    # shuffle/join key downstream is 16 bytes instead of a ~50-char string.
     # The hash never leaves the query — the output is per-doc DISTINCT
     # COUNTS, which any consistent injective-enough mapping preserves — so
-    # the oracle keeps exact strings and the engines stay decoupled
-    # (collision odds ~1e-8 at 465k windows; ~3e-3 at 1e8).
+    # the oracle keeps exact strings and the engines stay decoupled.
+    # 128-bit fold ⇒ collision odds ~n²/2¹²⁹ ≈ 1.5e-23 at 1e8 windows —
+    # negligible at any corpus scale (was ~3e-3 with a single 64-bit fold).
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(NGRAM_W - 1), F.lit(1)))
-    ngrams = F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(t, i, NGRAM_W), " "))
-    )
+    # explode the window STRINGS, then hash post-explode: array_join runs
+    # once per window and the ~50-char string dies inside the same codegen
+    # stage (before any exchange); hashing inside the transform() lambda
+    # would run array_join twice per window (once per seed).
+    wins = F.transform(idx, lambda i: F.array_join(F.slice(t, i, NGRAM_W), " "))
     ng = d.select(
         "doc_id",
-        F.explode(F.when(n >= NGRAM_W, ngrams)).alias("ngram"),
+        F.explode(F.when(n >= NGRAM_W, wins)).alias("w"),
+    ).select(
+        "doc_id",
+        F.struct(
+            F.xxhash64("w").alias("h1"),
+            F.xxhash64("w", F.lit(NGRAM_W)).alias("h2"),
+        ).alias("ngram"),
     )
+    # one balanced dedupe on the (ngram, doc_id) pair key; both downstream
+    # aggregates become skew-safe plain counts with map-side partials
+    pairs = ng.dropDuplicates(["ngram", "doc_id"])
     shared = (
-        ng.groupBy("ngram")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        pairs.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 1)
         .select("ngram")
     )
     return (
-        ng.join(shared, "ngram")
+        pairs.join(shared, "ngram")
         .groupBy("doc_id")
-        .agg(F.count_distinct("ngram").alias("n_shared_ngrams"))
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
     )
 
 

@@ -98,6 +98,18 @@ def test_events_scan_prunes_props(spark):
     assert reads and all("props" not in line for line in reads)
 
 
+def test_repeated_ngrams_has_no_hot_key_distinct(spark):
+    """Skew gate: corpus_repeated_ngrams must not plan a count(distinct)
+    anywhere — both counts run over the pre-deduplicated (ngram, doc_id)
+    pair stream as plain counts with map-side partials, so a boilerplate
+    n-gram present in most docs reaches its reducer as O(partitions)
+    partial counts, never O(docs) raw pairs."""
+    plan = simple_plan(QUERY_REGISTRY["corpus_repeated_ngrams"](spark, SF))
+    assert "distinct" not in plan.lower().replace("dropduplicates", "")
+    # the balanced pair-dedupe is present: an aggregate keyed on both columns
+    assert "partial_count" in plan
+
+
 def test_salted_join_spreads_key(spark):
     """The salted join's physical join keys include the salt column."""
     plan = simple_plan(QUERY_REGISTRY["join_skew_salted"](spark, SF))
