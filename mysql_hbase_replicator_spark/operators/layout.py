@@ -34,14 +34,24 @@ def write_partitioned_sorted(
     files_per_partition: int = 1,
 ) -> None:
     """Write ``df`` hive-partitioned by ``partition_cols``, clustered so each
-    partition directory holds ``files_per_partition`` files internally sorted
-    by ``sort_cols``.
+    partition directory holds AT MOST ``files_per_partition`` files,
+    internally sorted by ``sort_cols``.
 
     The repartition keys every row by its partition values (plus a bounded
     file index when files_per_partition > 1), so each output file is written
     by exactly one task — no small-file spray where every upstream task
     writes into every partition. sortWithinPartitions gives min/max-tight
     row groups for ``sort_cols`` (parquet zone-map pruning on the sort key).
+
+    File-count contract: hash placement of the (value, index) groups into
+    ``n_values * files_per_partition`` shuffle partitions can collapse two
+    groups of one partition value into the same task; that task still writes
+    one file per value it holds, so a directory gets *at most* (typically
+    exactly) ``files_per_partition`` files, never more. Exact counts would
+    need ``repartitionByRange`` over a precomputed group index — not worth a
+    range-boundary sampling pass for a sizing hint. The ``distinct().count()``
+    below is one extra O(n_values) aggregate job per write, paid only on the
+    ``files_per_partition > 1`` path.
     """
     from pyspark.sql import functions as F
 
@@ -77,9 +87,66 @@ def compact_small_files(
     missing live dir with a surviving ``.retired`` is restored before
     anything is deleted, so no crash point loses data.
 
+    Concurrency contract: SINGLE WRITER, NO CONCURRENT READER. An exclusive
+    PID-stamped ``path.compacting.lock`` file serializes compactors: a
+    second concurrent call raises instead of racing the swap/reclaim steps,
+    while a lock left by a CRASHED compactor (its PID no longer alive on
+    this host) is reclaimed automatically so the ``.retired``
+    restore-before-delete recovery still runs. Readers are NOT protected:
+    between the two ``os.replace`` calls the live directory briefly does
+    not exist, so a concurrent scan can fail with file-not-found (never
+    read partial data — both swap steps are atomic renames). Run compaction
+    from the maintenance path that owns the store, as the streaming
+    pipeline does between batches.
+
     Returns {"files_before": n, "files_after": m, "bytes": b}.
     """
     staging, retired = path + ".compacting", path + ".retired"
+    lock = staging + ".lock"
+    for attempt in range(2):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            if attempt == 0 and not _lock_owner_alive(lock):
+                try:  # stale lock from a crashed compactor: reclaim
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                continue
+            raise RuntimeError(
+                f"compaction already in progress for {path} ({lock} held by a "
+                "live process); compact_small_files is single-writer"
+            ) from None
+    try:
+        return _compact_locked(spark, path, staging, retired, target_file_bytes)
+    finally:
+        os.unlink(lock)
+
+
+def _lock_owner_alive(lock: str) -> bool:
+    """True iff the PID recorded in ``lock`` is a live process on this host.
+    Unreadable/garbled lock contents count as alive (fail safe: refuse to
+    reclaim what we can't attribute)."""
+    try:
+        with open(lock) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return True
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _compact_locked(
+    spark: SparkSession, path: str, staging: str, retired: str, target_file_bytes: int
+) -> dict:
     # reclaim from a previous crash: never delete the only copy
     if not os.path.isdir(path) and os.path.isdir(retired):
         os.replace(retired, path)

@@ -134,11 +134,28 @@ CDC_JSON_EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream_json(spark: SparkSession, path: str) -> DataFrame:
+def cdc_json_event_schema(with_seq: bool = False) -> T.StructType:
+    """The generic stream's schema, optionally extended with the globally
+    monotonic ``seq`` column. Opt-in (not always-on) because a seq column
+    that scans as all-NULL from legacy seq-less files would silently break
+    the kernel's stream-order fallback to position."""
+    if not with_seq:
+        return CDC_JSON_EVENT_SCHEMA
+    return T.StructType(
+        [*CDC_JSON_EVENT_SCHEMA.fields, T.StructField("seq", T.LongType(), True)]
+    )
+
+
+def read_event_stream_json(
+    spark: SparkSession, path: str, with_seq: bool = False
+) -> DataFrame:
     """Schema-free (multi-table) streaming source: images are JSON strings,
-    parsed per table in the kernel from each table's declared mapping."""
+    parsed per table in the kernel from each table's declared mapping.
+    ``with_seq=True`` declares the seq column for sources that stamp arrival
+    order (REQUIRED when rotates can land mid-batch — positions reset per
+    binlog file)."""
     return (
-        spark.readStream.schema(CDC_JSON_EVENT_SCHEMA)
+        spark.readStream.schema(cdc_json_event_schema(with_seq))
         .option("maxFilesPerTrigger", 16)
         .json(path)
     )

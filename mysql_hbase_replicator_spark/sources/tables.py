@@ -43,7 +43,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
@@ -54,7 +54,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # value-preserving; cast keeps downstream dtypes identical
             # across both reader behaviors
             return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        if isinstance(ts_type, TimestampType):
+            # a reader that disables inferTimestampNTZ scans NANOS straight
+            # to session-zone TIMESTAMP, already micros-floored — the target
+            # dtype; nothing to normalize
+            return df
+        # any other dtype means a reader behavior this normalization has
+        # never seen: fail loudly rather than silently drift from the oracle
+        raise TypeError(
+            f"events.ts scanned as unexpected dtype {ts_type}; expected "
+            "LongType (legacy nanosAsLong), TimestampNTZType, or TimestampType"
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

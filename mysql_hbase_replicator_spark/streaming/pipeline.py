@@ -75,6 +75,9 @@ class CdcStreamPipeline:
     checkpoint_dir: str
     k3_mode: str = "intended"
     max_dead_letter: int | None = None
+    # generic multi-table stream only: declare the seq column (sources that
+    # rotate mid-batch MUST stamp seq — positions reset per binlog file)
+    stream_with_seq: bool = False
     # schema-change detection (§1.4): declared source schemas + a provider
     # returning the current schema per table; PK drift kills the query.
     declared_schemas: dict[str, TableSchema] | None = None
@@ -120,7 +123,9 @@ class CdcStreamPipeline:
                 read_event_stream_json,
             )
 
-            stream = read_event_stream_json(self.spark, self.events_path)
+            stream = read_event_stream_json(
+                self.spark, self.events_path, with_seq=self.stream_with_seq
+            )
         else:
             stream = read_event_stream(self.spark, self.events_path, self.row_struct)
         writer = (

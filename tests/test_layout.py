@@ -39,8 +39,11 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
     filtered = back.filter(F.col("event_type") == "click")
     plan = _plan(filtered)
     # pruning happens at planning: the partition filter must appear as a
-    # PartitionFilters entry on the scan, not as a post-scan Filter
-    assert "PartitionFilters: [isnotnull(event_type" in plan
+    # PartitionFilters entry on the scan, not as a post-scan Filter. Match
+    # loosely (the entry mentions the column) — exact rendering of the
+    # filter list varies across Spark versions.
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and any("event_type" in l for l in pf_lines), plan[:2000]
     expected = events.filter(F.col("event_type") == "click").count()
     assert filtered.count() == expected
 
@@ -87,6 +90,32 @@ def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
     # no leftover staging/retired dirs
     assert not os.path.isdir(out + ".compacting")
     assert not os.path.isdir(out + ".retired")
+
+
+def test_compaction_lock_blocks_live_second_writer(spark, tmp_path):
+    """A lock held by a LIVE process makes a second compactor raise instead
+    of racing the swap; a lock left by a DEAD process is reclaimed so crash
+    recovery still runs."""
+    import pytest
+
+    out = str(tmp_path / "locked")
+    spark.range(10).write.parquet(out)
+    lock = out + ".compacting.lock"
+
+    # live owner: this very process
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    with pytest.raises(RuntimeError, match="single-writer"):
+        compact_small_files(spark, out, target_file_bytes=1 << 30)
+    os.unlink(lock)
+
+    # dead owner: a PID that cannot exist; stale lock must be reclaimed
+    with open(lock, "w") as f:
+        f.write("999999999")
+    stats = compact_small_files(spark, out, target_file_bytes=1 << 30)
+    assert stats["files_after"] >= 1
+    assert not os.path.exists(lock)
+    assert spark.read.parquet(out).count() == 10
 
 
 def test_compaction_recovers_from_crashed_swap(spark, tmp_path):

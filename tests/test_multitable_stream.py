@@ -100,3 +100,231 @@ def test_two_tables_one_stream(spark, tmp_path, student_mapping):
     # the unmapped table advanced the checkpoint but wrote nothing
     assert pipe.results[-1].skipped_unmapped == 1
     assert pipe.results[-1].checkpoint_position == 6
+
+
+# --- soak: every resilience path composed into ONE long multi-table run -----
+def audit_mapping(pk_col: str) -> HbaseTableInfo:
+    """Third mapped table whose PK declaration is the scenario's injected
+    operator error: ``pk_col='legacy_id'`` (always NULL in the events) sends
+    every audit event to the dead-letter queue; ``pk_col='audit_id'`` is the
+    corrected mapping the replay drains under."""
+    return HbaseTableInfo(
+        dbName="mixfs",
+        dbTableName="audit",
+        hbaseTableName="mixfs:audit",
+        hbaseNameSpace="mixfs",
+        sparkTableName="audit",
+        bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("legacy_id", "bigint", "legacyid", "LongType", pk_col == "legacy_id"),
+            HbaseCollInfo("audit_id", "bigint", "auditid", "LongType", pk_col == "audit_id"),
+            HbaseCollInfo("msg", "varchar(64)", "msg", "StringType", False),
+        ],
+    )
+
+
+def docs_mapping() -> HbaseTableInfo:
+    return HbaseTableInfo(
+        dbName="mixfs",
+        dbTableName="docs",
+        hbaseTableName="mixfs:docs",
+        hbaseNameSpace="mixfs",
+        sparkTableName="docs",
+        bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("doc_id", "bigint", "docid", "LongType", True),
+            HbaseCollInfo("text", "varchar(255)", "text", "StringType", False),
+        ],
+    )
+
+
+def test_soak_rotates_deadletter_compaction_restart(spark, tmp_path, student_mapping):
+    """r3 verdict #7: one scenario composing (a) a mid-batch binlog rotate
+    with per-file position reset, (b) dead-letter capture + post-fix replay,
+    (c) streaming-dedup band-index compaction WITH an injected mid-compaction
+    crash, and (d) >=2 injected transient failures recovered by the
+    supervisor. Final state of every table must equal a sequential
+    per-event oracle apply, and the deduper's admissions must equal a
+    crash-free sequential deduper's."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        read_checkpoint_state,
+        replay_dead_letters,
+    )
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+    from mysql_hbase_replicator_spark.streaming.supervisor import RestartPolicy
+
+    events_dir = str(tmp_path / "events")
+    mappings = {
+        "mixfs.student": student_mapping,
+        "mixfs.score_log": score_log_mapping(),
+        "mixfs.audit": audit_mapping("legacy_id"),  # broken: PK always NULL
+        "mixfs.docs": docs_mapping(),
+    }
+
+    # --- streaming deduper (live) + crash-free sequential oracle deduper ----
+    deduper = IncrementalDeduper(
+        spark, str(tmp_path / "lsh_index"), max_files=1, n_compact_partitions=2
+    )
+    oracle_deduper = IncrementalDeduper(
+        spark, str(tmp_path / "lsh_oracle"), max_files=10_000
+    )
+    compactions = {"n": 0}
+    real_compact = deduper.compact
+
+    def counting_compact():
+        compactions["n"] += 1
+        return real_compact()
+
+    deduper.compact = counting_compact
+
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "pack my box with five dozen liquor jugs before the long winter came",
+        "sphinx of black quartz judge my vow while the river runs cold tonight",
+    )
+    doc_batches = [
+        # batch 1: three distinct docs + one near-dup of doc 1
+        [(1, base[0]), (2, base[1]), (3, base[2]), (4, base[0] + " extra")],
+        # batch 2: a dup of an ADMITTED doc, a dup of batch-1's near-dup,
+        # and one genuinely new doc
+        [(5, base[1]), (6, base[0] + " extra"),
+         (7, "jaded zombies acted quaintly but kept driving their oxen forward")],
+    ]
+
+    def screen(deduper_, batch):
+        df = spark.createDataFrame(batch, "doc_id long, text string")
+        return sorted(r.doc_id for r in deduper_.process_batch(df).collect())
+
+    def doc_insert_events(admitted_ids, batch, seq0, pos0, filename=None):
+        txt = dict(batch)
+        out = []
+        for i, d in enumerate(admitted_ids):
+            out.append({
+                "position": pos0 + i, "op": "insert", "db": "mixfs",
+                "table": "docs", "after": {"doc_id": d, "text": txt[d]},
+                "seq": seq0 + i,
+                **({"filename": filename} if i == 0 and filename else {}),
+            })
+        return out
+
+    # --- phase 1: rotate mid-file + dead letters + doc admissions -----------
+    admitted1 = screen(deduper, doc_batches[0])
+    assert admitted1 == screen(oracle_deduper, doc_batches[0])
+    assert {1, 2, 3} <= set(admitted1)  # distinct docs always admitted
+
+    phase1 = [
+        {"position": 500, "op": "insert", "db": "mixfs", "table": "student",
+         "after": {"sn": 1, "id": 1, "score": 90, "name": "ann", "rem": "a"},
+         "filename": "binlog.000001", "seq": 1},
+        {"position": 510, "op": "insert", "db": "mixfs", "table": "score_log",
+         "after": {"entry_id": 100, "points": 1.5}, "seq": 2},
+        # audit events: legacy_id (declared PK) absent -> dead letter
+        {"position": 520, "op": "insert", "db": "mixfs", "table": "audit",
+         "after": {"audit_id": 9001, "msg": "login"}, "seq": 3},
+        {"position": 530, "op": "rotate", "db": "mixfs", "table": "",
+         "filename": "binlog.000002", "seq": 4},
+        # post-rotate: positions RESET; stream order (seq) must win the
+        # collapse AND the checkpoint pair
+        {"position": 8, "op": "update", "db": "mixfs", "table": "student",
+         "before": {"sn": 1, "id": 1, "score": 90, "name": "ann", "rem": "a"},
+         "after": {"sn": 1, "id": 1, "score": 95, "name": "ann2", "rem": "z"},
+         "seq": 5},
+        {"position": 12, "op": "insert", "db": "mixfs", "table": "audit",
+         "after": {"audit_id": 9002, "msg": "logout"}, "seq": 6},
+        *doc_insert_events(admitted1, doc_batches[0], seq0=7, pos0=20),
+    ]
+    write_events(events_dir, "f1", phase1)
+
+    class FlakyMulti(CdcStreamPipeline):
+        fail_times = 2  # >=2 injected transient failures
+
+        def _apply_batch(self, batch_df, batch_id):
+            if FlakyMulti.fail_times > 0:
+                FlakyMulti.fail_times -= 1
+                raise IOError("simulated binlog connection drop")
+            super()._apply_batch(batch_df, batch_id)
+
+    def make_pipe():
+        return FlakyMulti(
+            spark=spark,
+            events_path=events_dir,
+            row_struct=None,
+            store=ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4),
+            mappings=mappings,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            stream_with_seq=True,
+        )
+
+    pipe1 = make_pipe()
+    sleeps: list[float] = []
+    report = pipe1.run_supervised(
+        RestartPolicy(max_restarts=4, backoff_initial_s=0.01), sleep=sleeps.append
+    )
+    assert report.outcome == "clean" and report.restarts == 2 and len(sleeps) == 2
+
+    # checkpoint took the post-rotate pair by seq, not max(position)
+    ckpt = read_checkpoint_state(pipe1.store)
+    assert ckpt["filename"] == "binlog.000002"
+    assert ckpt["position"] == 20 + len(admitted1) - 1
+    assert sum(
+        r.dead_letter_count for r in pipe1.results
+    ) == 2  # both audit events queued
+
+    # --- injected crash #3: compaction died between retire and promote ------
+    os.replace(deduper.index_dir, deduper.index_dir + ".retired")
+    admitted2 = screen(deduper, doc_batches[1])  # _recover restores first
+    assert admitted2 == screen(oracle_deduper, doc_batches[1])
+    assert 7 in admitted2  # genuinely new doc admitted
+    assert 5 not in admitted2  # exact dup of an admitted doc rejected
+    assert compactions["n"] >= 1  # max_files=1 forced at least one compaction
+
+    # --- phase 2: continue the SAME stream from checkpoint ------------------
+    phase2 = [
+        {"position": 40, "op": "update", "db": "mixfs", "table": "score_log",
+         "before": {"entry_id": 100, "points": 1.5},
+         "after": {"entry_id": 100, "points": 7.25}, "seq": 100},
+        {"position": 41, "op": "delete", "db": "mixfs", "table": "student",
+         "before": {"sn": 1, "id": 1}, "seq": 101},
+        {"position": 42, "op": "insert", "db": "mixfs", "table": "student",
+         "after": {"sn": 2, "id": 2, "score": 55, "name": "bob", "rem": None},
+         "seq": 102},
+        *doc_insert_events(admitted2, doc_batches[1], seq0=103, pos0=50),
+    ]
+    write_events(events_dir, "f2", phase2)
+    pipe2 = make_pipe()  # fresh instance, same checkpointLocation -> resume
+    q = pipe2.start(available_now=True)
+    q.awaitTermination(120)
+    # resume processed ONLY phase 2 (f1 rows would double-count student)
+    assert pipe2.total_counts().get("mixfs.student.insert", 0) == 1
+
+    # --- operator fixes the audit mapping; drain the dead-letter queue ------
+    fixed = dict(mappings)
+    fixed["mixfs.audit"] = audit_mapping("audit_id")
+    replay = replay_dead_letters(spark, pipe2.store, fixed)
+    assert replay is not None and replay.dead_letter_count == 0
+    # drain must not advance the live checkpoint
+    assert read_checkpoint_state(pipe2.store)["position"] == 50 + len(admitted2) - 1
+
+    # --- final-state equivalence vs sequential oracle apply -----------------
+    store = pipe2.store
+    students = sorted(
+        tuple(r) for r in store.read(spark, "mixfs:student2")
+        .select("sn", "id", "score", "name", "rem").collect()
+    )
+    assert students == [(2, 2, 55, "bob", None)]
+    scores = [tuple(r) for r in store.read(spark, "mixfs:score_log")
+              .select("entryid", "points").collect()]
+    assert scores == [(100, 7.25)]
+    audits = sorted(
+        tuple(r) for r in store.read(spark, "mixfs:audit")
+        .select("auditid", "msg").collect()
+    )
+    assert audits == [(9001, "login"), (9002, "logout")]
+    docs = sorted(
+        tuple(r) for r in store.read(spark, "mixfs:docs")
+        .select("docid", "text").collect()
+    )
+    expected_docs = sorted(
+        (d, dict(doc_batches[0] + doc_batches[1])[d]) for d in admitted1 + admitted2
+    )
+    assert docs == expected_docs

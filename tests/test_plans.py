@@ -116,6 +116,46 @@ def test_salted_join_spreads_key(spark):
     assert "_salt" in plan
 
 
+def test_salted_join_smj_regime(spark):
+    """The salt's real regime: with broadcast disabled (how the join plans
+    when both sides exceed the threshold at scale), join_skew_salted must
+    run as a SortMergeJoin whose join keys include the salt, and the salt
+    must actually spread a hot key's rows across sub-keys — measured, not
+    assumed."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.operators.skew import SALT, salted_join
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = simple_plan(QUERY_REGISTRY["join_skew_salted"](spark, SF))
+        assert "SortMergeJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+        # the SMJ's equi-key list includes the salt column
+        smj_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
+        assert SALT in smj_line
+        # distribution: one hot key (99% of probe rows) spreads over >=4 of
+        # 8 salts, so no single reducer sees the whole key
+        probe = spark.range(2000).select(
+            F.when(F.col("id") < 1980, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        build = spark.range(100).select(F.col("id").alias("k"))
+        joined = salted_join(probe, build, ["k"], n_salts=8)
+        # 1980 hot-key matches; cold keys 1980..1999 are outside build's 0..99
+        assert joined.count() == 1980
+        salted = probe.withColumn(
+            SALT, F.pmod(F.xxhash64("k", "payload"), F.lit(8)).cast("int")
+        )
+        spread = (
+            salted.filter(F.col("k") == 7).select(SALT).distinct().count()
+        )
+        assert spread >= 4, f"hot key only spread over {spread} salts"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pack_sequences_prefix_sum_is_distributed(spark):
     """The corpus-wide cumsum must run as per-bucket windows plus a broadcast
     offsets join — a global unpartitioned window over the corpus would
