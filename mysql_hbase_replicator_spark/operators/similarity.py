@@ -86,7 +86,16 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
     )
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+    return brute_topk(e)
+
+
+def brute_topk(
+    e: DataFrame, top_k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Parameterized exact top-k over a prepared (vec_id, embedding, nsq)
+    frame — the recall ground truth the ANN variants are gated against at
+    arbitrary k (tests run k=25 at production parameters)."""
+    queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nsq").alias("q_nsq"),
@@ -104,7 +113,7 @@ def similarity_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
@@ -433,8 +442,21 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
     )
+    return ivf_topk(e)
+
+
+def ivf_topk(
+    e: DataFrame,
+    ivf_k: int = IVF_K,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Parameterized IVF over a prepared (vec_id, embedding, nsq) frame.
+    ``nprobe=ivf_k`` probes every cell, making the result exactly the brute
+    force top-k — the sweep the production recall gate exploits."""
     seeds = (
-        e.filter(F.col("vec_id") < IVF_K)
+        e.filter(F.col("vec_id") < ivf_k)
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c"))
         .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
     )
@@ -448,7 +470,7 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = _assign_cells(e, cents).localCheckpoint(eager=True)
 
     probed = (
-        assigned.filter(F.col("vec_id") < N_QUERIES)
+        assigned.filter(F.col("vec_id") < n_queries)
         .crossJoin(F.broadcast(cents))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -464,13 +486,13 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         )
                     ),
                     1,
-                    IVF_NPROBE,
+                    nprobe,
                 )
             ).alias("probe"),
         )
         .select("query_id", F.col("probe")["cid"].alias("cell"))
     )
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("nsq").alias("q_nsq"),
@@ -490,12 +512,12 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
 
-def _pq_codebooks(e: DataFrame) -> DataFrame:
+def _pq_codebooks(e: DataFrame, pq_m: int = PQ_M, pq_k: int = PQ_K) -> DataFrame:
     """Train PQ_M per-subspace codebooks (PQ_K words each) and collapse them
     into ONE broadcastable row ``cbs: array<array<array<float>>>`` — outer
     index = subspace, middle = codeword ordered by ascending cell id, inner =
@@ -504,6 +526,7 @@ def _pq_codebooks(e: DataFrame) -> DataFrame:
     integer-exact decimal mean (order-free, O(1) memory per group). The
     result is eagerly localCheckpoint-ed so the scan phase's plan starts
     from a materialized 1-row table, not the training lineage."""
+    pq_subdim = EMB_DIM // pq_m
     sub = e.select(
         "vec_id",
         F.explode(
@@ -511,17 +534,17 @@ def _pq_codebooks(e: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(m).alias("sub"),
-                        F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM).alias(
+                        F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim).alias(
                             "svec"
                         ),
                     )
-                    for m in range(PQ_M)
+                    for m in range(pq_m)
                 ]
             )
         ).alias("s"),
     ).select("vec_id", "s.sub", "s.svec")
     seeds = (
-        sub.filter(F.col("vec_id") < PQ_K)
+        sub.filter(F.col("vec_id") < pq_k)
         .groupBy("sub")
         .agg(
             F.array_sort(
@@ -701,11 +724,27 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
     )
-    cbs = _pq_codebooks(e)
+    return pq_topk(e)
+
+
+def pq_topk(
+    e: DataFrame,
+    pq_m: int = PQ_M,
+    pq_k: int = PQ_K,
+    pq_cand: int = PQ_CAND,
+    top_k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """Parameterized PQ over a prepared (vec_id, embedding, nsq) frame.
+    ``pq_k=256`` is the production one-byte-per-code shape; the registered
+    query keeps pq_k=16 for oracle mirroring and the production recall gate
+    in tests runs pq_k=256 on the sf0.1 corpus."""
+    pq_subdim = EMB_DIM // pq_m
+    cbs = _pq_codebooks(e, pq_m=pq_m, pq_k=pq_k)
 
     code_cols = []
-    for m in range(PQ_M):
-        svec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    for m in range(pq_m):
+        svec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
         code_cols.append(
             F.array_min(
                 F.transform(
@@ -720,11 +759,11 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     dtab_cols = []
-    for m in range(PQ_M):
-        qsvec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    for m in range(pq_m):
+        qsvec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
         dtab_cols.append(F.transform(F.col("cbs")[m], lambda w: _l2_sq(qsvec, w)))
     qrow = (
-        e.filter(F.col("vec_id") < N_QUERIES)
+        e.filter(F.col("vec_id") < n_queries)
         .crossJoin(F.broadcast(cbs))
         .select(
             F.col("vec_id").alias("query_id"),
@@ -754,7 +793,7 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wc = Window.partitionBy("query_id").orderBy("dist", "vec_id")
     cand = (
         adc.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= PQ_CAND)
+        .filter(F.col("rn") <= pq_cand)
         .select("query_id", "vec_id")
     )
 
@@ -772,7 +811,7 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         sims.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= top_k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
 
