@@ -825,3 +825,41 @@ def dedup_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
     )
+
+
+# per-language cap: bound any language's share of the corpus by keeping a
+# deterministic hash-ordered sample of at most LANG_CAP docs per language
+LANG_CAP = 70
+
+
+@query(
+    "corpus_lang_cap",
+    oracle=f"""
+    SELECT doc_id, lang, CAST(rn AS INT) AS keep_rank
+    FROM (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY {_sql_hash60("cap:", "doc_id")}, doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= {LANG_CAP}
+    """,
+)
+def corpus_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language rebalancing by hard cap: each language keeps at most
+    LANG_CAP documents, chosen by a deterministic md5 ticket (so the kept
+    subset is stable across runs and partitionings — the same reproducible-
+    sampling contract as corpus_shuffle / corpus_domain_mixture, but as a
+    per-group top-k instead of a rate).
+
+    Scale shape: one (lang) shuffle; the per-group top-k plans as
+    WindowGroupLimit (partial top-k per partition BEFORE the exchange), so
+    a dominant language ships at most LANG_CAP rows per input partition,
+    not its whole corpus share — the cap itself bounds the skew."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(hash60("cap:", F.col("doc_id")), "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).alias("keep_rank"))
+        .filter(F.col("keep_rank") <= LANG_CAP)
+        .withColumn("keep_rank", F.col("keep_rank").cast("int"))
+    )

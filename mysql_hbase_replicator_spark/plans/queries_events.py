@@ -345,3 +345,105 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
         F.count(F.lit(1)).cast("int").alias("streak_days"),
     ).drop("grp")
+
+
+# sessionization: assign explicit session ordinals per user (gap > 30 min
+# starts a new session) — the per-event form of the session_window aggregate,
+# needed when downstream features join on a session id
+SESSION_GAP_US = 1_800_000_000
+
+
+@query(
+    "events_sessionize_ids",
+    oracle=f"""
+    WITH o AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+    m AS (
+        SELECT event_id, user_id, t,
+               CASE WHEN LAG(t) OVER w IS NULL
+                      OR EPOCH_US(t) - EPOCH_US(LAG(t) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+             AS session_num
+    FROM m
+    """,
+)
+def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: every event gets its user's session
+    ordinal, where a >30-minute silence starts a new session. This is the
+    per-event companion to ``events_session_window`` (which aggregates per
+    session): training pipelines need the id ON the event row to join
+    session-level features back.
+
+    Scale shape: one (user_id) shuffle; both windows (lag, running sum)
+    share the same partitioning and ordering so Spark evaluates them in one
+    Window node pair over one sort, and per-user state is O(1). Gap
+    arithmetic is integer micros (unix_micros / EPOCH_US) on both engines —
+    no float boundary risk."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_num"),
+    )
+
+
+# rolling distinct cardinality: Spark has no COUNT(DISTINCT) OVER, so the
+# engine expresses it as size(collect_set() over frame) — bounded state
+# (frame width), codegen'd, and exactly equal to the SQL form
+ROLLING_FRAME = 100
+
+
+@query(
+    "window_count_distinct_rolling",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(COUNT(DISTINCT user_id) OVER (
+                PARTITION BY event_type
+                ORDER BY CAST(ts AS TIMESTAMP), event_id
+                ROWS BETWEEN {ROLLING_FRAME - 1} PRECEDING AND CURRENT ROW)
+             AS INT) AS n_distinct_users
+    FROM events
+    """,
+)
+def window_count_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user cardinality over the last {ROLLING_FRAME}
+    events per event type — the windowed form of count_distinct that ANSI
+    allows but Spark's window functions don't: re-expressed as
+    ``size(collect_set(user_id))`` over the same ROWS frame, which is
+    exactly equivalent (set semantics, not an estimate).
+
+    Scale shape: one (event_type) shuffle + sort; per-row state is the
+    bounded {ROLLING_FRAME}-element frame set, independent of partition
+    size. Skew note: event_type is low-cardinality, so at 100 TB this
+    window would re-key on (event_type, coarse time bucket) with boundary
+    stitching — the per-key state stays bounded either way."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLING_FRAME - 1), Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("int").alias("n_distinct_users"),
+    )

@@ -98,6 +98,22 @@ def test_events_scan_prunes_props(spark):
     assert reads and all("props" not in line for line in reads)
 
 
+def test_r4_window_family_single_shuffle(spark):
+    """The r4 window additions each cost exactly ONE exchange: sessionize's
+    lag + running-sum share a (user_id) sort; the rolling distinct set and
+    the per-lang cap are single keyed windows; the cap's top-k plans as
+    WindowGroupLimit (partial top-k before the exchange)."""
+    for name, want_wgl in (
+        ("events_sessionize_ids", False),
+        ("window_count_distinct_rolling", False),
+        ("corpus_lang_cap", True),
+    ):
+        plan = simple_plan(QUERY_REGISTRY[name](spark, SF))
+        assert plan.count("Exchange") == 1, name
+        assert "BatchEvalPython" not in plan, name
+        assert ("WindowGroupLimit" in plan) == want_wgl, name
+
+
 def test_repeated_ngrams_has_no_hot_key_distinct(spark):
     """Skew gate: corpus_repeated_ngrams must not plan a count(distinct)
     anywhere — both counts run over the pre-deduplicated (ngram, doc_id)
