@@ -606,23 +606,30 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
+        # fold the convergence test into the update: carry a per-row changed
+        # flag instead of re-joining new vs old labels (one fewer join+job
+        # per round)
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                F.col("label").alias("old_label"),
+            )
+            .select(
+                "node",
+                F.col("new_label").alias("label"),
+                (F.col("new_label") != F.col("old_label")).alias("chg"),
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("chg")).count()
         labels.unpersist()
+        # keep the PERSISTED frame itself (unpersist must see the cached
+        # plan); the extra chg column is ignored by the next round's joins
+        # and dropped by the terminal select
         labels = new_labels
         if changed == 0:
             break

@@ -1,0 +1,79 @@
+"""Debezium envelope adapter (SURVEY.md §2 S1's idiomatic Kafka path): the
+envelope→CDC-event transformation is pure DataFrame code, so the full
+kernel path — envelope JSON through apply_cdc_batch to the keyed store —
+is drivable on fixtures without a broker."""
+
+from __future__ import annotations
+
+import json
+
+from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
+from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+from mysql_hbase_replicator_spark.sources.debezium import debezium_to_cdc_events
+
+
+def envelope(op, db="mixfs", table="student", before=None, after=None,
+             file="binlog.000001", pos=100, ts_ms=1_700_000_000_000):
+    return json.dumps({
+        "op": op,
+        "before": before,
+        "after": after,
+        "source": {"db": db, "table": table, "file": file, "pos": pos,
+                   "ts_ms": ts_ms, "server_id": 1},
+    })
+
+
+def raw_frame(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "value string")
+
+
+def test_envelope_mapping_ops_and_metadata(spark):
+    vals = [
+        envelope("c", after={"sn": 1, "id": 1, "score": 10}, pos=11),
+        envelope("r", after={"sn": 2, "id": 2, "score": 20}, pos=12),  # snapshot
+        envelope("u", before={"sn": 1, "id": 1, "score": 10},
+                 after={"sn": 1, "id": 1, "score": 15}, pos=13),
+        envelope("d", before={"sn": 2, "id": 2}, pos=14),
+        None,  # tombstone after delete (log compaction)
+    ]
+    ev = debezium_to_cdc_events(raw_frame(spark, vals)).orderBy("position").collect()
+    assert [r.op for r in ev] == ["insert", "insert", "update", "delete"]
+    assert [r.position for r in ev] == [11, 12, 13, 14]
+    assert all(r.db == "mixfs" and r.table == "student" for r in ev)
+    assert all(r.filename == "binlog.000001" for r in ev)
+    # images survive as JSON text for the kernel's per-mapping parse
+    assert json.loads(ev[2].after)["score"] == 15
+    assert ev[3].after is None
+    # seq is monotone with (ts_ms, pos) here
+    assert [r.seq for r in ev] == sorted(r.seq for r in ev)
+
+
+def test_envelope_stream_through_kernel(spark, tmp_path, student_mapping):
+    """Envelopes -> adapter -> apply_cdc_batch: final store state and the
+    rotate-aware checkpoint pair match the declared semantics, including a
+    post-rotate event at a SMALLER position (Debezium positions reset per
+    binlog file; seq must win)."""
+    vals = [
+        envelope("c", after={"sn": 1, "id": 1, "score": 10, "name": "ann", "rem": "a"},
+                 pos=500, ts_ms=1_700_000_000_000),
+        envelope("c", after={"sn": 2, "id": 2, "score": 20, "name": "bob", "rem": "b"},
+                 pos=510, ts_ms=1_700_000_000_100),
+        # new binlog file, positions reset; later ts_ms => later seq
+        envelope("u", before={"sn": 1, "id": 1, "score": 10, "name": "ann", "rem": "a"},
+                 after={"sn": 1, "id": 1, "score": 99, "name": "ann2", "rem": "z"},
+                 file="binlog.000002", pos=8, ts_ms=1_700_000_000_200),
+    ]
+    ev = debezium_to_cdc_events(raw_frame(spark, vals))
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    result = apply_cdc_batch(spark, ev, store, {"mixfs.student": student_mapping})
+    # checkpoint = the post-rotate (file, position-within-file) pair
+    assert result.checkpoint_filename == "binlog.000002"
+    assert result.checkpoint_position == 8
+    rows = sorted(
+        tuple(r)
+        for r in store.read(spark, "mixfs:student2")
+        .select("sn", "id", "score", "name", "rem")
+        .collect()
+    )
+    # the post-rotate update won despite its smaller position
+    assert rows == [(1, 1, 99, "ann2", "z"), (2, 2, 20, "bob", "b")]
