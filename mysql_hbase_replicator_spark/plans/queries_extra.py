@@ -820,3 +820,39 @@ def agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.median("o_totalprice").alias("median_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS modal_status, n_rows
+    FROM (
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_rows,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE (most frequent value, smallest value on
+    ties) — expressed as count + row_number rather than a MODE() builtin
+    precisely so the tie-break is explicit and engine-independent (SQL
+    MODE()'s tie choice is implementation-defined).
+
+    Scale shape: one partial-aggregated (group, value) count, then a
+    per-group top-1 that plans as WindowGroupLimit — the heavy shuffle is
+    over the already-collapsed count table, never the raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n_rows"), "o_orderstatus"
+    )
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("modal_status"), "n_rows")
+    )

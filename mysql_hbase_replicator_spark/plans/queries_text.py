@@ -500,3 +500,116 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+
+
+# TF-IDF cosine near-dup pairs: the weighted-sparse-vector companion to
+# dedup_ngram_jaccard. Terms with df > n_docs/DF_PRUNE_INV are dropped from
+# the vector space (stopword pruning — ALSO the join-fanout bound: the
+# inverted-index join fans out by df, so pruning high-df terms caps the
+# candidate blowup at scale).
+TFIDF_DF_PRUNE_INV = 10
+TFIDF_COS_MIN = 0.5
+_Q9 = 1_000_000_000.0
+
+
+@query(
+    "text_tfidf_cosine_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS wt
+        FROM tf JOIN df USING (term) CROSS JOIN n
+        WHERE df.df * {TFIDF_DF_PRUNE_INV} <= n.n_docs
+    ),
+    norms AS (
+        SELECT doc_id, SUM(CAST(FLOOR(wt * wt * {_Q9}) AS DECIMAL(38,0))) AS n9
+        FROM w GROUP BY doc_id
+    ),
+    nums AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(CAST(FLOOR(a.wt * b.wt * {_Q9}) AS DECIMAL(38,0))) AS num9
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               ROUND((CAST(num9 AS DOUBLE) / {_Q9})
+                     / SQRT((CAST(na.n9 AS DOUBLE) / {_Q9})
+                            * (CAST(nb.n9 AS DOUBLE) / {_Q9})), 6) AS cosine
+        FROM nums
+        JOIN norms na ON nums.doc_a = na.doc_id
+        JOIN norms nb ON nums.doc_b = nb.doc_id
+    )
+    SELECT doc_a, doc_b, cosine FROM scored WHERE cosine >= {TFIDF_COS_MIN}
+    """,
+)
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free near-dup pairs by TF-IDF cosine over the df-pruned
+    term space — the weighted counterpart of dedup_ngram_jaccard (which
+    treats all shingles equally). Weights are the engine's log-free
+    tf × N/df (see text_tfidf_top_terms for why no ln()); dot products and
+    norms accumulate on the 1e-9 quantized integer grid (the kmeans-moment
+    trick), so every float crossing an aggregation is shuffle-order-free
+    and bit-identical to the DuckDB oracle.
+
+    Scale shape: the pair generation is an inverted-index equi-join on term
+    — fanout per term is its df, and the df prune (terms in > n/{TFIDF_DF_PRUNE_INV}
+    of docs are dropped) bounds exactly the quantity that explodes at
+    corpus scale. No all-pairs product anywhere; norms are one (doc_id)
+    aggregate; candidate count is sum(df²) over the PRUNED vocabulary."""
+    from pyspark.sql import Window  # noqa: F401  (parallel import style with tfidf_top_terms)
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("df") * TFIDF_DF_PRUNE_INV <= F.col("n_docs"))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf") * F.col("n_docs")).cast("double")
+                / F.col("df").cast("double")
+            ).alias("wt"),
+        )
+    )
+
+    def q9(x):
+        return F.floor(x * F.lit(_Q9)).cast("decimal(38,0)")
+
+    norms = w.groupBy("doc_id").agg(F.sum(q9(F.col("wt") * F.col("wt"))).alias("n9"))
+    a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "term", F.col("wt").alias("wb"))
+    nums = (
+        a.join(b, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(q9(F.col("wa") * F.col("wb"))).alias("num9"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n9").alias("na9"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n9").alias("nb9"))
+    return (
+        nums.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                (F.col("num9").cast("double") / F.lit(_Q9))
+                / F.sqrt(
+                    (F.col("na9").cast("double") / F.lit(_Q9))
+                    * (F.col("nb9").cast("double") / F.lit(_Q9))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= TFIDF_COS_MIN)
+    )

@@ -114,6 +114,17 @@ def test_r4_window_family_single_shuffle(spark):
         assert ("WindowGroupLimit" in plan) == want_wgl, name
 
 
+def test_mode_and_tfidf_pairs_shapes(spark):
+    """agg_mode's top-1 runs over the collapsed count table with
+    WindowGroupLimit; tfidf cosine pairs must stay an inverted-index
+    equi-join — no cartesian, no Python."""
+    plan = simple_plan(QUERY_REGISTRY["agg_mode"](spark, SF))
+    assert "WindowGroupLimit" in plan
+    plan = simple_plan(QUERY_REGISTRY["text_tfidf_cosine_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_repeated_ngrams_has_no_hot_key_distinct(spark):
     """Skew gate: corpus_repeated_ngrams must not plan a count(distinct)
     anywhere — both counts run over the pre-deduplicated (ngram, doc_id)
