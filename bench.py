@@ -59,6 +59,12 @@ HEADLINE = [
     "similarity_ann_ivf_pq",
     "agg_median_exact",
     "text_hashing_vectorizer",
+    # r4 additions
+    "events_sessionize_ids",
+    "window_count_distinct_rolling",
+    "corpus_lang_cap",
+    "text_tfidf_cosine_pairs",
+    "agg_mode",
 ]
 
 
@@ -151,17 +157,20 @@ def bench_skew_salting(spark, n_probe: int = 8_000_000, hot_frac: float = 0.75) 
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        results = {}
-        for name, df in (
+        # interleaved best-of-3: late-session GC/memory drift hits both
+        # variants equally instead of whichever runs second
+        variants = (
             ("plain", agg(probe.join(build, "k"))),
             ("salted", agg(salted_join(probe, build, ["k"], n_salts=32))),
-        ):
-            best = float("inf")
-            for _rep in range(2):
+        )
+        best: dict[str, float] = {}
+        for _rep in range(3):
+            for name, df in variants:
                 t0 = time.time()
                 df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
-            results[f"{name}_sec"] = round(best, 3)
+                dt = time.time() - t0
+                best[name] = min(best.get(name, float("inf")), dt)
+        results = {f"{name}_sec": round(v, 3) for name, v in best.items()}
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
