@@ -65,6 +65,7 @@ HEADLINE = [
     "corpus_lang_cap",
     "text_tfidf_cosine_pairs",
     "agg_mode",
+    "events_anomaly_zscore",
 ]
 
 

@@ -447,3 +447,84 @@ def window_count_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame
         "event_type",
         F.size(F.collect_set("user_id").over(w)).cast("int").alias("n_distinct_users"),
     )
+
+
+# rolling z-score anomaly flag: per event type, each value scored against
+# the mean/std of its trailing window — the monitoring-side analytic over
+# the same op-counter stream the reference exposes via JMX (§2.8)
+ZSCORE_FRAME = 50
+ZSCORE_THRESH = 3.0
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle=f"""
+    WITH q AS (
+        SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+               CAST(FLOOR(value * 1000000000.0) AS DECIMAL(18,0)) AS x9
+        FROM events WHERE value IS NOT NULL
+    ),
+    m AS (
+        SELECT event_id, event_type, x9,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x9) OVER w AS DOUBLE) AS s1,
+               CAST(SUM(CAST(x9 AS DECIMAL(36,0)) * x9) OVER w AS DOUBLE) AS s2
+        FROM q
+        WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+                     ROWS BETWEEN {ZSCORE_FRAME - 1} PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+        SELECT event_id, event_type, n,
+               CASE WHEN n > 1 AND (n * s2 - s1 * s1) > 0
+                    THEN (CAST(x9 AS DOUBLE) - s1 / n)
+                         / SQRT(GREATEST((n * s2 - s1 * s1) / (n * (n - 1)), 0.0))
+                    ELSE NULL END AS zval
+        FROM m
+    )
+    SELECT event_id, event_type, ROUND(zval, 6) AS zscore,
+           COALESCE(ABS(zval) > {ZSCORE_THRESH}, FALSE) AS is_anomaly
+    FROM z
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score outlier detection per event type: each value scored
+    against the trailing {ZSCORE_FRAME}-event mean/std. Moments accumulate
+    on the 1e-9 quantized integer grid (decimal window sums — exact and
+    shuffle-order-free), and the z closed form runs on identical doubles in
+    both engines; z itself is scale-invariant so the quantization unit
+    cancels.
+
+    Scale shape: one (event_type) shuffle + sort; per-row state is three
+    running window aggregates over a bounded ROWS frame. The same
+    low-cardinality-key note as window_count_distinct_rolling applies: at
+    100 TB re-key on (event_type, coarse time bucket) with boundary
+    stitching."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    x9 = F.floor(F.col("value") * F.lit(1000000000.0)).cast("decimal(18,0)")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_FRAME - 1), Window.currentRow)
+    )
+    m = e.select(
+        "event_id",
+        "event_type",
+        x9.alias("x9"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum(x9).over(w).cast("double").alias("s1"),
+        F.sum(x9 * x9).over(w).cast("double").alias("s2"),
+    )
+    nvar = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    zval = F.when(
+        (F.col("n") > 1) & (nvar > 0),
+        (F.col("x9").cast("double") - F.col("s1") / F.col("n"))
+        / F.sqrt(F.greatest(nvar / (F.col("n") * (F.col("n") - 1)), F.lit(0.0))),
+    )
+    return m.select(
+        "event_id",
+        "event_type",
+        F.round(zval, 6).alias("zscore"),
+        F.coalesce(F.abs(zval) > ZSCORE_THRESH, F.lit(False)).alias("is_anomaly"),
+    )
