@@ -106,6 +106,7 @@ def test_r4_window_family_single_shuffle(spark):
     for name, want_wgl in (
         ("events_sessionize_ids", False),
         ("window_count_distinct_rolling", False),
+        ("events_anomaly_zscore", False),
         ("corpus_lang_cap", True),
     ):
         plan = simple_plan(QUERY_REGISTRY[name](spark, SF))
