@@ -696,6 +696,54 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_survivors_best_quality",
+    oracle=_CC_ORACLE_CTE
+    + f"""
+    , keepers AS (
+        SELECT c.cluster_id, d.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    drops AS (SELECT doc_id FROM keepers WHERE rn > 1)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS INT) AS n_chars
+    FROM (SELECT * FROM documents WHERE doc_id < {EXACT_BASELINE_MAX_DOCS}) d
+    LEFT JOIN drops x ON x.doc_id = d.doc_id
+    WHERE x.doc_id IS NULL
+    """,
+)
+def dedup_survivors_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked keeper selection: within each near-dup cluster keep
+    the HIGHEST-QUALITY member (here: longest document, ties to the smaller
+    doc_id) instead of the arbitrary min-id label — what production
+    pretraining dedup actually does (keep the best copy, drop the rest).
+    Singletons survive untouched.
+
+    Scale shape: adds exactly one (cluster_id) top-1 window —
+    WindowGroupLimit, so each input partition ships at most one candidate
+    row per cluster — on top of the shared label-propagation kernel; the
+    drop set anti-joins back onto documents on doc_id. The oracle reuses
+    the same recursive-closure CTE, so keeper policy is the only moving
+    part."""
+    from pyspark.sql import Window
+
+    comp = dedup_connected_components(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < EXACT_BASELINE_MAX_DOCS
+    )
+    ranked = comp.join(d.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    drops = (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    return d.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    )
+
+
 SIMHASH_BANDS = 4  # 4 × 15-bit bands: any pair within hamming 3 shares ≥1 band
 SIMHASH_MAX_HAMMING = 8
 
