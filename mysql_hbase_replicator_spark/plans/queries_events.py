@@ -528,3 +528,75 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zval, 6).alias("zscore"),
         F.coalesce(F.abs(zval) > ZSCORE_THRESH, F.lit(False)).alias("is_anomaly"),
     )
+
+
+TOP_SESSIONS_N = 20
+
+
+@query(
+    "events_top_sessions",
+    oracle=f"""
+    WITH o AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+    m AS (
+        SELECT event_id, user_id, t,
+               CASE WHEN LAG(t) OVER w IS NULL
+                      OR EPOCH_US(t) - EPOCH_US(LAG(t) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+        SELECT event_id, user_id, t,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+                 AS session_num
+        FROM m
+    ),
+    sess AS (
+        SELECT user_id, session_num,
+               CAST(COUNT(*) AS INT) AS n_events,
+               CAST(EPOCH_US(MAX(t)) - EPOCH_US(MIN(t)) AS BIGINT) AS duration_us
+        FROM s GROUP BY user_id, session_num
+    )
+    SELECT user_id, session_num, n_events, duration_us
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY duration_us DESC, user_id,
+                                       session_num) AS rn FROM sess)
+    WHERE rn <= {TOP_SESSIONS_N}
+    """,
+)
+def events_top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{TOP_SESSIONS_N} longest sessions corpus-wide — the composition of
+    events_sessionize_ids with a per-session rollup and a global top-k:
+    session boundaries from the same gap rule, duration as integer micros
+    (exact on both engines), total order (duration desc, user, session) so
+    the cut is deterministic.
+
+    Scale shape: the sessionize window and the (user_id, session_num)
+    rollup share the (user_id) partitioning — one shuffle reused across the
+    window and the aggregate; the global top-k is a TakeOrderedAndProject
+    over the tiny per-session table, never a full sort."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    s = e.select(
+        "user_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int")
+        .alias("session_num"),
+    )
+    sess = s.groupBy("user_id", "session_num").agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+    return sess.orderBy(
+        F.desc("duration_us"), "user_id", "session_num"
+    ).limit(TOP_SESSIONS_N)

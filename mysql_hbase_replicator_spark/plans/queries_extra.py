@@ -856,3 +856,33 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("o_orderpriority", F.col("o_orderstatus").alias("modal_status"), "n_rows")
     )
+
+
+@query(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS wavg_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag — the weighted-mean
+    aggregate every metrics layer needs. Both the numerator (price×qty) and
+    the denominator accumulate as exact decimals (the engine's msum
+    contract), so the one double division happens on identical operands in
+    both engines regardless of shuffle order.
+
+    Scale shape: single scan, single partial-aggregated shuffle on a
+    3-valued key; both sums combine map-side."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        (
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(25,6)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(25,6)")).cast("double")
+        ).alias("wavg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
