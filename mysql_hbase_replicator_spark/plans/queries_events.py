@@ -409,6 +409,12 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (frame width), codegen'd, and exactly equal to the SQL form
 ROLLING_FRAME = 100
 
+# coarse re-key bucket for the low-cardinality-key windows below: events
+# span ~30 days, so 1-day buckets give #event_types x ~30 window partitions
+# at any SF; at 100x the data you shrink the width (the stitch cost is
+# O(#buckets x frame) carry rows, independent of bucket size)
+DAY_BUCKET_US = 86_400_000_000
+
 
 @query(
     "window_count_distinct_rolling",
@@ -429,23 +435,34 @@ def window_count_distinct_rolling(spark: SparkSession, sf_dir: str) -> DataFrame
     ``size(collect_set(user_id))`` over the same ROWS frame, which is
     exactly equivalent (set semantics, not an estimate).
 
-    Scale shape: one (event_type) shuffle + sort; per-row state is the
-    bounded {ROLLING_FRAME}-element frame set, independent of partition
-    size. Skew note: event_type is low-cardinality, so at 100 TB this
-    window would re-key on (event_type, coarse time bucket) with boundary
-    stitching — the per-key state stays bounded either way."""
-    from pyspark.sql.window import Window
+    Scale shape: event_type has ~5 distinct values, so a plain
+    partitionBy(event_type) window caps parallelism at 5 tasks each
+    sorting 20% of the fact table. The registered plan instead re-keys on
+    (event_type, 1-day time bucket) via the boundary-stitched ROWS kernel
+    (operators/window_rekey.py): each bucket's trailing FRAME-1 rows are
+    replicated into its successor so the first rows of every bucket see
+    their full frame — bit-identical output, parallelism #types x #days,
+    and per-row state is still the bounded {ROLLING_FRAME}-element set."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        STITCH_CARRY,
+        stitched_rows_frame,
+    )
 
     e = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(ROLLING_FRAME - 1), Window.currentRow)
+    stitched, w = stitched_rows_frame(
+        e,
+        keys=["event_type"],
+        order_by=["ts", "event_id"],
+        bucket=F.floor(F.unix_micros(F.col("ts")) / F.lit(DAY_BUCKET_US)),
+        frame_rows=ROLLING_FRAME,
     )
-    return e.select(
-        "event_id",
-        "event_type",
-        F.size(F.collect_set("user_id").over(w)).cast("int").alias("n_distinct_users"),
+    return (
+        stitched.withColumn(
+            "n_distinct_users",
+            F.size(F.collect_set("user_id").over(w)).cast("int"),
+        )
+        .where(~F.col(STITCH_CARRY))
+        .select("event_id", "event_type", "n_distinct_users")
     )
 
 
@@ -494,27 +511,38 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; z itself is scale-invariant so the quantization unit
     cancels.
 
-    Scale shape: one (event_type) shuffle + sort; per-row state is three
-    running window aggregates over a bounded ROWS frame. The same
-    low-cardinality-key note as window_count_distinct_rolling applies: at
-    100 TB re-key on (event_type, coarse time bucket) with boundary
-    stitching."""
-    from pyspark.sql.window import Window
+    Scale shape: like window_count_distinct_rolling, the plain
+    partitionBy(event_type) form caps parallelism at ~5 tasks, so the
+    registered plan re-keys on (event_type, 1-day bucket) through the
+    boundary-stitched ROWS kernel (operators/window_rekey.py) — the carried
+    FRAME-1 boundary rows feed the three running moments but emit no output
+    row, so the result is bit-identical to the single-key window."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        STITCH_CARRY,
+        stitched_rows_frame,
+    )
 
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     x9 = F.floor(F.col("value") * F.lit(1000000000.0)).cast("decimal(18,0)")
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-(ZSCORE_FRAME - 1), Window.currentRow)
+    stitched, w = stitched_rows_frame(
+        e.withColumn("x9", x9),
+        keys=["event_type"],
+        order_by=["ts", "event_id"],
+        bucket=F.floor(F.unix_micros(F.col("ts")) / F.lit(DAY_BUCKET_US)),
+        frame_rows=ZSCORE_FRAME,
     )
-    m = e.select(
-        "event_id",
-        "event_type",
-        x9.alias("x9"),
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.sum(x9).over(w).cast("double").alias("s1"),
-        F.sum(x9 * x9).over(w).cast("double").alias("s2"),
+    m = (
+        stitched.select(
+            "event_id",
+            "event_type",
+            "x9",
+            F.col(STITCH_CARRY),
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("x9").over(w).cast("double").alias("s1"),
+            F.sum(F.col("x9") * F.col("x9")).over(w).cast("double").alias("s2"),
+        )
+        .where(~F.col(STITCH_CARRY))
+        .drop(STITCH_CARRY)
     )
     nvar = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
     zval = F.when(

@@ -777,25 +777,42 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
     value) in the same priority class fall within $1000 below its price —
     the value-based sibling of the time-interval frame. RANGE peers are
     defined by value, so ties share results regardless of row order; the
-    sum is decimal-exact, making the output hash-stable. One shuffle on the
-    partition key."""
-    from pyspark.sql.window import Window
+    sum is decimal-exact, making the output hash-stable.
+
+    Scale shape: o_orderpriority has 5 values, so the plain partitionBy
+    window caps parallelism at 5; the registered plan re-keys on
+    (priority, $10k price bucket) via the RANGE stitch kernel
+    (operators/window_rekey.py) — rows within $1000 of their bucket's
+    upper edge are replicated once into the next bucket, which is
+    sufficient because bucket width >= the RANGE width. Bit-identical
+    output, parallelism #priorities x #price-buckets."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        STITCH_CARRY,
+        stitched_range_frame,
+    )
 
     o = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderpriority")
-        .orderBy("o_totalprice")
-        .rangeBetween(-1000, Window.currentRow)
+    stitched, w = stitched_range_frame(
+        o,
+        keys=["o_orderpriority"],
+        order_col="o_totalprice",
+        bucket_width=10_000,
+        preceding=1000,
     )
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        "o_totalprice",
-        F.count(F.lit(1)).over(w).alias("n_within_1000"),
-        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
-        .over(w)
-        .cast("double")
-        .alias("sum_within_1000"),
+    return (
+        stitched.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.col(STITCH_CARRY),
+            F.count(F.lit(1)).over(w).alias("n_within_1000"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .over(w)
+            .cast("double")
+            .alias("sum_within_1000"),
+        )
+        .where(~F.col(STITCH_CARRY))
+        .drop(STITCH_CARRY)
     )
 
 

@@ -341,3 +341,48 @@ def test_new_text_corpus_queries_stay_jvm_side(spark):
         plan = simple_plan(QUERY_REGISTRY[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_rekeyed_windows_partition_on_stitch_bucket(spark):
+    """The three formerly-weak low-cardinality-key windows (VERDICT r4 #1)
+    must run their heavy Window node partitioned on (key, _stitch_bucket),
+    not on the ~5-value key alone, and the stitched input must actually
+    fan out to more groups than the key has values — the property that
+    keeps window parallelism proportional to data span at 100 TB."""
+    from pyspark.sql import functions as F
+
+    for name, key in (
+        ("window_count_distinct_rolling", "event_type"),
+        ("events_anomaly_zscore", "event_type"),
+        ("window_range_numeric", "o_orderpriority"),
+    ):
+        df = QUERY_REGISTRY[name](spark, SF)
+        plan = simple_plan(df)
+        # every Window node that partitions on the low-card key must also
+        # carry the stitch bucket in its partition spec
+        bad = [
+            ln
+            for ln in plan.splitlines()
+            if ln.strip().startswith("Window ") and key in ln.split("windowspecdefinition")[-1]
+            and "_stitch_bucket" not in ln
+        ]
+        assert not bad, f"{name}: un-rekeyed Window node(s): {bad}"
+    # and the fan-out is real: distinct (key, bucket) >> distinct key
+    from mysql_hbase_replicator_spark.operators.window_rekey import stitched_rows_frame
+    from mysql_hbase_replicator_spark.plans.queries_events import (
+        DAY_BUCKET_US,
+        ROLLING_FRAME,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    e = load_table(spark, SF, "events")
+    stitched, _ = stitched_rows_frame(
+        e,
+        keys=["event_type"],
+        order_by=["ts", "event_id"],
+        bucket=F.floor(F.unix_micros(F.col("ts")) / F.lit(DAY_BUCKET_US)),
+        frame_rows=ROLLING_FRAME,
+    )
+    n_keys = e.select("event_type").distinct().count()
+    n_groups = stitched.select("event_type", "_stitch_bucket").distinct().count()
+    assert n_groups > 5 * n_keys, (n_groups, n_keys)

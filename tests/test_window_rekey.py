@@ -1,0 +1,219 @@
+"""Boundary-stitched re-keyed windows (operators/window_rekey.py).
+
+The contract is *bit-identical* output vs the plain single-key window, so
+every test here compares the stitched plan against a reference
+``Window.partitionBy(key)`` computed on the same data — including the edge
+cases the stitch must survive: buckets with fewer rows than the frame,
+entirely empty buckets between populated ones, frames that chain across
+several sparse buckets, and single-row buckets.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from mysql_hbase_replicator_spark.operators.window_rekey import (
+    STITCH_CARRY,
+    stitched_range_frame,
+    stitched_rows_frame,
+)
+
+
+def _rows_reference(df, frame_rows):
+    w = (
+        Window.partitionBy("k")
+        .orderBy("pos")
+        .rowsBetween(-(frame_rows - 1), Window.currentRow)
+    )
+    return df.select(
+        "k",
+        "pos",
+        F.sum("v").over(w).alias("s"),
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.size(F.collect_set("v").over(w)).alias("d"),
+    )
+
+
+def _rows_stitched(df, frame_rows, bucket_width):
+    stitched, w = stitched_rows_frame(
+        df,
+        keys=["k"],
+        order_by=["pos"],
+        bucket=F.floor(F.col("pos") / F.lit(bucket_width)),
+        frame_rows=frame_rows,
+    )
+    return (
+        stitched.select(
+            "k",
+            "pos",
+            F.col(STITCH_CARRY),
+            F.sum("v").over(w).alias("s"),
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.size(F.collect_set("v").over(w)).alias("d"),
+        )
+        .where(~F.col(STITCH_CARRY))
+        .drop(STITCH_CARRY)
+    )
+
+
+def _assert_same(a, b):
+    ra = sorted(tuple(r) for r in a.collect())
+    rb = sorted(tuple(r) for r in b.collect())
+    assert ra == rb
+
+
+@pytest.mark.parametrize("frame_rows", [3, 7])
+@pytest.mark.parametrize("bucket_width", [1, 4, 10, 1000])
+def test_rows_stitch_dense(spark, frame_rows, bucket_width):
+    """Dense positions: every bucket populated; width 1 = one row per
+    bucket (maximal chaining), 1000 = everything in one bucket (stitch is
+    a no-op and must still be exact)."""
+    rows = [(k, p, (p * 7 + k) % 5) for k in range(2) for p in range(40)]
+    df = spark.createDataFrame(rows, "k int, pos int, v int")
+    _assert_same(
+        _rows_stitched(df, frame_rows, bucket_width), _rows_reference(df, frame_rows)
+    )
+
+
+def test_rows_stitch_sparse_and_empty_buckets(spark):
+    """Positions with large gaps: carry must chain back across several
+    empty/short buckets to fill the frame."""
+    pos = [0, 1, 17, 18, 19, 53, 90, 91, 92, 93, 150]
+    rows = [(0, p, p % 4) for p in pos]
+    df = spark.createDataFrame(rows, "k int, pos int, v int")
+    _assert_same(_rows_stitched(df, 5, 10), _rows_reference(df, 5))
+
+
+def test_rows_stitch_frame_larger_than_any_bucket(spark):
+    """frame_rows far exceeds every bucket's population — each destination
+    needs carries from many source buckets."""
+    rows = [(0, p, p) for p in range(0, 100, 3)]  # ~3 rows per width-10 bucket
+    df = spark.createDataFrame(rows, "k int, pos int, v int")
+    _assert_same(_rows_stitched(df, 20, 10), _rows_reference(df, 20))
+
+
+def test_rows_stitch_multi_key(spark):
+    """Keys with different bucket occupancy patterns stitch independently."""
+    rows = [(0, p, p % 3) for p in range(30)] + [(1, p * 9, p) for p in range(12)]
+    df = spark.createDataFrame(rows, "k int, pos int, v int")
+    _assert_same(_rows_stitched(df, 6, 8), _rows_reference(df, 6))
+
+
+@pytest.mark.parametrize("bucket_width", [1000, 2500, 10_000])
+def test_range_stitch_matches_plain(spark, bucket_width):
+    """RANGE frame: stitched result equals the plain window, including
+    value ties (peer rows) and values exactly at bucket edges."""
+    vals = (
+        [i * 37 % 9000 for i in range(300)]
+        + [1000, 2000, 2000, 3000, 9000 - 1000]  # exact-boundary and tie cases
+        + [0, 1, 999, 1000, 1001]
+    )
+    rows = [(i % 3, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k int, val double")
+
+    wp = Window.partitionBy("k").orderBy("val").rangeBetween(-1000, Window.currentRow)
+    ref = df.select("k", "val", F.count(F.lit(1)).over(wp).alias("n"),
+                    F.sum("val").over(wp).alias("s"))
+
+    stitched, w = stitched_range_frame(
+        df, keys=["k"], order_col="val", bucket_width=bucket_width, preceding=1000
+    )
+    got = (
+        stitched.select(
+            "k", "val", F.col(STITCH_CARRY),
+            F.count(F.lit(1)).over(w).alias("n"),
+            F.sum("val").over(w).alias("s"),
+        )
+        .where(~F.col(STITCH_CARRY))
+        .drop(STITCH_CARRY)
+    )
+    _assert_same(got, ref)
+
+
+def test_range_stitch_rejects_narrow_buckets(spark):
+    df = spark.createDataFrame([(0, 1.0)], "k int, val double")
+    with pytest.raises(ValueError, match="bucket_width"):
+        stitched_range_frame(df, ["k"], "val", bucket_width=500, preceding=1000)
+
+
+def test_registered_queries_match_plain_window_form(spark):
+    """The three re-keyed registry queries equal their original
+    single-partition-key formulations on real data (sf0.001)."""
+    from mysql_hbase_replicator_spark.plans.queries_events import (
+        ROLLING_FRAME,
+        ZSCORE_FRAME,
+        ZSCORE_THRESH,
+    )
+    from mysql_hbase_replicator_spark.plans.registry import (
+        QUERY_REGISTRY,
+        load_all_queries,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    load_all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    # window_count_distinct_rolling
+    e = load_table(spark, sf, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLING_FRAME - 1), Window.currentRow)
+    )
+    ref = e.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("int").alias("n_distinct_users"),
+    )
+    _assert_same(QUERY_REGISTRY["window_count_distinct_rolling"](spark, sf), ref)
+
+    # events_anomaly_zscore
+    ez = e.filter(F.col("value").isNotNull())
+    x9 = F.floor(F.col("value") * F.lit(1000000000.0)).cast("decimal(18,0)")
+    wz = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ZSCORE_FRAME - 1), Window.currentRow)
+    )
+    m = ez.select(
+        "event_id",
+        "event_type",
+        x9.alias("x9"),
+        F.count(F.lit(1)).over(wz).alias("n"),
+        F.sum(x9).over(wz).cast("double").alias("s1"),
+        F.sum(x9 * x9).over(wz).cast("double").alias("s2"),
+    )
+    nvar = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    zval = F.when(
+        (F.col("n") > 1) & (nvar > 0),
+        (F.col("x9").cast("double") - F.col("s1") / F.col("n"))
+        / F.sqrt(F.greatest(nvar / (F.col("n") * (F.col("n") - 1)), F.lit(0.0))),
+    )
+    refz = m.select(
+        "event_id",
+        "event_type",
+        F.round(zval, 6).alias("zscore"),
+        F.coalesce(F.abs(zval) > ZSCORE_THRESH, F.lit(False)).alias("is_anomaly"),
+    )
+    _assert_same(QUERY_REGISTRY["events_anomaly_zscore"](spark, sf), refz)
+
+    # window_range_numeric
+    o = load_table(spark, sf, "orders")
+    wr = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, Window.currentRow)
+    )
+    refr = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.count(F.lit(1)).over(wr).alias("n_within_1000"),
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(wr)
+        .cast("double")
+        .alias("sum_within_1000"),
+    )
+    _assert_same(QUERY_REGISTRY["window_range_numeric"](spark, sf), refr)
