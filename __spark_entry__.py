@@ -33,39 +33,47 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERY_REGISTRY["flagship_shipping_priority"](spark, "/root/testdata/sf0.001")
 
 
-def _driver_verified_names() -> set[str]:
-    """Query names that already have a row in any past CORRECTNESS_r*.json.
-    Used only to ORDER the registry (never to drop entries): the driver
-    samples a prefix-biased subset per round, so putting never-yet-verified
-    queries first rotates fresh coverage into each round's record."""
+def _last_verified_round() -> dict[str, int]:
+    """Map query name -> the LAST round whose CORRECTNESS_r*.json recorded
+    it (0 if never recorded). Used only to ORDER the registry (never to
+    drop entries): the driver samples a prefix-biased subset per round, so
+    sorting stalest-verification-first makes each round re-validate the
+    records most likely to have rotted under refactors, while
+    never-verified queries (round 0) still sort to the very front."""
     import glob
     import json
+    import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    seen: set[str] = set()
+    last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as f:
-                seen |= set(json.load(f))
+                names = set(json.load(f))
         except (OSError, ValueError):
             continue
-    return seen
+        for n in names:
+            last[n] = max(last.get(n, 0), rnd)
+    return last
+
+
+def _staleness_ordered(names) -> list[str]:
+    last = _last_verified_round()
+    order = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last.get(n, 0), order[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2, ordered so
-    queries without a driver-recorded correctness row come first."""
-    seen = _driver_verified_names()
-    ordered = [n for n in QUERY_REGISTRY if n not in seen] + [
-        n for n in QUERY_REGISTRY if n in seen
-    ]
-    return {n: QUERY_REGISTRY[n] for n in ordered}
+    """One entry per implemented operator from SURVEY.md §2, ordered so the
+    stalest driver-verified records (and never-verified queries) come
+    first."""
+    return {n: QUERY_REGISTRY[n] for n in _staleness_ordered(list(QUERY_REGISTRY))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query; omitted keys get rows-only checks."""
-    seen = _driver_verified_names()
-    ordered = [n for n in ORACLE_REGISTRY if n not in seen] + [
-        n for n in ORACLE_REGISTRY if n in seen
-    ]
-    return {n: ORACLE_REGISTRY[n] for n in ordered}
+    return {n: ORACLE_REGISTRY[n] for n in _staleness_ordered(list(ORACLE_REGISTRY))}
