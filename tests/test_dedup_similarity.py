@@ -575,3 +575,16 @@ def test_ann_production_params_recall_at_25(spark):
     assert recalls == sorted(recalls), f"IVF recall not monotone in nprobe: {recalls}"
     assert recalls[0] >= 0.8, f"IVF nprobe=1 recall@25 too low: {recalls[0]:.3f}"
     assert recalls[-1] == 1.0, f"IVF probing all cells must be exact: {recalls[-1]:.3f}"
+
+
+def test_connected_components_records_round_count(spark):
+    """Early termination + observability: the run must stop as soon as a
+    round changes zero labels (shallow fixture graphs converge well under
+    the 20-round cap) and record the executed round count."""
+    from mysql_hbase_replicator_spark.operators.dedup import (
+        dedup_connected_components,
+    )
+
+    dedup_connected_components(spark, SF).collect()
+    rounds = dedup_connected_components.last_rounds
+    assert 1 <= rounds < 20, rounds
