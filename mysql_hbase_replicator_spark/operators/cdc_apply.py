@@ -429,13 +429,27 @@ def replay_dead_letters(
         F.col("included_after"),
         F.col("filename"),
     )
+    # ingest-level dead letters (e.g. corrupt Debezium envelopes queued by
+    # debezium_dead_letters) carry a non-row op ("?"/unknown) and a raw
+    # payload the row path can't interpret — re-queue them verbatim instead
+    # of letting the drain discard them (K6: failures never vanish)
+    uninterpretable = dl.filter(~F.col("op").isin(*ROW_OPS))
+    n_uninterp = uninterpretable.count()
+    if n_uninterp:
+        uninterpretable.write.mode("append").parquet(path)
+        ev_df = ev_df.filter(F.col("op").isin(*ROW_OPS))
     if ev_df.isEmpty():
         for d in drain_dirs:
             shutil.rmtree(d)
+        if n_uninterp:
+            result = CdcBatchResult()
+            result.dead_letter_count = n_uninterp
+            return result
         return None
     result = apply_cdc_batch(
         spark, ev_df, store, mappings, k3_mode=k3_mode, advance_checkpoint=False
     )
+    result.dead_letter_count += n_uninterp
     for d in drain_dirs:
         shutil.rmtree(d)
     return result

@@ -25,13 +25,19 @@ Envelope → event mapping (Debezium MySQL connector JSON, unwrapped):
 |                               |  REQUIRED: binlog positions reset per file)|
 
 Tombstones (null value payloads Debezium emits after deletes for Kafka log
-compaction) carry no row data and are dropped.
+compaction) carry no row data and are dropped. Non-null payloads that fail
+to parse (corrupt JSON, missing/unknown `op`) are NOT dropped: route them
+through ``debezium_dead_letters`` into the kernel's ``_dead_letter`` table
+— the K6 contract (`Rep.scala:67-97` queues failed events rather than
+discarding them) applies to ingest corruption the same as to apply
+failures.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # the envelope fields the adapter consumes; payloads stay JSON strings so
 # the kernel parses them per table against the MAPPING's declared schema
@@ -52,22 +58,56 @@ def _op_col(op: Column) -> Column:
     return out
 
 
-def debezium_to_cdc_events(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def _parsed(raw: DataFrame, value_col: str) -> DataFrame:
+    return raw.withColumn(
+        "_env", F.from_json(F.col(value_col).cast("string"), _ENVELOPE_SCHEMA)
+    ).withColumn("_op", _op_col(F.col("_env.op")))
+
+
+def debezium_to_cdc_events(
+    raw: DataFrame, value_col: str = "value", seq_col: Column | None = None
+) -> DataFrame:
     """Transform a frame of Debezium envelope JSON strings (the `value` of a
     Kafka record, after schema-registry unwrapping) into the engine's CDC
-    event schema. Works identically on batch and streaming frames.
+    event schema. Works on batch and streaming frames; only rows that parse
+    to a known op are returned — tombstones (null payloads) are dropped by
+    design, and corrupt/unknown envelopes are the ``debezium_dead_letters``
+    split of the same input (the caller appends them to the kernel's
+    dead-letter table; see CdcStreamPipeline's Debezium wiring).
 
-    `seq` is ts_ms*1000 + pos%1000: Debezium stamps ts_ms per transaction
-    (monotonic across files), and the low digits of pos break ties within a
-    transaction deterministically. Sources that provide a true offset column
-    (Kafka partition offset) should overwrite `seq` with it after this call.
+    `seq` (globally monotonic arrival order; the kernel's K5 collapse and
+    rotate-aware checkpoint order by it):
+
+    - ``seq_col`` given: used verbatim. This is the production path — the
+      Kafka partition offset (``read_debezium_stream`` passes it), which is
+      the true arrival order; Debezium keys records by PK, so a per-
+      partition offset totally orders each key's history.
+    - batch frames: ``ts_ms * 1e6 + rank(pos) within ts_ms`` — Debezium
+      stamps ts_ms per transaction (monotonic across binlog files), and the
+      dense per-millisecond rank (ordered by file, pos) is order-preserving
+      for ANY position values, unlike arithmetic on pos digits (positions
+      straddling a modulus would invert). The rank window partitions on
+      ts_ms — high cardinality, so no low-parallelism hazard — and fits a
+      long until year ~2262 for < 1e6 events per source millisecond.
+    - streaming frames without ``seq_col``: window functions are
+      unavailable, so seq degrades to ``ts_ms * 1e6`` (same-millisecond
+      arrival ties are NOT broken — pass the source's offset instead).
     """
-    env = raw.withColumn(
-        "_env", F.from_json(F.col(value_col).cast("string"), _ENVELOPE_SCHEMA)
-    ).filter(F.col("_env").isNotNull() & F.col("_env.op").isNotNull())  # tombstones
+    env = _parsed(raw, value_col).filter(F.col("_op").isNotNull())
+    if seq_col is not None:
+        seq = seq_col
+    else:
+        coarse = F.col("_env.source.ts_ms") * F.lit(1_000_000)
+        if raw.isStreaming:
+            seq = coarse
+        else:
+            wr = Window.partitionBy(F.col("_env.source.ts_ms")).orderBy(
+                F.col("_env.source.file"), F.col("_env.source.pos")
+            )
+            seq = coarse + F.row_number().over(wr) - F.lit(1)
     return env.select(
         F.col("_env.source.pos").alias("position"),
-        _op_col(F.col("_env.op")).alias("op"),
+        F.col("_op").alias("op"),
         F.col("_env.source.db").alias("db"),
         F.col("_env.source.table").alias("table"),
         F.col("_env.before").alias("before"),
@@ -75,11 +115,43 @@ def debezium_to_cdc_events(raw: DataFrame, value_col: str = "value") -> DataFram
         F.lit(None).cast("array<string>").alias("included_before"),
         F.lit(None).cast("array<string>").alias("included_after"),
         F.col("_env.source.file").alias("filename"),
-        (
-            F.col("_env.source.ts_ms") * F.lit(1000)
-            + F.pmod(F.col("_env.source.pos"), F.lit(1000))
-        ).alias("seq"),
-    ).filter(F.col("op").isNotNull())
+        seq.cast("long").alias("seq"),
+    )
+
+
+def debezium_dead_letters(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """The rows ``debezium_to_cdc_events`` cannot convert — non-null
+    payloads that fail JSON parsing or carry a missing/unknown ``op`` — in
+    the kernel's ``_dead_letter`` schema, raw payload preserved verbatim so
+    an operator can fix and replay them (K6: failures queue, never vanish).
+    Tombstones (null payloads) are NOT dead letters: they are a documented
+    part of the protocol and carry no information to replay."""
+    bad = _parsed(raw, value_col).filter(
+        F.col(value_col).isNotNull() & F.col("_op").isNull()
+    )
+    return bad.select(
+        F.col("_env.source.pos").alias("position"),
+        F.coalesce(F.col("_env.op"), F.lit("?")).alias("op"),
+        F.nullif(
+            F.concat_ws(".", F.col("_env.source.db"), F.col("_env.source.table")),
+            F.lit(""),
+        ).alias("table_name"),
+        # PERMISSIVE from_json yields an all-null struct (never a null
+        # struct) on malformed input, so "unparseable" = no field survived
+        F.when(
+            F.col("_env.op").isNull()
+            & F.col("_env.before").isNull()
+            & F.col("_env.after").isNull()
+            & F.col("_env.source").isNull(),
+            F.lit("unparseable debezium envelope"),
+        )
+        .otherwise(F.lit("unknown debezium op"))
+        .alias("reason"),
+        F.col(value_col).cast("string").alias("payload"),
+        F.lit(None).cast("array<string>").alias("included_before"),
+        F.lit(None).cast("array<string>").alias("included_after"),
+        F.col("_env.source.file").alias("filename"),
+    )
 
 
 def read_debezium_stream(
@@ -87,6 +159,8 @@ def read_debezium_stream(
 ) -> DataFrame:
     """The production source: a Kafka Debezium topic as a streaming frame of
     CDC events, ready for CdcStreamPipeline's generic multi-table kernel.
+    ``seq`` is the Kafka partition offset — the true arrival order, and a
+    total order per PK because Debezium partitions records by key.
     Requires the spark-sql-kafka package on the cluster (not present in the
     test sandbox — the envelope transformation above is what the tests
     cover; this assembly mirrors sources/jdbc.py's option-assembly pattern)."""
@@ -97,4 +171,4 @@ def read_debezium_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return debezium_to_cdc_events(raw)
+    return debezium_to_cdc_events(raw, seq_col=F.col("offset"))

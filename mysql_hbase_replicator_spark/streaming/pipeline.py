@@ -78,6 +78,13 @@ class CdcStreamPipeline:
     # generic multi-table stream only: declare the seq column (sources that
     # rotate mid-batch MUST stamp seq — positions reset per binlog file)
     stream_with_seq: bool = False
+    # "jsonl" = engine-native CDC event lines (read_event_stream_json);
+    # "debezium" = raw Debezium envelope lines: each micro-batch is split —
+    # convertible envelopes through debezium_to_cdc_events (batch-mode seq:
+    # ts_ms rank, order-preserving), corrupt/unknown ones appended to the
+    # store's _dead_letter table (K6 at ingest) — the same composition a
+    # Kafka readStream gets, minus the broker.
+    source_format: str = "jsonl"
     # schema-change detection (§1.4): declared source schemas + a provider
     # returning the current schema per table; PK drift kills the query.
     declared_schemas: dict[str, TableSchema] | None = None
@@ -99,16 +106,56 @@ class CdcStreamPipeline:
             if fresh is not None:
                 declared.check_key_unchanged(fresh)
 
-    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
-        self._check_schemas()
-        result = apply_cdc_batch(
+    def _apply_kernel(self, events: DataFrame) -> CdcBatchResult:
+        return apply_cdc_batch(
             self.spark,
-            batch_df,
+            events,
             self.store,
             self.mappings,
             k3_mode=self.k3_mode,
             max_dead_letter=self.max_dead_letter,
         )
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        self._check_schemas()
+        n_ingest_dead = 0
+        if self.source_format == "debezium":
+            import os
+
+            from mysql_hbase_replicator_spark.operators.cdc_apply import (
+                DEAD_LETTER_TABLE,
+                DeadLetterOverflowError,
+            )
+            from mysql_hbase_replicator_spark.sources.debezium import (
+                debezium_dead_letters,
+                debezium_to_cdc_events,
+            )
+
+            raw = batch_df.persist()
+            try:
+                dead = debezium_dead_letters(raw)
+                n_ingest_dead = dead.count()
+                if n_ingest_dead:
+                    dead.write.mode("append").parquet(
+                        os.path.join(self.store.base_dir, DEAD_LETTER_TABLE)
+                    )
+                if (
+                    self.max_dead_letter is not None
+                    and n_ingest_dead > self.max_dead_letter
+                ):
+                    raise DeadLetterOverflowError(
+                        f"ingest dead-letter count {n_ingest_dead} exceeds "
+                        f"max_dead_letter={self.max_dead_letter}"
+                    )
+                # inside foreachBatch the frame is a plain batch, so the
+                # order-preserving rank seq applies per micro-batch
+                batch_df = debezium_to_cdc_events(raw)
+                result = self._apply_kernel(batch_df)
+            finally:
+                raw.unpersist()
+        else:
+            result = self._apply_kernel(batch_df)
+        result.dead_letter_count += n_ingest_dead
         with self._lock:
             self.results.append(result)
             for key, seconds in result.apply_latency_s.items():
@@ -118,7 +165,12 @@ class CdcStreamPipeline:
         """Start the streaming query. ``available_now=True`` processes the
         current backlog then stops (test/batch-catchup mode); False runs
         continuously with the default micro-batch trigger."""
-        if self.row_struct is None:
+        if self.source_format == "debezium":
+            # raw envelope lines; the per-batch split in _apply_batch does
+            # the convert + dead-letter routing (a Kafka readStream drops in
+            # by swapping this reader — the value column name matches)
+            stream = self.spark.readStream.text(self.events_path)
+        elif self.row_struct is None:
             from mysql_hbase_replicator_spark.sources.cdc_events import (
                 read_event_stream_json,
             )

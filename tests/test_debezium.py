@@ -77,3 +77,74 @@ def test_envelope_stream_through_kernel(spark, tmp_path, student_mapping):
     )
     # the post-rotate update won despite its smaller position
     assert rows == [(1, 1, 99, "ann2", "z"), (2, 2, 20, "bob", "b")]
+
+
+def test_seq_order_preserving_within_one_millisecond(spark):
+    """Regression: positions straddling a multiple of 1000 inside one
+    ts_ms (e.g. 998 then 1002) must yield INCREASING seq, and same-ms
+    positions exactly 1000 apart must not collide — the old pos%1000
+    arithmetic failed both."""
+    ts = 1_700_000_000_000
+    vals = [
+        envelope("c", after={"sn": 1, "id": 1, "score": 1}, pos=998, ts_ms=ts),
+        envelope("u", before={"sn": 1, "id": 1, "score": 1},
+                 after={"sn": 1, "id": 1, "score": 2}, pos=1002, ts_ms=ts),
+        envelope("u", before={"sn": 1, "id": 1, "score": 2},
+                 after={"sn": 1, "id": 1, "score": 3}, pos=2002, ts_ms=ts),
+    ]
+    ev = sorted(debezium_to_cdc_events(raw_frame(spark, vals)).collect(),
+                key=lambda r: r.position)
+    seqs = [r.seq for r in ev]
+    assert seqs == sorted(seqs) and len(set(seqs)) == 3, seqs
+
+
+def test_seq_collapse_picks_latest_image_same_ms(spark, tmp_path, student_mapping):
+    """End-to-end: two same-ms updates to one PK whose positions straddle
+    1000 — the LATER position must win the K5 last-image collapse."""
+    ts = 1_700_000_000_000
+    vals = [
+        envelope("c", after={"sn": 1, "id": 1, "score": 1, "name": "a", "rem": "x"},
+                 pos=998, ts_ms=ts),
+        envelope("u", before={"sn": 1, "id": 1, "score": 1, "name": "a", "rem": "x"},
+                 after={"sn": 1, "id": 1, "score": 7, "name": "b", "rem": "y"},
+                 pos=1002, ts_ms=ts),
+    ]
+    ev = debezium_to_cdc_events(raw_frame(spark, vals))
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=2)
+    apply_cdc_batch(spark, ev, store, {"mixfs.student": student_mapping})
+    rows = store.read(spark, "mixfs:student2").select("score", "name").collect()
+    assert [(r.score, r.name) for r in rows] == [(7, "b")]
+
+
+def test_corrupt_envelopes_route_to_dead_letter_not_dropped(spark, tmp_path):
+    """K6 at ingest: corrupt JSON and unknown ops land in the dead-letter
+    frame with the raw payload preserved; tombstones stay silent drops; the
+    valid events still convert (stream continues)."""
+    import os
+
+    from mysql_hbase_replicator_spark.operators.cdc_apply import DEAD_LETTER_TABLE
+    from mysql_hbase_replicator_spark.sources.debezium import debezium_dead_letters
+
+    good = envelope("c", after={"sn": 1, "id": 1, "score": 10}, pos=11)
+    corrupt = '{"op": "c", "before": null, '           # truncated JSON
+    unknown = envelope("x", after={"sn": 9}, pos=12)   # op not in protocol
+    raw = raw_frame(spark, [good, corrupt, unknown, None])
+
+    ev = debezium_to_cdc_events(raw).collect()
+    assert len(ev) == 1 and ev[0].op == "insert"
+
+    dead = debezium_dead_letters(raw).collect()
+    assert len(dead) == 2
+    by_reason = {r.reason: r for r in dead}
+    assert by_reason["unparseable debezium envelope"].payload == corrupt
+    u = by_reason["unknown debezium op"]
+    assert u.payload == unknown and u.table_name == "mixfs.student" and u.position == 12
+
+    # schema-compatible with the kernel's dead-letter table: append + read back
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=2)
+    os.makedirs(store.base_dir, exist_ok=True)
+    debezium_dead_letters(raw).write.mode("append").parquet(
+        os.path.join(store.base_dir, DEAD_LETTER_TABLE)
+    )
+    back = spark.read.parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
+    assert back.count() == 2 and "payload" in back.columns
