@@ -87,12 +87,17 @@ def compact_small_files(
     missing live dir with a surviving ``.retired`` is restored before
     anything is deleted, so no crash point loses data.
 
-    Concurrency contract: SINGLE WRITER, NO CONCURRENT READER. An exclusive
-    PID-stamped ``path.compacting.lock`` file serializes compactors: a
+    Concurrency contract: SINGLE WRITER, NO CONCURRENT READER. Exclusivity
+    is a kernel ``flock`` on a persistent ``path.compacting.lock`` file: a
     second concurrent call raises instead of racing the swap/reclaim steps,
-    while a lock left by a CRASHED compactor (its PID no longer alive on
-    this host) is reclaimed automatically so the ``.retired``
-    restore-before-delete recovery still runs. Readers are NOT protected:
+    and a lock whose holder CRASHED is released by the kernel automatically
+    — there is no stale-lock state and therefore no reclaim path. (The
+    previous PID-stamped unlink/recreate scheme had a TOCTOU: two
+    compactors could both observe a dead owner, and the slower reclaimer's
+    unlink deleted the faster one's freshly created lock, breaking the
+    single-writer guarantee.) The lock FILE persists across runs by design
+    — unlinking a flock'd path reintroduces the same race; the holder's
+    PID is written into it for diagnostics only. Readers are NOT protected:
     between the two ``os.replace`` calls the live directory briefly does
     not exist, so a concurrent scan can fail with file-not-found (never
     read partial data — both swap steps are atomic renames). Run compaction
@@ -101,47 +106,26 @@ def compact_small_files(
 
     Returns {"files_before": n, "files_after": m, "bytes": b}.
     """
+    import fcntl
+
     staging, retired = path + ".compacting", path + ".retired"
     lock = staging + ".lock"
-    for attempt in range(2):
-        try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-            break
-        except FileExistsError:
-            if attempt == 0 and not _lock_owner_alive(lock):
-                try:  # stale lock from a crashed compactor: reclaim
-                    os.unlink(lock)
-                except FileNotFoundError:
-                    pass
-                continue
-            raise RuntimeError(
-                f"compaction already in progress for {path} ({lock} held by a "
-                "live process); compact_small_files is single-writer"
-            ) from None
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
     try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        os.close(fd)
+        raise RuntimeError(
+            f"compaction already in progress for {path} ({lock} flock held by "
+            "a live process); compact_small_files is single-writer"
+        ) from None
+    try:
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())  # diagnostics only
         return _compact_locked(spark, path, staging, retired, target_file_bytes)
     finally:
-        os.unlink(lock)
-
-
-def _lock_owner_alive(lock: str) -> bool:
-    """True iff the PID recorded in ``lock`` is a live process on this host.
-    Unreadable/garbled lock contents count as alive (fail safe: refuse to
-    reclaim what we can't attribute)."""
-    try:
-        with open(lock) as f:
-            pid = int(f.read().strip())
-    except (OSError, ValueError):
-        return True
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True
-    return True
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
 
 def _compact_locked(

@@ -93,28 +93,38 @@ def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
 
 
 def test_compaction_lock_blocks_live_second_writer(spark, tmp_path):
-    """A lock held by a LIVE process makes a second compactor raise instead
-    of racing the swap; a lock left by a DEAD process is reclaimed so crash
-    recovery still runs."""
+    """A flock held by a LIVE holder makes a second compactor raise instead
+    of racing the swap; a lock file left by a DEAD process carries no flock
+    (the kernel released it), so compaction proceeds — no reclaim step, no
+    TOCTOU between competing reclaimers."""
+    import fcntl
+
     import pytest
 
     out = str(tmp_path / "locked")
     spark.range(10).write.parquet(out)
     lock = out + ".compacting.lock"
 
-    # live owner: this very process
-    with open(lock, "w") as f:
-        f.write(str(os.getpid()))
-    with pytest.raises(RuntimeError, match="single-writer"):
-        compact_small_files(spark, out, target_file_bytes=1 << 30)
-    os.unlink(lock)
+    # live holder: flock via an independent fd (flock is per open-file-
+    # description, so this conflicts exactly like another process would)
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    try:
+        with pytest.raises(RuntimeError, match="single-writer"):
+            compact_small_files(spark, out, target_file_bytes=1 << 30)
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
 
-    # dead owner: a PID that cannot exist; stale lock must be reclaimed
+    # crashed holder: the file persists but its flock died with the process
+    # — the next compactor locks it directly
     with open(lock, "w") as f:
-        f.write("999999999")
+        f.write("999999999")  # stale diagnostics PID from the "crash"
     stats = compact_small_files(spark, out, target_file_bytes=1 << 30)
     assert stats["files_after"] >= 1
-    assert not os.path.exists(lock)
+    # the lock FILE survives by design (unlinking a flock path is the race);
+    # its diagnostics PID was rewritten by the successful run
+    assert open(lock).read() == str(os.getpid())
     assert spark.read.parquet(out).count() == 10
 
 
