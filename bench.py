@@ -66,6 +66,14 @@ HEADLINE = [
     "text_tfidf_cosine_pairs",
     "agg_mode",
     "events_anomaly_zscore",
+    # r5: the re-keyed RANGE window + the 5 most expensive previously
+    # never-benched queries (measured once at sf0.1 to pick them)
+    "window_range_numeric",
+    "dedup_embedding_cosine",
+    "dedup_survivors_best_quality",
+    "dedup_ngram_jaccard",
+    "dedup_survivors",
+    "udaf_pandas_median",
 ]
 
 
@@ -105,22 +113,23 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     cdc = bench_cdc_throughput(spark)
-    skew = bench_skew_salting(spark)
+    # the 8M-row plain-vs-salted SMJ pair materially lengthens the run and
+    # competes for cores, so it's opt-in (ADVICE r4): pass --skew to record
+    # it; routine headline benches stay comparable across rounds
+    skew = bench_skew_salting(spark) if "--skew" in sys.argv[1:] else None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "cdc": cdc,
-                "skew_smj": skew,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cdc": cdc,
+    }
+    if skew is not None:
+        out["skew_smj"] = skew
+    print(json.dumps(out))
 
 
 def bench_skew_salting(spark, n_probe: int = 8_000_000, hot_frac: float = 0.75) -> dict:
