@@ -131,6 +131,98 @@ def stitched_rows_frame(
     return stitched, w
 
 
+def stitched_global_rank(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    value_col: str,
+    bucket_width: int,
+    descending: bool = False,
+    with_ties: bool = False,
+) -> DataFrame:
+    """Global per-key rank state without a per-key global sort: local ranks
+    within (key, value-bucket) plus broadcast cumulative bucket offsets —
+    the rank-family sibling of the frame stitches above, for rank /
+    row_number / ntile / percent_rank / cume_dist windows whose partition
+    key has a handful of values but whose input is a fact table.
+
+    ``value_col`` is the leading (numeric) ORDER BY column; ``order_by``
+    is the full ordering (must be total unless ``with_ties``). Buckets are
+    ``floor(value/bucket_width)``, so an order-value tie can never span two
+    buckets — which is what makes local rank/dense_rank globally correct
+    after offsetting. With ``descending``, ordering and bucket accumulation
+    both run high-to-low.
+
+    Returns ``df`` with added columns:
+
+    - ``_rn``  — global 1-based row_number (== rank when the ordering is
+      total); with ``with_ties`` instead ``_rank`` and ``_dense`` (SQL RANK
+      / DENSE_RANK semantics).
+    - ``_n``   — per-key total row count (for percent_rank/cume_dist/ntile).
+
+    Cost: one (key, bucket) shuffle of the fact table + two metadata
+    aggregations broadcast back. Parallelism #keys x #buckets instead of
+    #keys; nothing sorts more than one bucket.
+    """
+    bucket = F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    b = df.withColumn(STITCH_BUCKET, bucket)
+
+    wloc = Window.partitionBy(*keys, STITCH_BUCKET).orderBy(*order_by)
+    if with_ties:
+        loc = b.withColumn("_lrank", F.rank().over(wloc)).withColumn(
+            "_ldense", F.dense_rank().over(wloc)
+        )
+    else:
+        loc = b.withColumn("_lrn", F.row_number().over(wloc))
+
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    if with_ties:
+        aggs.append(F.count_distinct(F.col(value_col)).alias("_dvals"))
+    counts = b.groupBy(*keys, STITCH_BUCKET).agg(*aggs)
+    border = F.col(STITCH_BUCKET).desc() if descending else F.col(STITCH_BUCKET).asc()
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy(border)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = counts.withColumn("_prev", F.coalesce(F.sum("_cnt").over(wprev), F.lit(0)))
+    if with_ties:
+        off = off.withColumn(
+            "_prev_d", F.coalesce(F.sum("_dvals").over(wprev), F.lit(0))
+        )
+    totals = counts.groupBy(*keys).agg(F.sum("_cnt").alias("_n"))
+
+    out = loc.join(
+        F.broadcast(off.drop("_cnt", *(["_dvals"] if with_ties else []))),
+        [*keys, STITCH_BUCKET],
+    ).join(F.broadcast(totals), keys)
+    if with_ties:
+        out = (
+            out.withColumn("_rank", F.col("_lrank") + F.col("_prev"))
+            .withColumn("_dense", F.col("_ldense") + F.col("_prev_d"))
+            .drop("_lrank", "_ldense", "_prev", "_prev_d")
+        )
+    else:
+        out = out.withColumn("_rn", F.col("_lrn") + F.col("_prev")).drop(
+            "_lrn", "_prev"
+        )
+    return out
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) from a global 1-based row_number and the partition row
+    count: the first n % k tiles get ceil(n/k) rows, the rest floor(n/k) —
+    the exact assignment every engine implements."""
+    q = (n / F.lit(k)).cast("long")  # floor(n/k)
+    rem = n - q * F.lit(k)
+    big = (q + 1) * rem  # rows covered by the "one extra" tiles
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(rem + ((rank - 1 - big) / F.greatest(q, F.lit(1))).cast("long") + 1)
+        .cast("int")
+    )
+
+
 def stitched_range_frame(
     df: DataFrame,
     keys: list[str],

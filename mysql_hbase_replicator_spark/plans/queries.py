@@ -520,14 +520,34 @@ def window_row_number_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANK / DENSE_RANK with real ties (s_acctbal DESC, no tiebreak).
+
+    Scale shape: ~25 nation keys would cap a plain window at 25 sorts; the
+    registered plan uses the stitched global-rank kernel with ties
+    (operators/window_rekey.py): per-(nation, acctbal-bucket) local
+    rank/dense_rank plus broadcast cumulative row/distinct-value offsets.
+    A tie group shares one acctbal, hence one bucket, so local ranks offset
+    to the exact global RANK/DENSE_RANK."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        stitched_global_rank,
+    )
+
     s = load_table(spark, sf_dir, "supplier")
-    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
-    return s.select(
+    r = stitched_global_rank(
+        s,
+        keys=["s_nationkey"],
+        order_by=[F.desc("s_acctbal")],
+        value_col="s_acctbal",
+        bucket_width=500,
+        descending=True,
+        with_ties=True,
+    )
+    return r.select(
         "s_nationkey",
         "s_suppkey",
         "s_acctbal",
-        F.rank().over(w).alias("bal_rank"),
-        F.dense_rank().over(w).alias("bal_dense_rank"),
+        F.col("_rank").cast("int").alias("bal_rank"),
+        F.col("_dense").cast("int").alias("bal_dense_rank"),
     )
 
 

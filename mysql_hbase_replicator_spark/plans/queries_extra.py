@@ -96,15 +96,39 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist — the distribution window family.
     The (o_totalprice, o_orderkey) order is total, so bucket assignment is
     deterministic; percent_rank's (rank-1)/(n-1) division is the same IEEE
-    op in both engines."""
+    op in both engines.
+
+    Scale shape: o_orderstatus has ~3 values, so a plain window would cap
+    parallelism at 3 full-partition sorts. The registered plan derives all
+    three functions from the stitched global-rank kernel
+    (operators/window_rekey.py): local row_number within (status, $10k
+    price bucket) + broadcast cumulative offsets gives the global rank r
+    and per-key total n, and with a total ordering ntile/percent_rank/
+    cume_dist are closed forms of (r, n) — bit-identical to the window
+    forms, nothing sorts more than one bucket."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        ntile_from_rank,
+        stitched_global_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    r = stitched_global_rank(
+        o,
+        keys=["o_orderstatus"],
+        order_by=[F.col("o_totalprice"), F.col("o_orderkey")],
+        value_col="o_totalprice",
+        bucket_width=10_000,
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    return r.select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        ntile_from_rank(rn, n, 4).alias("quartile"),
+        # SQL defines percent_rank = 0 for a single-row partition
+        F.when(n > 1, (rn - 1).cast("double") / (n - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
+        (rn.cast("double") / n.cast("double")).alias("cume"),
     )
 
 
@@ -598,17 +622,49 @@ def window_cume_dist_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank/range-interval live in sibling queries). The ordering key
     (o_totalprice, o_orderkey) is unique, so cume_dist is an exact rational
     count/total (bit-stable double) and the frame functions are
-    deterministic. One shuffle on the partition key, as any window."""
+    deterministic.
+
+    Scale shape: o_orderpriority has 5 values, so instead of 5 full-
+    partition sorts the registered plan uses the stitched global-rank
+    kernel (operators/window_rekey.py) for the rank behind cume_dist, and
+    resolves the running-frame functions in closed form: over
+    (UNBOUNDED PRECEDING, CURRENT ROW) first_value is the partition's rank-1
+    key, last_value is the current row itself, and nth_value(2) is the
+    rank-2 key once rank >= 2 — the two anchor rows per key come from a
+    2-rows-per-key filter on the ranked frame, broadcast back. Bit-identical
+    to the window forms."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        stitched_global_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return o.select(
+    r = stitched_global_rank(
+        o,
+        keys=["o_orderpriority"],
+        order_by=[F.col("o_totalprice"), F.col("o_orderkey")],
+        value_col="o_totalprice",
+        bucket_width=10_000,
+    )
+    anchors = (
+        r.where(F.col("_rn") <= 2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_orderkey", "_rn").alias("_first_key"),
+            F.max_by("o_orderkey", "_rn").alias("_second_key"),
+            F.count(F.lit(1)).alias("_n_anchor"),
+        )
+    )
+    rn, n = F.col("_rn"), F.col("_n")
+    return r.join(F.broadcast(anchors), "o_orderpriority").select(
         "o_orderkey",
         "o_orderpriority",
-        F.cume_dist().over(w).alias("cd"),
-        F.first("o_orderkey").over(wf).alias("cheapest_key"),
-        F.last("o_orderkey").over(wf).alias("running_last_key"),
-        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+        (rn.cast("double") / n.cast("double")).alias("cd"),
+        F.col("_first_key").alias("cheapest_key"),
+        F.col("o_orderkey").alias("running_last_key"),
+        # rank-1 row's frame has one row -> no 2nd value; single-row keys too
+        F.when((rn >= 2) & (F.col("_n_anchor") >= 2), F.col("_second_key"))
+        .cast("long")
+        .alias("second_key"),
     )
 
 

@@ -508,6 +508,11 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inverted-index join fans out by df, so pruning high-df terms caps the
 # candidate blowup at scale).
 TFIDF_DF_PRUNE_INV = 10
+
+# input cap for the exact pair generator below — same convention and value
+# as operators/dedup.EXACT_BASELINE_MAX_DOCS (kept numerically in sync by
+# test_plans; duplicated here so the oracle f-string needs no import)
+_TFIDF_MAX_DOCS = 10_000
 TFIDF_COS_MIN = 0.5
 _Q9 = 1_000_000_000.0
 
@@ -515,10 +520,11 @@ _Q9 = 1_000_000_000.0
 @query(
     "text_tfidf_cosine_pairs",
     oracle=f"""
-    WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents),
+    WITH capped AS (SELECT doc_id, text FROM documents WHERE doc_id < {_TFIDF_MAX_DOCS}),
+    toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM capped),
     tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
     df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    n AS (SELECT COUNT(*) AS n_docs FROM capped),
     w AS (
         SELECT tf.doc_id, tf.term,
                CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS wt
@@ -558,12 +564,22 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the pair generation is an inverted-index equi-join on term
     — fanout per term is its df, and the df prune (terms in > n/{TFIDF_DF_PRUNE_INV}
-    of docs are dropped) bounds exactly the quantity that explodes at
-    corpus scale. No all-pairs product anywhere; norms are one (doc_id)
-    aggregate; candidate count is sum(df²) over the PRUNED vocabulary."""
+    of docs are dropped) bounds the per-term fanout — but when the corpus
+    itself is near-dup-heavy, sum(df²) over even the pruned vocabulary
+    grows quadratically in the duplication factor (measured: 33x wall at
+    10x data on the salted-near-dup sf~1 probe, SCALING.md). So like every
+    exact pair generator in this engine (dedup_ngram_jaccard,
+    dedup_embedding_cosine, the CC edge build) the REGISTERED form bounds
+    its input to the first EXACT_BASELINE_MAX_DOCS doc ids — the
+    correctness baseline the bounded-fanout scale paths (MinHash-LSH,
+    SimHash, embedding-LSH) are verified against; identical cap in the
+    oracle, no-op at every test SF (< 10k docs). No all-pairs product
+    anywhere; norms are one (doc_id) aggregate."""
     from pyspark.sql import Window  # noqa: F401  (parallel import style with tfidf_top_terms)
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _TFIDF_MAX_DOCS
+    )
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -99,14 +99,15 @@ def test_events_scan_prunes_props(spark):
 
 
 def test_r4_window_family_single_shuffle(spark):
-    """The r4 window additions each cost exactly ONE exchange: sessionize's
-    lag + running-sum share a (user_id) sort; the rolling distinct set and
-    the per-lang cap are single keyed windows; the cap's top-k plans as
-    WindowGroupLimit (partial top-k before the exchange)."""
+    """The high-cardinality-key r4 windows each cost exactly ONE exchange:
+    sessionize's lag + running-sum share a (user_id) sort; the per-lang
+    cap is a single keyed window whose top-k plans as WindowGroupLimit.
+    (window_count_distinct_rolling / events_anomaly_zscore left this gate
+    in r5: their partition keys have ~5 values, so they deliberately pay
+    the stitched re-key's extra exchange for #keys x #buckets parallelism
+    — covered by test_rekeyed_windows_partition_on_stitch_bucket.)"""
     for name, want_wgl in (
         ("events_sessionize_ids", False),
-        ("window_count_distinct_rolling", False),
-        ("events_anomaly_zscore", False),
         ("corpus_lang_cap", True),
     ):
         plan = simple_plan(QUERY_REGISTRY[name](spark, SF))
@@ -355,6 +356,10 @@ def test_rekeyed_windows_partition_on_stitch_bucket(spark):
         ("window_count_distinct_rolling", "event_type"),
         ("events_anomaly_zscore", "event_type"),
         ("window_range_numeric", "o_orderpriority"),
+        # r5: the rank-family trio re-keyed through stitched_global_rank
+        ("window_ntile_percent", "o_orderstatus"),
+        ("window_cume_dist_first_last", "o_orderpriority"),
+        ("window_rank_dense", "s_nationkey"),
     ):
         df = QUERY_REGISTRY[name](spark, SF)
         plan = simple_plan(df)
@@ -386,3 +391,13 @@ def test_rekeyed_windows_partition_on_stitch_bucket(spark):
     n_keys = e.select("event_type").distinct().count()
     n_groups = stitched.select("event_type", "_stitch_bucket").distinct().count()
     assert n_groups > 5 * n_keys, (n_groups, n_keys)
+
+
+def test_tfidf_pair_cap_in_sync_with_baseline_cap():
+    """text_tfidf_cosine_pairs joined the capped exact-pair-baseline family
+    (r5, after the sf~1 probe measured 33x at 10x data); its private cap
+    constant must track operators/dedup.EXACT_BASELINE_MAX_DOCS."""
+    from mysql_hbase_replicator_spark.operators.dedup import EXACT_BASELINE_MAX_DOCS
+    from mysql_hbase_replicator_spark.plans.queries_text import _TFIDF_MAX_DOCS
+
+    assert _TFIDF_MAX_DOCS == EXACT_BASELINE_MAX_DOCS

@@ -217,3 +217,113 @@ def test_registered_queries_match_plain_window_form(spark):
         .alias("sum_within_1000"),
     )
     _assert_same(QUERY_REGISTRY["window_range_numeric"](spark, sf), refr)
+
+
+@pytest.mark.parametrize("descending", [False, True])
+@pytest.mark.parametrize("bucket_width", [1, 7, 1000])
+def test_global_rank_row_number(spark, descending, bucket_width):
+    """Stitched global row_number equals the plain-window row_number for a
+    total ordering, under any bucket granularity and both directions."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        stitched_global_rank,
+    )
+
+    rows = [(k, (p * 13 + k * 5) % 97, p) for k in range(2) for p in range(60)]
+    df = spark.createDataFrame(rows, "k int, v int, tb int")
+    order = [F.desc("v"), F.desc("tb")] if descending else [F.col("v"), F.col("tb")]
+    got = stitched_global_rank(
+        df, ["k"], order, "v", bucket_width, descending=descending
+    ).select("k", "v", "tb", F.col("_rn").alias("rn"), F.col("_n").alias("n"))
+    w = Window.partitionBy("k").orderBy(*order)
+    ref = df.select(
+        "k", "v", "tb",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    _assert_same(got, ref)
+
+
+@pytest.mark.parametrize("bucket_width", [1, 5, 1000])
+def test_global_rank_with_ties(spark, bucket_width):
+    """RANK/DENSE_RANK with tie groups (duplicated values) — local ranks +
+    distinct-value offsets must reproduce the SQL semantics exactly."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        stitched_global_rank,
+    )
+
+    vals = [5, 5, 5, 9, 9, 12, 12, 12, 12, 1, 3, 3, 20, 20, 7]
+    rows = [(i % 2, v) for i, v in enumerate(vals)] + [(0, 5), (1, 9)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    got = stitched_global_rank(
+        df, ["k"], [F.desc("v")], "v", bucket_width,
+        descending=True, with_ties=True,
+    ).select("k", "v", F.col("_rank").alias("r"), F.col("_dense").alias("d"))
+    w = Window.partitionBy("k").orderBy(F.desc("v"))
+    ref = df.select(
+        "k", "v", F.rank().over(w).alias("r"), F.dense_rank().over(w).alias("d")
+    )
+    _assert_same(got, ref)
+
+
+def test_ntile_formula_matches_spark(spark):
+    """ntile_from_rank reproduces F.ntile for ragged partition sizes,
+    including n < k."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        ntile_from_rank,
+        stitched_global_rank,
+    )
+
+    rows = [(k, p) for k, sz in [(0, 11), (1, 8), (2, 3), (3, 1)] for p in range(sz)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    for k in (4, 3, 7):
+        got = stitched_global_rank(df, ["k"], [F.col("v")], "v", 4).select(
+            "k", "v", ntile_from_rank(F.col("_rn"), F.col("_n"), k).alias("t")
+        )
+        w = Window.partitionBy("k").orderBy("v")
+        ref = df.select("k", "v", F.ntile(k).over(w).alias("t"))
+        _assert_same(got, ref)
+
+
+def test_rank_family_registry_queries_match_plain_window(spark):
+    """The three re-keyed rank-family registry queries equal their original
+    plain-window formulations on real data (sf0.001)."""
+    from mysql_hbase_replicator_spark.plans.registry import (
+        QUERY_REGISTRY,
+        load_all_queries,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    load_all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    o = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ref = o.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    _assert_same(QUERY_REGISTRY["window_ntile_percent"](spark, sf), ref)
+
+    w2 = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref2 = o.select(
+        "o_orderkey", "o_orderpriority",
+        F.cume_dist().over(w2).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("running_last_key"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+    )
+    _assert_same(QUERY_REGISTRY["window_cume_dist_first_last"](spark, sf), ref2)
+
+    s = load_table(spark, sf, "supplier")
+    w3 = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    ref3 = s.select(
+        "s_nationkey", "s_suppkey", "s_acctbal",
+        F.rank().over(w3).alias("bal_rank"),
+        F.dense_rank().over(w3).alias("bal_dense_rank"),
+    )
+    _assert_same(QUERY_REGISTRY["window_rank_dense"](spark, sf), ref3)
