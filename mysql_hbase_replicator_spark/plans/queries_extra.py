@@ -959,3 +959,71 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# as-of tolerance: matches older than this are discarded (pandas
+# merge_asof(tolerance=...) semantics) — 30 minutes in microseconds
+ASOF_TOLERANCE_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH both_ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    prv AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_ts
+        FROM both_ev
+    )
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           STRFTIME(CASE WHEN EPOCH_US(ts) - EPOCH_US(last_click_ts)
+                              <= {ASOF_TOLERANCE_US}
+                         THEN last_click_ts END,
+                    '%Y-%m-%d %H:%M:%S.%f') AS last_click_ts,
+           COALESCE(EPOCH_US(ts) - EPOCH_US(last_click_ts)
+                      <= {ASOF_TOLERANCE_US}, FALSE) AS matched
+    FROM prv WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas ``merge_asof(tolerance=)``
+    / kdb wj-style): each purchase takes the user's latest strictly-earlier
+    click ONLY if it happened within {ASOF_TOLERANCE_US} µs; staler matches
+    are nulled, and ``matched`` exposes the hit flag the filter form would
+    use. Same scalable union+window shape as join_asof — one (user_id)
+    shuffle, no range self-join, no row explosion; the tolerance is a
+    map-side predicate on the already-computed neighbor, so it adds zero
+    shuffle cost. Gap arithmetic runs in integer microseconds on both
+    engines (no float boundary risk)."""
+    from mysql_hbase_replicator_spark.plans.queries import ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    last_click = F.last(click_ts, ignorenulls=True).over(w)
+    in_tol = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts"))
+    ) <= ASOF_TOLERANCE_US
+    return (
+        both.withColumn("last_click_ts", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts")).alias("ts"),
+            ts_str(F.when(in_tol, F.col("last_click_ts"))).alias("last_click_ts"),
+            F.coalesce(in_tol, F.lit(False)).alias("matched"),
+        )
+    )
