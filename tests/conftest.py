@@ -60,3 +60,11 @@ def student_mapping():
             HbaseCollInfo("rem", "varchar(2)", "rem", "StringType", False),
         ],
     )
+
+
+@pytest.fixture(scope="session")
+def spark_prop(spark):
+    """Alias fixture for property tests (hypothesis wraps the test function,
+    so the fixture must be requested under a distinct name per file to keep
+    function-scope health checks quiet with a session-scoped session)."""
+    return spark

@@ -327,3 +327,98 @@ def test_rank_family_registry_queries_match_plain_window(spark):
         F.dense_rank().over(w3).alias("bal_dense_rank"),
     )
     _assert_same(QUERY_REGISTRY["window_rank_dense"](spark, sf), ref3)
+
+
+# --- property tier: random inputs vs the plain window ----------------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @st.composite
+    def rekey_case(draw):
+        n = draw(st.integers(min_value=0, max_value=50))
+        rows = [
+            (
+                draw(st.integers(min_value=0, max_value=2)),   # key
+                draw(st.integers(min_value=-40, max_value=120)),  # pos (gaps, negatives)
+                draw(st.integers(min_value=0, max_value=6)),   # value
+                i,                                             # unique tiebreak
+            )
+            for i in range(n)
+        ]
+        frame = draw(st.integers(min_value=1, max_value=12))
+        width = draw(st.sampled_from([1, 3, 7, 16, 1000]))
+        return rows, frame, width
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rekey_case())
+    def test_property_rows_stitch_equals_plain(spark_prop, case):
+        """Random keys/positions (duplicates, gaps, negative buckets, empty
+        input) x random frame and bucket width: stitched ROWS frame must be
+        bit-identical to the plain window."""
+        rows, frame, width = case
+        df = spark_prop.createDataFrame(rows, "k int, pos int, v int, tb int")
+        stitched, w = stitched_rows_frame(
+            df,
+            keys=["k"],
+            order_by=["pos", "tb"],
+            bucket=F.floor(F.col("pos") / F.lit(width)),
+            frame_rows=frame,
+        )
+        got = (
+            stitched.select(
+                "k", "pos", "tb", F.col(STITCH_CARRY),
+                F.sum("v").over(w).alias("s"),
+                F.count(F.lit(1)).over(w).alias("n"),
+            )
+            .where(~F.col(STITCH_CARRY))
+            .drop(STITCH_CARRY)
+        )
+        wp = (
+            Window.partitionBy("k")
+            .orderBy("pos", "tb")
+            .rowsBetween(-(frame - 1), Window.currentRow)
+        )
+        ref = df.select(
+            "k", "pos", "tb",
+            F.sum("v").over(wp).alias("s"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        _assert_same(got, ref)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rekey_case())
+    def test_property_global_rank_equals_plain(spark_prop, case):
+        """Random data x random bucket width: stitched global rank state
+        (with ties, on the duplicated value column) must match RANK /
+        DENSE_RANK from the plain window."""
+        from mysql_hbase_replicator_spark.operators.window_rekey import (
+            stitched_global_rank,
+        )
+
+        rows, _frame, width = case
+        df = spark_prop.createDataFrame(rows, "k int, pos int, v int, tb int")
+        got = stitched_global_rank(
+            df, ["k"], [F.col("pos")], "pos", width, with_ties=True
+        ).select("k", "pos", "tb", F.col("_rank").alias("r"), F.col("_dense").alias("d"))
+        wp = Window.partitionBy("k").orderBy("pos")
+        ref = df.select(
+            "k", "pos", "tb",
+            F.rank().over(wp).alias("r"),
+            F.dense_rank().over(wp).alias("d"),
+        )
+        _assert_same(got, ref)
