@@ -74,6 +74,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_survivors",
     "udaf_pandas_median",
+    # r5 rank-family re-keys + the tolerance as-of, for regression
+    # visibility on the stitched-rank kernel
+    "window_ntile_percent",
+    "window_cume_dist_first_last",
+    "window_rank_dense",
+    "join_asof_tolerance",
 ]
 
 
