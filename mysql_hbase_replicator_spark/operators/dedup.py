@@ -271,11 +271,14 @@ def hashed_shingles(docs: DataFrame, normalize: bool = False) -> DataFrame:
     ).select("doc_id", shingle_h0(F.col("shingle")).alias("h0"))
 
 
-def _minhash_oracle_sql() -> str:
-    """The ENTIRE MinHash+LSH pipeline as DuckDB SQL — possible because every
-    hash is md5-or-modular-arithmetic (see MINHASH_AB), so the oracle
-    replicates Spark term for term: shingle → h0 → 32 minhash mins → Horner
-    band fold → band-join candidates → exact h0-intersection Jaccard."""
+def _minhash_scored_cte() -> str:
+    """The ENTIRE MinHash+LSH pipeline as a DuckDB CTE chain ending in
+    ``scored(doc_a, doc_b, jaccard)`` — possible because every hash is
+    md5-or-modular-arithmetic (see MINHASH_AB), so the oracle replicates
+    Spark term for term: shingle → h0 → 32 minhash mins → Horner band fold
+    → band-join candidates → exact h0-intersection Jaccard. Shared by the
+    pair oracle (threshold 0.3) and the LSH survivors oracle (strong edges
+    at 0.5 + recursive component closure)."""
     P = MINHASH_P
     mins = ",\n               ".join(
         f"MIN(({a} * (h0 % {P}) + {b}) % {P}) AS m{i}"
@@ -290,8 +293,7 @@ def _minhash_oracle_sql() -> str:
             f"SELECT doc_id, {b} AS band_idx, {acc} AS band_hash FROM sig"
         )
     bands_union = "\n        UNION ALL\n        ".join(band_rows)
-    return f"""
-    WITH sh AS (
+    return f"""sh AS (
         SELECT DISTINCT doc_id, u.shingle
         FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
              UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
@@ -324,16 +326,23 @@ def _minhash_oracle_sql() -> str:
         JOIN hashed a ON a.doc_id = c.doc_a
         JOIN hashed b ON b.doc_id = c.doc_b AND b.h0 = a.h0
         GROUP BY c.doc_a, c.doc_b
+    ),
+    scored AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    return (
+        "\n    WITH "
+        + _minhash_scored_cte()
+        + "\n    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.3"
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_common AS DOUBLE)
-             / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS jaccard
-    FROM inter i
-    JOIN counts ca ON i.doc_a = ca.doc_id
-    JOIN counts cb ON i.doc_b = cb.doc_id
-    WHERE CAST(i.n_common AS DOUBLE)
-          / CAST(ca.n + cb.n - i.n_common AS DOUBLE) >= 0.3
-    """
 
 
 @query("dedup_minhash_lsh", oracle=_minhash_oracle_sql())
@@ -352,6 +361,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     are two integer ops each, and the re-rank intersection joins on the
     60-bit h0 key — one pass over the strings, long-keyed shuffles
     everywhere else."""
+    return _minhash_lsh_jaccard(spark, sf_dir, threshold=0.3).orderBy(
+        F.desc("jaccard"), "doc_a", "doc_b"
+    )
+
+
+def _minhash_lsh_jaccard(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
+    """The MinHash+LSH verified-pair builder behind dedup_minhash_lsh and
+    dedup_survivors_lsh: band-join candidates re-ranked by exact Jaccard,
+    returned as an eagerly checkpointed (doc_a, doc_b, jaccard) frame with
+    ``jaccard >= threshold``. Checkpointing materializes the small result so
+    the big shared shingle-hash cache can be released before returning."""
     # persist() the shared shingle-hash table for the DURATION OF THE BUILD
     # only: the small final result is eagerly checkpointed below, then the
     # cache is released in the finally — full reuse across the four
@@ -396,10 +416,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("jaccard"),
             )
         )
-        return (
-            spark_jaccard.filter(F.col("jaccard") >= 0.3)
-            .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
-            .localCheckpoint(eager=True)
+        return spark_jaccard.filter(F.col("jaccard") >= threshold).localCheckpoint(
+            eager=True
         )
     finally:
         hashed.unpersist()
@@ -597,6 +615,25 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
+    comp, n_rounds = _min_label_components(strong)
+    # executed-round observability (VERDICT r4 #5): ride on the function,
+    # not the oracle-pinned result schema
+    dedup_connected_components.last_rounds = n_rounds
+    logging.getLogger(__name__).info(
+        "dedup_connected_components converged in %d rounds", n_rounds
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+def _min_label_components(strong: DataFrame) -> tuple[DataFrame, int]:
+    """Min-label connected components of the undirected graph given as
+    ``strong(doc_a, doc_b)`` edges: the distributed label-propagation
+    kernel shared by the exact-baseline cluster/survivor queries and the
+    uncapped LSH survivors path. Returns an eagerly checkpointed
+    ``(doc_id, cluster_id)`` frame (nodes with at least one edge only) and
+    the executed round count; all intermediate caches are released before
+    returning."""
     edges = (
         strong.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -658,15 +695,6 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"rounds; for pathological chains switch to large/small-star)"
         )
 
-    # executed-round observability (VERDICT r4 #5): ride on the function,
-    # not the oracle-pinned result schema
-    dedup_connected_components.last_rounds = n_rounds
-    logging.getLogger(__name__).info(
-        "dedup_connected_components converged in %d rounds (cap %d)",
-        n_rounds,
-        max_rounds,
-    )
-
     # terminal cache hygiene: localCheckpoint materializes the final labels
     # and TRUNCATES the 20-join lineage, so the pinned SQL caches can be
     # released here instead of leaking until someone calls clearCache().
@@ -677,8 +705,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
 
     comp = final.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
-    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+    return comp, n_rounds
 
 
 @query(
@@ -759,6 +786,54 @@ def dedup_survivors_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") > 1)
         .select("doc_id")
     )
+    return d.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
+    )
+
+
+@query(
+    "dedup_survivors_lsh",
+    oracle="\n    WITH RECURSIVE "
+    + _minhash_scored_cte()
+    + """,
+    strong AS (SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM strong
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM strong
+    ),
+    lab(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS INT) AS n_chars
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """,
+)
+def dedup_survivors_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED keeper selection over the whole corpus — the production
+    composition a pretraining pipeline actually runs at 100 TB: MinHash+LSH
+    band candidates → exact-Jaccard verification (≥ 0.5 strong edges) →
+    distributed min-label components → keep each cluster's label plus every
+    singleton. Unlike dedup_survivors (the exact-Jaccard baseline, input-
+    capped because its edge build is quadratic in co-shingled docs), every
+    stage here is a bounded-fanout equi-join — O(docs x bands) candidates,
+    per-candidate verification, O(diameter) label rounds — so no input cap
+    is needed. The oracle replicates the FULL pipeline (the md5/modular
+    minhash arithmetic is SQL-expressible) and closes the components with a
+    recursive CTE, so even the approximate path is value-hash-checked
+    end to end."""
+    strong = _minhash_lsh_jaccard(spark, sf_dir, threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    comp, n_rounds = _min_label_components(strong)
+    dedup_survivors_lsh.last_rounds = n_rounds
+    drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
     return d.join(drops, "doc_id", "left_anti").select(
         "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
     )
