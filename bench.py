@@ -80,6 +80,8 @@ HEADLINE = [
     "window_cume_dist_first_last",
     "window_rank_dense",
     "join_asof_tolerance",
+    # r5: the uncapped production dedup composition (LSH -> verify -> CC)
+    "dedup_survivors_lsh",
 ]
 
 
