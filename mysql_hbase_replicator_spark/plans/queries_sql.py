@@ -253,3 +253,229 @@ def sql_cte_window_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=orders,
         customer=customer,
     )
+
+
+@query(
+    "sql_promo_revenue_share",
+    oracle=f"""
+    SELECT {_MSUM.format(e="CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+           * 100.0 / {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS promo_share_pct,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+    """,
+)
+def sql_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped conditional-aggregate ratio: the percentage of
+    half-year revenue coming from PROMO-type parts. One broadcastable dim
+    join (part is 1/300th of lineitem) with the shipdate range pushed into
+    the fact scan; the CASE folds into the aggregate so there is exactly one
+    shuffle-free partial agg + single-row final. Both numerator and
+    denominator are decimal-exact sums, so the double division is
+    bit-deterministic on both engines."""
+    return spark.sql(
+        f"""
+        SELECT {_MSUM.format(e="CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+               * 100.0 / {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS promo_share_pct,
+               COUNT(*) AS n_lineitems
+        FROM {{lineitem}} l
+        JOIN {{part}} p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-07-01'
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        part=load_table(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "sql_large_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           {_MSUM.format(e="l.l_quantity")} AS total_qty,
+           o.o_totalprice
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l2.l_orderkey FROM lineitem l2
+        GROUP BY l2.l_orderkey HAVING SUM(l2.l_quantity) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def sql_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-customer query: top-20 orders whose
+    total quantity exceeds 250, with the ordering customer. The IN-subquery
+    is a groupBy-HAVING over the same fact table — Spark plans it as an
+    aggregate + left-semi join; at 100 TB the HAVING reduces lineitem to a
+    tiny keyset (0.1-1% of orders) before the 3-way join, and the final
+    top-20 is a TakeOrderedAndProject (no global sort materializes).
+    Threshold 250 is calibrated to be non-empty at every test SF
+    (25 / 204 / 2285 qualifying orders at sf0.001/0.01/0.1)."""
+    return spark.sql(
+        f"""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               {_MSUM.format(e="l.l_quantity")} AS total_qty,
+               o.o_totalprice
+        FROM {{customer}} c
+        JOIN {{orders}} o ON c.c_custkey = o.o_custkey
+        JOIN {{lineitem}} l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l2.l_orderkey FROM {{lineitem2}} l2
+            GROUP BY l2.l_orderkey HAVING SUM(l2.l_quantity) > 250
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        lineitem2=load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "sql_parts_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND l.l_suppkey NOT IN (
+          SELECT s.s_suppkey FROM supplier s WHERE s.s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+    LIMIT 50
+    """,
+)
+def sql_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity count: distinct suppliers able to
+    supply each (brand, size), excluding one brand and all negative-balance
+    ("complaint") suppliers via NOT IN. The exclusion subquery is a tiny
+    null-aware anti join (s_suppkey is non-null, so it degenerates to a
+    broadcast anti join); COUNT(DISTINCT) plans as the two-phase
+    partial-distinct expand — at scale the distinct set per (brand,size)
+    group is bounded by supplier cardinality, not fact rows. Empty exclusion
+    set at sf0.001 (0 negative balances) exercises the empty-subquery edge."""
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM {lineitem} l
+        JOIN {part} p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> 'Brand#9'
+          AND l.l_suppkey NOT IN (
+              SELECT s.s_suppkey FROM {supplier} s WHERE s.s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_size
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+        LIMIT 50
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        part=load_table(spark, sf_dir, "part"),
+        supplier=load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "sql_top_supplier_revenue",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l.l_suppkey AS supplier_no,
+               {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue
+        FROM lineitem l
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def sql_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: the supplier(s) achieving the maximum
+    quarterly revenue, via a CTE referenced twice (once joined, once under a
+    scalar MAX subquery). Spark evaluates the CTE as a shared subplan; the
+    scalar subquery's single-row result broadcasts into the filter. Revenue
+    is decimal-exact so the MAX comparison (double equality!) is safe: both
+    sides are the same exact-decimal-rounded value. The reference user
+    writes exactly this text against mapped tables."""
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+            SELECT l.l_suppkey AS supplier_no,
+                   {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS total_revenue
+            FROM {{lineitem}} l
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM {{supplier}} s
+        JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        supplier=load_table(spark, sf_dir, "supplier"),
+    )
+
+
+@query(
+    "sql_returned_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS returned_revenue,
+           COUNT(*) AS n_returned_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY returned_revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def sql_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item ranking: the 20 customers generating
+    the most returned ('R') revenue in a year, with their nation. The
+    returnflag filter (1/3 selectivity) and the orderdate range push into
+    the two fact scans; nation broadcasts; the top-20 is a
+    TakeOrderedAndProject over the per-customer aggregate — the global sort
+    never materializes, which is what makes a rank-the-customers query
+    viable when `customer` itself is billions of rows."""
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_name, n.n_name,
+               {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS returned_revenue,
+               COUNT(*) AS n_returned_items
+        FROM {{customer}} c
+        JOIN {{orders}} o ON c.c_custkey = o.o_custkey
+        JOIN {{lineitem}} l ON o.o_orderkey = l.l_orderkey
+        JOIN {{nation}} n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY returned_revenue DESC, c.c_custkey
+        LIMIT 20
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        nation=load_table(spark, sf_dir, "nation"),
+    )
