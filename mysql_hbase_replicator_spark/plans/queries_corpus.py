@@ -863,3 +863,81 @@ def corpus_lang_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("keep_rank") <= LANG_CAP)
         .withColumn("keep_rank", F.col("keep_rank").cast("int"))
     )
+
+
+# chunk-level exact dedup: non-overlapping token windows of this width
+CHUNK_W = 16
+
+
+@query(
+    "corpus_chunk_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i AS chunk_idx,
+               ARRAY_TO_STRING(t[(i * {CHUNK_W} + 1):(i * {CHUNK_W} + {CHUNK_W})], ' ') AS chunk,
+               LEAST({CHUNK_W}, LEN(t) - i * {CHUNK_W}) AS n_toks
+        FROM toks,
+             UNNEST(RANGE(0, CAST(CEIL(LEN(t) / {CHUNK_W}.0) AS BIGINT))) AS u(i)
+    ),
+    marked AS (
+        SELECT doc_id, n_toks,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup — the sub-document variant of dedup_exact:
+    split every document into non-overlapping 16-token chunks, keep only
+    each chunk's first corpus-wide occurrence (ordered by doc_id, then
+    position), and report per document how many chunks/tokens survive.
+    This is the scrub that removes boilerplate shared across near-identical
+    documents (headers, licenses, templated intros) which document-level
+    dedup misses because the documents differ elsewhere.
+
+    Scale shape: posexplode is map-side; the first-occurrence choice is one
+    window over the chunk text — at 100 TB you'd key it by a 128-bit hash
+    of the chunk instead of the text itself (same plan, narrower shuffle
+    rows; text form kept here so the oracle is term-for-term) — and the
+    per-doc rollup is a second shuffle on doc_id. Chunk frequency follows
+    the duplicate-cluster distribution, so no single chunk key can exceed
+    the corpus' duplication factor — no skew salt needed. ROW_NUMBER's
+    (doc_id, chunk_idx) order is a total order, so the keeper is
+    deterministic on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_W))).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(
+            F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " "
+        ).alias("chunk"),
+        F.least(F.lit(CHUNK_W), F.size("t") - F.col("i") * CHUNK_W).alias("n_toks"),
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    marked = chunks.select(
+        "doc_id", "n_toks", F.row_number().over(w).alias("rn")
+    )
+    kept = F.when(F.col("rn") == 1, 1).otherwise(0)
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(kept).alias("n_kept_chunks"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_toks")).otherwise(0)).alias(
+            "n_tokens_kept"
+        ),
+    )

@@ -628,3 +628,104 @@ def events_top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sess.orderBy(
         F.desc("duration_us"), "user_id", "session_num"
     ).limit(TOP_SESSIONS_N)
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value
+               FROM events),
+    d AS (
+        SELECT user_id, value,
+               EPOCH_US(LEAD(t) OVER (PARTITION BY user_id
+                                      ORDER BY t, event_id))
+                 - EPOCH_US(t) AS dur_us
+        FROM o
+    )
+    SELECT user_id,
+           ROUND(CAST(SUM(CAST(value * dur_us AS DECIMAL(25,6))) AS DOUBLE)
+                 / CAST(SUM(dur_us) AS BIGINT), 6) AS twa_value,
+           CAST(SUM(dur_us) AS BIGINT) AS active_span_us
+    FROM d
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user under last-value-holds
+    interpolation: each event's value persists until the user's next event,
+    so its weight is the gap to the successor (the final event carries no
+    weight). The metering/IoT aggregate that plain AVG gets wrong whenever
+    sampling is irregular.
+
+    Scale shape: one (user_id) shuffle shared by the LEAD window and the
+    groupBy (same key, AQE reuses the exchange); per-user window state is
+    O(1). Determinism: gaps are integer epoch-micros and the weighted sum
+    is decimal-exact; the ~21-significant-digit numerator's decimal→double
+    conversion can differ by 1 ulp across engines, so the quotient is
+    ROUNDed to 6 dp (the repo's statistical-aggregate convention)."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    return (
+        e.select("user_id", "value", dur.alias("dur_us"))
+        .filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum((F.col("value") * F.col("dur_us")).cast("decimal(25,6)"))
+                .cast("double")
+                / F.sum("dur_us"),
+                6,
+            ).alias("twa_value"),
+            F.sum("dur_us").alias("active_span_us"),
+        )
+    )
+
+
+@query(
+    "events_cumulative_distinct_users",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE))
+                 AS first_day
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT STRFTIME(first_day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_new_users,
+           CAST(SUM(COUNT(*)) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM f
+    GROUP BY first_day
+    """,
+)
+def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query. A naive
+    COUNT(DISTINCT) per expanding day range is quadratic in days and
+    reshuffles the fact table per day; the scale-safe identity is
+    first-touch attribution: distinct-to-date(d) = Σ new-users(d'), d'≤d.
+    One (user_id) groupBy computes each user's first active day (map-side
+    partial MIN makes the shuffle carry one row per user per partition);
+    the day-level running sum then runs over a ≤#days-row aggregate, so the
+    single-partition window at the end is over a bounded, tiny frame — the
+    fact table never passes through an unpartitioned window."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts")).cast("date")).alias("first_day")
+    )
+    per_day = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    )

@@ -1027,3 +1027,75 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(in_tol, F.lit(False)).alias("matched"),
         )
     )
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d,
+               MIN(CAST(ts AS TIMESTAMP)) AS lo,
+               MAX(CAST(ts AS TIMESTAMP)) AS hi
+        FROM events
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, d
+        HAVING COUNT(*) >= 2
+    )
+    SELECT STRFTIME(a.d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_overlapping_pairs,
+           CAST(MAX(EPOCH_US(LEAST(a.hi, b.hi)) - EPOCH_US(GREATEST(a.lo, b.lo)))
+                AS BIGINT) AS max_overlap_us
+    FROM iv a
+    JOIN iv b ON a.d = b.d AND a.user_id < b.user_id
+             AND a.lo <= b.hi AND b.lo <= a.hi
+    GROUP BY a.d
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: per calendar day, how many pairs of users
+    had overlapping purchase-activity intervals (first-to-last purchase of
+    the day), and the widest overlap. The canonical interval join,
+    expressed scale-first: the day column is an equi-join key that Catalyst
+    plans as a hash join (NO BroadcastNestedLoop/Cartesian — the overlap
+    inequality only post-filters within a day bucket), so the quadratic
+    blowup is bounded per bucket, not global. The HAVING >= 2 prunes
+    single-purchase degenerate intervals before the join, and the per-day
+    aggregate keeps the output O(#days) however dense the pair set gets.
+    At 100x scale you narrow the bucket (hour) the same way the window
+    re-keys do — the join stays equi + bounded.
+
+    Overlap test `a.lo <= b.hi AND b.lo <= a.hi` is closed-interval overlap;
+    widths are integer epoch-micros so the MAX is exact on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    iv = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
+        .agg(
+            F.min("ts").alias("lo"),
+            F.max("ts").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .filter(F.col("n") >= 2)
+        .drop("n")
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.d") == F.col("b.d"))
+        & (F.col("a.user_id") < F.col("b.user_id"))
+        & (F.col("a.lo") <= F.col("b.hi"))
+        & (F.col("b.lo") <= F.col("a.hi")),
+    )
+    overlap = F.unix_micros(F.least(F.col("a.hi"), F.col("b.hi"))) - F.unix_micros(
+        F.greatest(F.col("a.lo"), F.col("b.lo"))
+    )
+    return pairs.groupBy(F.col("a.d").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_overlapping_pairs"),
+        F.max(overlap).alias("max_overlap_us"),
+    ).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_overlapping_pairs",
+        "max_overlap_us",
+    )
