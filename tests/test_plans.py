@@ -401,3 +401,54 @@ def test_tfidf_pair_cap_in_sync_with_baseline_cap():
     from mysql_hbase_replicator_spark.plans.queries_text import _TFIDF_MAX_DOCS
 
     assert _TFIDF_MAX_DOCS == EXACT_BASELINE_MAX_DOCS
+
+
+def test_r5_sql_classics_shapes(spark):
+    """The five TPC-H-classic SQL queries: dims broadcast, top-k never plans
+    a global sort, and the Q18 HAVING-subquery arrives as a semi join."""
+    plan = simple_plan(QUERY_REGISTRY["sql_returned_top_customers"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    plan = simple_plan(QUERY_REGISTRY["sql_large_volume_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan  # IN (GROUP BY ... HAVING) -> semi join
+    plan = simple_plan(QUERY_REGISTRY["sql_promo_revenue_share"](spark, SF))
+    assert "BroadcastHashJoin" in plan  # part side broadcasts under AQE/stats
+
+
+def test_interval_overlap_is_bucketed_equi_join(spark):
+    """The interval join must plan the day bucket as a hash-join key with
+    the overlap inequality as a post-condition — never a nested loop over
+    the cross product."""
+    plan = simple_plan(QUERY_REGISTRY["join_interval_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_time_weighted_avg_single_user_shuffle(spark):
+    """LEAD window and the per-user aggregate share one (user_id) exchange."""
+    plan = simple_plan(QUERY_REGISTRY["events_time_weighted_avg"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_cumulative_distinct_users_windows_tiny_aggregate(spark):
+    """The fact table passes only through the (user_id) groupBy; the
+    single-partition running-sum window runs over the per-day aggregate
+    (<= #days rows), NEVER over raw events: the SinglePartition exchange
+    must sit above both HashAggregate pairs."""
+    plan = simple_plan(
+        QUERY_REGISTRY["events_cumulative_distinct_users"](spark, SF)
+    )
+    single = plan.index("Exchange SinglePartition")
+    # all four HashAggregate nodes (partial+final x 2 groupBys) are below it
+    assert plan.count("HashAggregate", 0, single) == 0
+    assert plan.count("HashAggregate", single) >= 4
+
+
+def test_chunk_dedup_stays_jvm_side(spark):
+    """Chunking/keeper-choice/rollup are all built-ins — no Python, no
+    cartesian, and exactly two shuffles (chunk window + doc rollup)."""
+    plan = simple_plan(QUERY_REGISTRY["corpus_chunk_dedup"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
