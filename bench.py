@@ -82,6 +82,12 @@ HEADLINE = [
     "join_asof_tolerance",
     # r5: the uncapped production dedup composition (LSH -> verify -> CC)
     "dedup_survivors_lsh",
+    # r5 continuation: chunk-level dedup (heaviest new query), the bucketed
+    # interval join, the shared-shuffle TWA, and the heaviest SQL classic
+    "corpus_chunk_dedup",
+    "join_interval_overlap",
+    "events_time_weighted_avg",
+    "sql_large_volume_orders",
 ]
 
 

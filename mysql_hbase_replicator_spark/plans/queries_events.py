@@ -729,3 +729,119 @@ def events_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         "n_new_users",
         F.sum("n_new_users").over(w).alias("cum_users"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type
+               FROM events),
+    p AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY t, event_id) AS prev_type
+        FROM o
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS prob
+    FROM p
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user actions: for every
+    (previous event type → next event type) pair, the transition count and
+    the row-normalized probability — the behavioral fingerprint features a
+    sequence model trains on.
+
+    Scale shape: the LAG window and nothing else touches the fact table —
+    one (user_id) shuffle with O(1) per-user state. The normalizing
+    SUM-over-prev_type window looks like a low-cardinality-key window but
+    runs AFTER the groupBy, over the #types x #types aggregate (25 rows at
+    any SF) — the re-key treatment the big windows get is unnecessary when
+    the window input is already bounded by the type-pair domain. Division
+    is bigint/bigint evaluated in double on identical operands."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = e.select(
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = p.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    norm = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(norm).cast("double")
+        ).alias("prob"),
+    )
+
+
+@query(
+    "events_user_activity_pareto",
+    oracle="""
+    WITH pc AS (SELECT user_id, COUNT(*) AS n_ev FROM events GROUP BY user_id),
+    h AS (SELECT n_ev, CAST(COUNT(*) AS BIGINT) AS n_users FROM pc GROUP BY n_ev)
+    SELECT n_ev AS events_per_user,
+           n_users,
+           CAST(SUM(n_users) OVER w AS BIGINT) AS cum_users,
+           CAST(SUM(n_ev * n_users) OVER w AS BIGINT) AS cum_events,
+           CAST(SUM(n_ev * n_users) OVER w AS DOUBLE)
+             / CAST((SELECT SUM(n_ev * n_users) FROM h) AS DOUBLE)
+             AS event_share_cume
+    FROM h
+    WINDOW w AS (ORDER BY n_ev DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity concentration (Pareto) curve: for each events-per-user level,
+    descending, how many users are at least that active and what share of
+    all events they generate — the how-heavy-is-the-head question behind
+    per-user sampling caps.
+
+    The scale-safe formulation: ranking users directly would need a global
+    sort of #users rows; instead the fact table collapses to per-user
+    counts (one shuffle, map-side combine), counts collapse to a
+    count-of-counts histogram (second tiny shuffle), and the cumulative
+    window runs over the DISTINCT ACTIVITY LEVELS — bounded by
+    max-events-per-user, hundreds of rows at any corpus size — so the
+    single-partition window is over a domain-bounded aggregate, never the
+    data. The denominator is a 1-row broadcast."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    pc = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_ev"))
+    h = pc.groupBy("n_ev").agg(F.count(F.lit(1)).alias("n_users"))
+    total = h.agg(
+        F.sum(F.col("n_ev") * F.col("n_users")).alias("tot_events")
+    )
+    w = Window.orderBy(F.desc("n_ev")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        h.withColumn("cum_users", F.sum("n_users").over(w))
+        .withColumn("cum_events", F.sum(F.col("n_ev") * F.col("n_users")).over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("n_ev").alias("events_per_user"),
+            "n_users",
+            "cum_users",
+            "cum_events",
+            (
+                F.col("cum_events").cast("double")
+                / F.col("tot_events").cast("double")
+            ).alias("event_share_cume"),
+        )
+    )

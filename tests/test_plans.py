@@ -452,3 +452,38 @@ def test_chunk_dedup_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_markov_transitions_one_fact_shuffle(spark):
+    """The LAG window is the only operator over the fact table (one user_id
+    exchange); the normalizing window runs over the 25-row type-pair
+    aggregate, so no low-cardinality window ever sees raw events."""
+    plan = simple_plan(QUERY_REGISTRY["events_markov_transitions"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_pareto_windows_bounded_histogram(spark):
+    """The single-partition cumulative window must sit above both groupBy
+    aggregations (per-user counts, count-of-counts histogram): the fact
+    table and the user set never pass through one partition."""
+    plan = simple_plan(QUERY_REGISTRY["events_user_activity_pareto"](spark, SF))
+    single = plan.index("Exchange SinglePartition")
+    assert plan.count("HashAggregate", 0, single) == 0
+    assert plan.count("Exchange hashpartitioning", 0, single) == 0
+
+
+def test_len_percentile_filter_broadcasts_thresholds(spark):
+    """Both percentile thresholds arrive at the corpus filter as broadcast
+    1-row frames (BroadcastNestedLoopJoin over a single row is map-only);
+    the corpus itself is never shuffled before the filter."""
+    plan = simple_plan(QUERY_REGISTRY["corpus_len_percentile_filter"](spark, SF))
+    assert plan.count("BroadcastExchange") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_size_histogram_reuses_cc_kernel(spark):
+    """The histogram's rollups stay JVM-side and add no Python or cartesian
+    stages on top of the CC kernel."""
+    plan = simple_plan(QUERY_REGISTRY["dedup_cluster_size_histogram"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
