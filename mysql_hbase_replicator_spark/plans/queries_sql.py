@@ -479,3 +479,44 @@ def sql_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem=load_table(spark, sf_dir, "lineitem"),
         nation=load_table(spark, sf_dir, "nation"),
     )
+
+
+@query(
+    "sql_order_priority_checking",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def sql_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped priority check: orders placed in a half-year window
+    with at least one lineitem shipped more than 60 days after the order
+    date, counted per priority. The correlated EXISTS carries a NON-equi
+    conjunct referencing the outer row (l_shipdate > o_orderdate + 60d):
+    Spark decorrelates it into a left-semi join whose condition mixes the
+    o_orderkey equality (the hash key) with the shipdate inequality (a
+    post-join filter) — the equi part keeps it a hash/SMJ semi join, so
+    the 100 TB plan is one key-partitioned semi join, not a nested loop.
+    Date arithmetic is exact interval math on both engines."""
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
+        FROM {orders} o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM {lineitem} l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+        """,
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+    )

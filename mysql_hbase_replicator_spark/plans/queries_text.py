@@ -629,3 +629,68 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") >= TFIDF_COS_MIN)
     )
+
+
+@query(
+    "text_bigram_coherence",
+    oracle="""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    bg AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM toks, UNNEST(RANGE(1, LEN(t))) AS u(i)
+    ),
+    uni AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    bi AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(CAST(bi.c12 AS DOUBLE) / CAST(uni.c1 AS DOUBLE)), 6)
+             AS mean_transition_prob
+    FROM bg b
+    JOIN bi ON b.w1 = bi.w1 AND b.w2 = bi.w2
+    JOIN uni ON b.w1 = uni.w1
+    GROUP BY b.doc_id
+    """,
+)
+def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM coherence score: train a bigram model on the corpus itself
+    (conditional probability P(w2|w1) = C(w1,w2)/C(w1), MLE) and score
+    every document by its mean transition probability — the log-free
+    cousin of LM perplexity filtering: low scores flag token-salad
+    documents whose transitions the corpus has never reinforced, high
+    scores flag templated/repetitive text.
+
+    Scale shape: bigram extraction is map-side; the model is two
+    map-side-combined groupBys whose cardinality is vocabulary-bounded
+    (V and observed-V², both df-prunable in a production run); scoring
+    re-joins the doc bigrams against the model on the bigram key — an
+    equi join whose build side is the model, i.e. domain-bounded, not
+    corpus-bounded — then one rollup per doc. Probabilities are
+    bigint/bigint divisions (identical doubles on both engines); the
+    per-doc mean is ROUNDed to 6 dp to absorb summation-order ulps
+    (~1e-16 against a 1e-6 grid)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bg.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.col("c12").cast("double") / F.col("c1").cast("double")), 6
+            ).alias("mean_transition_prob"),
+        )
+    )
+    return scored

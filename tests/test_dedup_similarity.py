@@ -588,3 +588,50 @@ def test_connected_components_records_round_count(spark):
     dedup_connected_components(spark, SF).collect()
     rounds = dedup_connected_components.last_rounds
     assert 1 <= rounds < 20, rounds
+
+
+def test_chunk_dedup_semantics_on_constructed_corpus(spark):
+    """corpus_chunk_dedup on a fixture with known chunk sharing: an exact
+    duplicate keeps nothing, a half-overlapping doc keeps only its novel
+    chunks, short tail chunks count their true token length, and global
+    token conservation holds (kept tokens == distinct chunk tokens)."""
+    import pandas as pd
+
+    from mysql_hbase_replicator_spark.plans.queries_corpus import (
+        CHUNK_W,
+        corpus_chunk_dedup,
+    )
+
+    w = CHUNK_W
+    block_a = " ".join(f"a{i}" for i in range(w))       # one full chunk
+    block_b = " ".join(f"b{i}" for i in range(w))
+    tail = "t0 t1 t2"                                   # 3-token partial chunk
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"{block_a} {block_b}",                 # doc1: A + B
+                f"{block_a} {block_b}",                 # doc2: exact dup of doc1
+                f"{block_b} {tail}",                    # doc3: B + novel tail
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1, 1, 1],
+        }
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for t in ("documents",):
+            docs.to_parquet(os.path.join(td, f"{t}.parquet"))
+        out = {
+            r.doc_id: r for r in corpus_chunk_dedup(spark, td).collect()
+        }
+    assert out[1].n_chunks == 2 and out[1].n_kept_chunks == 2
+    assert out[1].n_tokens_kept == 2 * w                # first doc keeps all
+    assert out[2].n_kept_chunks == 0                    # exact dup keeps nothing
+    assert out[3].n_chunks == 2 and out[3].n_kept_chunks == 1
+    assert out[3].n_tokens_kept == 3                    # only the short tail
+    total_kept = sum(r.n_tokens_kept for r in out.values())
+    assert total_kept == 2 * w + 3                      # distinct chunk tokens

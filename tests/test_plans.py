@@ -487,3 +487,23 @@ def test_cluster_size_histogram_reuses_cc_kernel(spark):
     plan = simple_plan(QUERY_REGISTRY["dedup_cluster_size_histogram"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join_not_nested_loop(spark):
+    """The correlated EXISTS with a non-equi outer-referencing conjunct must
+    decorrelate into a LeftSemi hash/SMJ join on o_orderkey with the
+    shipdate inequality as join condition — never a nested loop."""
+    plan = simple_plan(QUERY_REGISTRY["sql_order_priority_checking"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bigram_coherence_model_joins_stay_jvm(spark):
+    """Bigram extraction, model aggregation, and the scoring joins are all
+    built-ins: no Python, no cartesian; the doc rollup partial-aggregates
+    before its exchange."""
+    plan = simple_plan(QUERY_REGISTRY["text_bigram_coherence"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
