@@ -227,6 +227,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_signatures(hashed: DataFrame) -> DataFrame:
+    """(doc_id, h0=hashed shingle) → one signature row per doc
+    (doc_id, h0..h{N_MINHASHES-1}): each column the MIN of a universal hash
+    (a*h + b mod P) over the doc's shingle hashes. Shared by the banding
+    fold below and the estimator-quality query that compares signature
+    agreement against exact Jaccard."""
+    hm = F.col("h0") % MINHASH_P
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_P).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
+        ]
+    )
+
+
 def band_hashes(hashed: DataFrame) -> DataFrame:
     """(doc_id, h0=hashed shingle) → stacked LSH band table
     (doc_id, band_idx, band_hash): 32 universal-hash minhashes folded into
@@ -235,13 +250,7 @@ def band_hashes(hashed: DataFrame) -> DataFrame:
     and — term for term — the DuckDB oracle SQL. Band-hash collisions across
     genuinely different signatures (~birthday over 2^31) only add candidate
     pairs, which the exact-Jaccard re-rank then discards."""
-    hm = F.col("h0") % MINHASH_P
-    sig = hashed.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * hm + F.lit(b)) % MINHASH_P).alias(f"h{i}")
-            for i, (a, b) in enumerate(MINHASH_AB)
-        ]
-    )
+    sig = minhash_signatures(hashed)
     band_cols = []
     for b in range(N_BANDS):
         acc: Column = F.lit(7)
@@ -1001,3 +1010,108 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
     )
+
+
+def _minhash_estimate_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASHES)
+    )
+    return f"""
+    WITH {_minhash_scored_cte()},
+    m AS (
+        SELECT c.doc_a, c.doc_b, {terms} AS n_match
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(m.n_match AS DOUBLE) / {N_MINHASHES}.0 AS est_jaccard,
+           s.jaccard,
+           ABS(CAST(m.n_match AS DOUBLE) / {N_MINHASHES}.0 - s.jaccard) AS abs_err
+    FROM scored s
+    JOIN m ON s.doc_a = m.doc_a AND s.doc_b = m.doc_b
+    WHERE s.jaccard >= 0.3
+    """
+
+
+@query("dedup_minhash_estimate_quality", oracle=_minhash_estimate_oracle_sql())
+def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash path: on every verified near-dup
+    pair, the signature-agreement Jaccard ESTIMATE (matching minhash
+    components / N_MINHASHES — the quantity LSH banding thresholds on)
+    side-by-side with the exact shingle Jaccard, plus the absolute error.
+    This is the query a pipeline runs before trusting a signature width:
+    the error distribution tells you whether 32 components suffice for the
+    corpus' similarity regime (E[err] ~ sqrt(J(1-J)/32) ≈ 0.09 at J=0.5).
+
+    Scale shape: identical to dedup_minhash_lsh (band equi-join candidates,
+    exact re-rank on candidates only) plus one signature self-join on the
+    candidate keys — signatures are one row per doc, so the extra join is
+    doc-bounded, and the component-agreement sum is a codegen'd 32-term
+    expression, not an array loop. All arithmetic is integer/modular with
+    one exact division, so the oracle matches to the bit."""
+    hashed = shingle_pairs(spark, sf_dir).select(
+        "doc_id", shingle_h0(F.col("shingle")).alias("h0")
+    ).persist()
+    try:
+        sig = minhash_signatures(hashed)
+        stacked = band_hashes(hashed)
+        left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+        candidates = (
+            left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+        counts = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = hashed.select(F.col("doc_id").alias("doc_a"), "h0")
+        b = hashed.select(F.col("doc_id").alias("doc_b"), "h0")
+        inter = (
+            candidates.join(a, "doc_a")
+            .join(b, ["doc_b", "h0"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+        cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+        exact = (
+            inter.join(ca, "doc_a")
+            .join(cb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                ).alias("jaccard"),
+            )
+            .filter(F.col("jaccard") >= 0.3)
+        )
+        sig_a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
+        )
+        sig_b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
+        )
+        n_match = sum(
+            [
+                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(N_MINHASHES)
+            ],
+            F.lit(0),
+        )
+        est = exact.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
+            "doc_a",
+            "doc_b",
+            (n_match.cast("double") / float(N_MINHASHES)).alias("est_jaccard"),
+            "jaccard",
+            F.abs(
+                n_match.cast("double") / float(N_MINHASHES) - F.col("jaccard")
+            ).alias("abs_err"),
+        )
+        return est.localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
