@@ -520,3 +520,99 @@ def sql_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders=load_table(spark, sf_dir, "orders"),
         lineitem=load_table(spark, sf_dir, "lineitem"),
     )
+
+
+@query(
+    "sql_discounted_revenue_disjunctive",
+    oracle=f"""
+    SELECT {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           COUNT(*) AS n_matched
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+)
+def sql_discounted_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate join: revenue over three OR'd
+    brand/size/quantity bands spanning both tables. The optimizer must
+    (1) keep the p_partkey equality as the hash-join key — the OR bands are
+    a post-join filter, never a reason to fall back to a nested loop — and
+    (2) push the single-table residues down: each disjunct constrains
+    p_brand/p_size (part side) and l_quantity (lineitem side), so the
+    derived `p_brand IN (...)` / `l_quantity BETWEEN global bounds` prune
+    both scans before the join. The plan gate pins the hash join."""
+    return spark.sql(
+        f"""
+        SELECT {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+               COUNT(*) AS n_matched
+        FROM {{lineitem}} l
+        JOIN {{part}} p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 20 AND 50
+               AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        part=load_table(spark, sf_dir, "part"),
+    )
+
+
+@query(
+    "sql_nation_pair_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+        OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY ns.n_name, nc.n_name, YEAR(l.l_shipdate)
+    """,
+)
+def sql_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue shipped between two
+    specific nations (both directions) per year. Six-table join where the
+    two nation filters are maximally selective 1-row dims: Catalyst pushes
+    each n_name predicate into its broadcast side, which turns the
+    supplier/customer joins into semi-filtering broadcast joins (only rows
+    belonging to the two nations survive into the fact chain), and the
+    disjunctive direction pair becomes a residual on the already-tiny
+    result. YEAR() is exact integer extraction on both engines."""
+    return spark.sql(
+        f"""
+        SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+               CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+               {_MSUM.format(e="l.l_extendedprice * (1 - l.l_discount)")} AS revenue
+        FROM {{lineitem}} l
+        JOIN {{orders}} o   ON o.o_orderkey = l.l_orderkey
+        JOIN {{customer}} c ON c.c_custkey = o.o_custkey
+        JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
+        JOIN {{nation}} ns  ON ns.n_nationkey = s.s_nationkey
+        JOIN {{nation2}} nc ON nc.n_nationkey = c.c_nationkey
+        WHERE ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+            OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3'))
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY ns.n_name, nc.n_name, YEAR(l.l_shipdate)
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        orders=load_table(spark, sf_dir, "orders"),
+        customer=load_table(spark, sf_dir, "customer"),
+        supplier=load_table(spark, sf_dir, "supplier"),
+        nation=load_table(spark, sf_dir, "nation"),
+        nation2=load_table(spark, sf_dir, "nation"),
+    )

@@ -507,3 +507,25 @@ def test_bigram_coherence_model_joins_stay_jvm(spark):
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "partial_" in plan
+
+
+def test_disjunctive_join_keeps_hash_key(spark):
+    """Q19 shape: the OR'd brand/size/quantity bands must remain a post-join
+    residual over a p_partkey hash join — no nested loop — and the derived
+    single-table residues must reach the scans as pushed filters."""
+    df = QUERY_REGISTRY["sql_discounted_revenue_disjunctive"](spark, SF)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    fplan = formatted_plan(df)
+    # derived single-table residues reach both scans
+    assert "PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity" in fplan
+    assert "EqualTo(p_brand,Brand#1)" in fplan  # part-side brand/size residue
+
+
+def test_nation_pair_volume_broadcasts_dims(spark):
+    """Q7 shape: both nation dims and the filtered supplier side broadcast;
+    the fact chain shuffles on fact keys only."""
+    plan = simple_plan(QUERY_REGISTRY["sql_nation_pair_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
