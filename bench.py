@@ -88,6 +88,10 @@ HEADLINE = [
     "join_interval_overlap",
     "events_time_weighted_avg",
     "sql_large_volume_orders",
+    # r5 continuation: corpus-LM scoring join and the MinHash sketch audit
+    # (the two heaviest new kernels)
+    "text_bigram_coherence",
+    "dedup_minhash_estimate_quality",
 ]
 
 

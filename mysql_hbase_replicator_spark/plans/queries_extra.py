@@ -1099,3 +1099,62 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_overlapping_pairs",
         "max_overlap_us",
     )
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS s3,
+               CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                             AS DECIMAL(25,6))) AS DOUBLE) AS s4
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / (SQRT(s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))), 6) AS skewness,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / ((s2 / n - (s1 / n) * (s1 / n))
+                    * (s2 / n - (s1 / n) * (s1 / n))) - 3, 6) AS kurtosis_excess
+    FROM s
+    """,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third/fourth-moment shape statistics (population skewness g1 and
+    excess kurtosis g2) per return flag, from exact decimal raw-moment sums
+    — the same order-free recipe as agg_variance_corr_exact: built-in
+    skewness/kurtosis use streaming central-moment updates whose float
+    results are shuffle-order-dependent; raw moments in DECIMAL are exact
+    (l_quantity is integer-valued, so q²/q³/q⁴ are exact integers), and
+    both engines then evaluate the IDENTICAL closed-form double expression
+    (SQRT-based 3/2 power, no libm POWER), rounded to 6 dp. One
+    map-side-combined shuffle regardless of corpus size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(25,6)")
+    q = F.col("l_quantity")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(q)).cast("double").alias("s1"),
+        F.sum(dec(q * q)).cast("double").alias("s2"),
+        F.sum(dec(q * q * q)).cast("double").alias("s3"),
+        F.sum(dec(q * q * q * q)).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    v = s2 / n - m * m
+    m3 = s3 / n - 3 * m * (s2 / n) + 2 * m * m * m
+    m4 = s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / (F.sqrt(v) * v), 6).alias("skewness"),
+        F.round(m4 / (v * v) - 3, 6).alias("kurtosis_excess"),
+    )
