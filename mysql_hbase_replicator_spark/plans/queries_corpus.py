@@ -1005,3 +1005,65 @@ def corpus_len_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("max_kept"),
         )
     )
+
+
+# n-gram width for the temporal-novelty metric below
+NOVELTY_W = 3
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    ng AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+        WHERE LEN(t) >= {NOVELTY_W}
+    ),
+    firsts AS (SELECT gram, MIN(doc_id) AS first_doc FROM ng GROUP BY gram)
+    SELECT n.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM ng n
+    JOIN firsts f ON n.gram = f.gram
+    GROUP BY n.doc_id
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal n-gram novelty: for each document (in doc_id ingest order),
+    the fraction of its distinct 3-gram shingles never seen in ANY
+    earlier document — the freshness score curation uses to detect
+    scrape-loop decay (novelty collapsing over time means the crawler is
+    re-reading the same web) and to prioritize genuinely new material in a
+    token budget.
+
+    Scale shape: the "seen earlier" relation needs no ordered scan — a
+    gram's first occurrence is just MIN(doc_id) per gram (one
+    map-side-combined groupBy over the exploded shingles), and novelty is
+    an equi-join of the doc-gram pairs against that gram-keyed table plus a
+    per-doc rollup. Gram-key skew is bounded by document count per gram,
+    the same quantity every dedup join here shuffles on. The ratio is
+    bigint/bigint evaluated in double — exact on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+
+    ng = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=NOVELTY_W)).alias("gram")
+    )
+    firsts = ng.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        ng.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (
+                F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -845,3 +845,107 @@ def events_user_activity_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("event_share_cume"),
         )
     )
+
+
+# top-k session openers: how many leading event types define a "path"
+PATH_LEN = 3
+TOP_PATHS_N = 20
+
+
+@query(
+    "events_session_paths",
+    oracle=f"""
+    WITH o AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, event_type
+               FROM events),
+    m AS (
+        SELECT user_id, event_id, t, event_type,
+               CASE WHEN LAG(t) OVER w IS NULL
+                      OR EPOCH_US(t) - EPOCH_US(LAG(t) OVER w) > {SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM o
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    s AS (
+        SELECT user_id, event_id, t, event_type,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY t, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_num
+        FROM m
+    ),
+    r AS (
+        SELECT user_id, session_num, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_num
+                                  ORDER BY t, event_id) AS rn
+        FROM s
+    ),
+    paths AS (
+        SELECT user_id, session_num,
+               STRING_AGG(event_type, '>' ORDER BY rn) AS path
+        FROM r
+        WHERE rn <= {PATH_LEN}
+        GROUP BY user_id, session_num
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {TOP_PATHS_N}
+    """,
+)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-opener path mining: the {TOP_N} most common sequences of the
+    first {LEN} event types in a session (30-minute gap rule) — the
+    behavioral n-gram table that seeds next-action models and funnel
+    hypotheses.
+
+    Scale shape: sessionization (lag + running sum), the per-session rank,
+    and the path assembly all share ONE (user_id) shuffle — the three
+    windows and the (user_id, session_num) groupBy are key-prefix
+    compatible, so Spark chains them over a single sort. The path count is
+    a second shuffle over one row per session, and the top-20 is a
+    TakeOrderedAndProject on a domain-bounded aggregate (≤ #types^{LEN}
+    paths). The ORDER BY rn inside STRING_AGG has a Spark twin: the
+    per-session collect happens on rows pre-sorted by the rank window, and
+    the first-{LEN} filter keeps the collected array bounded."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    s = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(is_new)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_num"),
+    )
+    wr = Window.partitionBy("user_id", "session_num").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= PATH_LEN)
+    paths = (
+        r.groupBy("user_id", "session_num")
+        .agg(
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ).getField("event_type"),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(TOP_PATHS_N)
+    )
+
+
+events_session_paths.__doc__ = events_session_paths.__doc__.replace(
+    "{TOP_N}", str(TOP_PATHS_N)
+).replace("{LEN}", str(PATH_LEN))

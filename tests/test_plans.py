@@ -529,3 +529,20 @@ def test_nation_pair_volume_broadcasts_dims(spark):
     plan = simple_plan(QUERY_REGISTRY["sql_nation_pair_volume"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_session_paths_share_user_shuffle(spark):
+    """Sessionize + per-session rank + path assembly chain over ONE
+    (user_id) exchange (the rank/groupBy keys are key-prefix compatible);
+    the path count is a second small exchange and top-20 never global-sorts."""
+    plan = simple_plan(QUERY_REGISTRY["events_session_paths"](spark, SF))
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ngram_novelty_stays_jvm_two_shuffles(spark):
+    """Shingle explode is map-side; firsts + rollup are the only exchanges
+    besides the gram join (which reuses the gram partitioning)."""
+    plan = simple_plan(QUERY_REGISTRY["corpus_ngram_novelty"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
