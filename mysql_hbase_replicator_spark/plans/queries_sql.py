@@ -490,7 +490,8 @@ def sql_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND o.o_orderdate <  TIMESTAMP '1997-07-01'
       AND EXISTS (SELECT 1 FROM lineitem l
                   WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                    AND l.l_shipdate > TIMESTAMP '1997-01-01' + INTERVAL 60 DAY)
     GROUP BY o.o_orderpriority
     ORDER BY o.o_orderpriority
     """,
@@ -504,7 +505,16 @@ def sql_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_orderkey equality (the hash key) with the shipdate inequality (a
     post-join filter) — the equi part keeps it a hash/SMJ semi join, so
     the 100 TB plan is one key-partitioned semi join, not a nested loop.
-    Date arithmetic is exact interval math on both engines."""
+    Date arithmetic is exact interval math on both engines.
+
+    The redundant static bound `l_shipdate > '1997-01-01' + 60d` is hand-
+    propagated constraint transitivity (implied by the correlated
+    inequality + the orders window, so the result is provably unchanged —
+    oracle carries the same text): Catalyst doesn't derive scan predicates
+    through correlations, and without it the EXISTS side scans and
+    shuffles the ENTIRE lineitem table — measured 6.2× for ×10 data at
+    sf≈1; with the bound pushed to the parquet scan the probe drops to
+    ~2× (see SCALING.md)."""
     return spark.sql(
         """
         SELECT o.o_orderpriority, COUNT(*) AS n_late_orders
@@ -513,7 +523,8 @@ def sql_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND o.o_orderdate <  TIMESTAMP '1997-07-01'
           AND EXISTS (SELECT 1 FROM {lineitem} l
                       WHERE l.l_orderkey = o.o_orderkey
-                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        AND l.l_shipdate > TIMESTAMP '1997-01-01' + INTERVAL 60 DAY)
         GROUP BY o.o_orderpriority
         ORDER BY o.o_orderpriority
         """,
