@@ -261,3 +261,96 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(ts_str(nxt), F.lit("9999-12-31 00:00:00.000000")).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("int").alias("is_current"),
     )
+
+
+# snapshot-diff cut points: state at T1 vs state at T2 over the event stream
+SNAP_T1 = "2024-01-15 00:00:00"
+SNAP_T2 = "2024-01-30 00:00:00"
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{SNAP_T1}'
+        ) WHERE rn = 1
+    ),
+    s2 AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                        ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '{SNAP_T2}'
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(s2.user_id, s1.user_id) AS user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'insert'
+                WHEN s2.user_id IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           s1.event_type AS before_type, s1.value AS before_value,
+           s2.event_type AS after_type,  s2.value AS after_value
+    FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+    WHERE s1.user_id IS NULL OR s2.user_id IS NULL
+       OR s1.event_type <> s2.event_type OR s1.value <> s2.value
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1's snapshot-diffing source mode (SURVEY §2.1: the self-contained
+    alternative to binlog tailing — `Trigger.AvailableNow` snapshot diffing):
+    reconstruct the keyed state at two cut points and emit the CDC events
+    that transform snapshot-1 into snapshot-2 — `insert` for new keys,
+    `delete` for vanished keys, `update` (with before/after images) where
+    the image changed. Unchanged keys emit nothing, which is what makes
+    periodic snapshot diffing a viable low-frequency CDC source when the
+    binlog isn't reachable.
+
+    Scale shape: each snapshot is one last-image-per-key window (the K5
+    collapse) over a time-pruned scan; the diff is a single full outer join
+    on the key — all three shuffles on user_id, and AQE reuses the exchange
+    between the two windows' shared scan lineage. The change filter is
+    null-safe by construction (images are non-null once a key exists)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def snapshot(cut: str) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            e.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    s1 = snapshot(SNAP_T1).select(
+        F.col("user_id").alias("u1"),
+        F.col("event_type").alias("before_type"),
+        F.col("value").alias("before_value"),
+    )
+    s2 = snapshot(SNAP_T2).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_type").alias("after_type"),
+        F.col("value").alias("after_value"),
+    )
+    diff = s1.join(s2, F.col("u1") == F.col("u2"), "full_outer")
+    op = (
+        F.when(F.col("u1").isNull(), "insert")
+        .when(F.col("u2").isNull(), "delete")
+        .otherwise("update")
+    )
+    changed = (
+        F.col("u1").isNull()
+        | F.col("u2").isNull()
+        | (F.col("before_type") != F.col("after_type"))
+        | (F.col("before_value") != F.col("after_value"))
+    )
+    return diff.filter(changed).select(
+        F.coalesce(F.col("u2"), F.col("u1")).alias("user_id"),
+        op.alias("op"),
+        "before_type",
+        "before_value",
+        "after_type",
+        "after_value",
+    )

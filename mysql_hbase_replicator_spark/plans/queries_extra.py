@@ -1158,3 +1158,93 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (F.sqrt(v) * v), 6).alias("skewness"),
         F.round(m4 / (v * v) - 3, 6).alias("kurtosis_excess"),
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH both_ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    nb AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_click_ts,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                 AS next_click_ts
+        FROM both_ev
+    )
+    SELECT event_id, user_id,
+           STRFTIME(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           STRFTIME(CASE
+               WHEN prev_click_ts IS NOT NULL AND (next_click_ts IS NULL
+                    OR EPOCH_US(ts) - EPOCH_US(prev_click_ts)
+                       <= EPOCH_US(next_click_ts) - EPOCH_US(ts))
+               THEN prev_click_ts ELSE next_click_ts END,
+               '%Y-%m-%d %H:%M:%S.%f') AS nearest_click_ts,
+           CASE
+               WHEN prev_click_ts IS NOT NULL AND (next_click_ts IS NULL
+                    OR EPOCH_US(ts) - EPOCH_US(prev_click_ts)
+                       <= EPOCH_US(next_click_ts) - EPOCH_US(ts))
+               THEN 'backward'
+               WHEN next_click_ts IS NOT NULL THEN 'forward'
+           END AS direction
+    FROM nb WHERE event_type = 'purchase'
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')``): each purchase takes the user's click closest in time —
+    the latest earlier click or the earliest later one, whichever gap is
+    smaller, ties to backward. Completes the as-of family (backward /
+    forward / tolerance / nearest) with the same scalable shape: the union
+    stream carries BOTH candidate neighbors through one (user_id)-sorted
+    window pass (LAST over preceding + FIRST over following share the sort),
+    and the nearest choice is a map-side comparison of two integer-µs gaps
+    — no range self-join, no row explosion, exact on both engines."""
+    from mysql_hbase_replicator_spark.plans.queries import ts_str
+
+    e = load_table(spark, sf_dir, "events")
+    both = e.filter(F.col("event_type").isin("click", "purchase"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    prev_c = F.last(click_ts, ignorenulls=True).over(wb)
+    next_c = F.first(click_ts, ignorenulls=True).over(wf)
+    nb = both.withColumn("prev_click_ts", prev_c).withColumn("next_click_ts", next_c)
+    back_wins = F.col("prev_click_ts").isNotNull() & (
+        F.col("next_click_ts").isNull()
+        | (
+            (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_click_ts")))
+            <= (F.unix_micros(F.col("next_click_ts")) - F.unix_micros(F.col("ts")))
+        )
+    )
+    nearest = F.when(back_wins, F.col("prev_click_ts")).otherwise(
+        F.col("next_click_ts")
+    )
+    direction = F.when(back_wins, "backward").when(
+        F.col("next_click_ts").isNotNull(), "forward"
+    )
+    return (
+        nb.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            ts_str(F.col("ts")).alias("ts"),
+            ts_str(nearest).alias("nearest_click_ts"),
+            direction.alias("direction"),
+        )
+    )
