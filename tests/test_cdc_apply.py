@@ -497,3 +497,48 @@ def test_store_additive_column_evolution(spark, tmp_path):
     rows2 = {r.id: (r.name, r.score) for r in state2.collect()}
     assert rows2[0] == ("name0b", None)
     assert rows2[3] == ("name3b", 30)
+
+
+def test_snapshot_diff_roundtrip(spark):
+    """cdc_snapshot_diff semantics: applying the emitted diff to the T1
+    snapshot (delete deleted keys, upsert insert/update after-images) must
+    reproduce the T2 snapshot exactly — the invariant that makes periodic
+    snapshot diffing a valid CDC source."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from mysql_hbase_replicator_spark.plans.queries_cdc import (
+        SNAP_T1,
+        SNAP_T2,
+        cdc_snapshot_diff,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "events")
+
+    def snap(cut):
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            e.filter(F.col("ts") < F.lit(cut).cast("timestamp"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    diff = cdc_snapshot_diff(spark, sf)
+    deletes = diff.filter(F.col("op") == "delete").select("user_id")
+    upserts = diff.filter(F.col("op") != "delete").select(
+        "user_id",
+        F.col("after_type").alias("event_type"),
+        F.col("after_value").alias("value"),
+    )
+    applied = (
+        snap(SNAP_T1)
+        .join(deletes, "user_id", "left_anti")
+        .join(upserts.select("user_id"), "user_id", "left_anti")
+        .unionByName(upserts)
+    )
+    got = {tuple(r) for r in applied.collect()}
+    want = {tuple(r) for r in snap(SNAP_T2).collect()}
+    assert got == want
