@@ -949,3 +949,61 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 events_session_paths.__doc__ = events_session_paths.__doc__.replace(
     "{TOP_N}", str(TOP_PATHS_N)
 ).replace("{LEN}", str(PATH_LEN))
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(DATE_TRUNC('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        FROM events
+    ),
+    expanded AS (
+        SELECT user_id, d + CAST(i AS INT) AS target_day
+        FROM ud, UNNEST(RANGE(0, 7)) AS u(i)
+    ),
+    wau AS (
+        SELECT target_day, COUNT(DISTINCT user_id) AS wau
+        FROM expanded GROUP BY target_day
+    ),
+    dau AS (SELECT d, COUNT(*) AS dau FROM ud GROUP BY d)
+    SELECT STRFTIME(dau.d, '%Y-%m-%d') AS day, dau.dau,
+           wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON wau.target_day = dau.d
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the engagement
+    triple. The scale problem is WAU: COUNT(DISTINCT) over a sliding
+    7-day frame per day re-scans the window naively. The distributed
+    identity used here: a user active on day d contributes to WAU(d..d+6),
+    so EXPLODE each distinct (user, day) into its 7 target days (map-side,
+    bounded ×7) and take one exact COUNT(DISTINCT) per target day — two
+    shuffles total ((user, day) dedup, then the per-day distinct), frame
+    re-scan eliminated, and the same shape handles MAU with ×30.
+    Stickiness is bigint/bigint in double — exact both engines. Days with
+    no activity produce no row (inner join on the dau side)."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    expanded = ud.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"), "d"
+    ).select("user_id", F.date_add(F.col("d"), F.col("i")).alias("target_day"))
+    wau = expanded.groupBy("target_day").agg(
+        F.count_distinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.d == wau.target_day)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )

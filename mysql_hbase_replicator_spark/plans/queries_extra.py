@@ -1248,3 +1248,64 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             direction.alias("direction"),
         )
     )
+
+
+@query(
+    "agg_share_of_parent",
+    oracle=f"""
+    WITH rn AS (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(s.s_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS nation_balance,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT r_name, n_name, nation_balance, n_suppliers,
+           nation_balance
+             / CAST(SUM(CAST(nation_balance AS DECIMAL(25,6)))
+                    OVER (PARTITION BY r_name) AS DOUBLE)
+             AS share_of_region
+    FROM rn
+    """,
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent hierarchy metric: each nation's supplier balance as a
+    fraction of its region's total — the percent-of-parent column every
+    OLAP drill-down shows next to the absolute value. The parent total is a
+    window SUM over the child aggregate, NOT a second rollup + join: one
+    fact shuffle (the groupBy), then a window over the #nations-row
+    aggregate partitioned by region — bounded by the dim hierarchy, never
+    by the fact table. Sums are decimal-exact, so the share division runs
+    on identical operands in both engines (the parent window SUM
+    re-casts the exact-decimal children back to DECIMAL before summing, so
+    the share division runs on identical operands in both engines
+    regardless of partition row order)."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("s_acctbal").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("nation_balance"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return rn.select(
+        "r_name",
+        "n_name",
+        "nation_balance",
+        "n_suppliers",
+        (
+            F.col("nation_balance")
+            / F.sum(F.col("nation_balance").cast("decimal(25,6)"))
+            .over(w)
+            .cast("double")
+        ).alias("share_of_region"),
+    )

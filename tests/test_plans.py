@@ -546,3 +546,20 @@ def test_ngram_novelty_stays_jvm_two_shuffles(spark):
     plan = simple_plan(QUERY_REGISTRY["corpus_ngram_novelty"](spark, SF))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_share_of_parent_window_over_dim_aggregate(spark):
+    """The region-share window runs over the nation-level aggregate (dim-
+    bounded), never the supplier fact rows: both dim joins broadcast and
+    the window's exchange is keyed on the parent."""
+    plan = simple_plan(QUERY_REGISTRY["agg_share_of_parent"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dau_wau_explodes_instead_of_frame_rescan(spark):
+    """WAU must come from the x7 day-explosion + per-day distinct — a plain
+    Generate + aggregates — with no window frame over raw events."""
+    plan = simple_plan(QUERY_REGISTRY["events_dau_wau"](spark, SF))
+    assert "Generate explode" in plan
+    assert "Window" not in plan
