@@ -627,3 +627,48 @@ def sql_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation=load_table(spark, sf_dir, "nation"),
         nation2=load_table(spark, sf_dir, "nation"),
     )
+
+
+@query(
+    "sql_dormant_rich_customers",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_dormant,
+           {_MSUM.format(e="c.c_acctbal")} AS dormant_balance
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT {_MSUM.format(e="c2.c_acctbal")} / COUNT(*)
+                         FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def sql_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped dormant-capital query: customers whose balance
+    exceeds the average POSITIVE balance but who placed no order since
+    1999, profiled per segment. Completes the subquery family: the scalar
+    average is a filtered single-row broadcast, and NOT EXISTS (the one
+    form not yet registered — EXISTS and null-aware NOT IN are) plans as a
+    left-ANTI join on c_custkey with the orderdate predicate pushed into
+    the anti side's scan — at 100 TB the anti join probes only the
+    since-1999 order keys, not order history."""
+    return spark.sql(
+        f"""
+        SELECT c.c_mktsegment,
+               COUNT(*) AS n_dormant,
+               {_MSUM.format(e="c.c_acctbal")} AS dormant_balance
+        FROM {{customer}} c
+        WHERE c.c_acctbal > (SELECT {_MSUM.format(e="c2.c_acctbal")} / COUNT(*)
+                             FROM {{customer2}} c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM {{orders}} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """,
+        customer=load_table(spark, sf_dir, "customer"),
+        customer2=load_table(spark, sf_dir, "customer"),
+        orders=load_table(spark, sf_dir, "orders"),
+    )
