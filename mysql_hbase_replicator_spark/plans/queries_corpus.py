@@ -1067,3 +1067,120 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "pipeline_curation_v2",
+    oracle=f"""
+    WITH toks2 AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    chunks2 AS (
+        SELECT doc_id, i AS chunk_idx,
+               ARRAY_TO_STRING(t[(i * {CHUNK_W} + 1):(i * {CHUNK_W} + {CHUNK_W})], ' ') AS chunk,
+               LEAST({CHUNK_W}, LEN(t) - i * {CHUNK_W}) AS n_toks
+        FROM toks2,
+             UNNEST(RANGE(0, CAST(CEIL(LEN(t) / {CHUNK_W}.0) AS BIGINT))) AS u(i)
+    ),
+    marked2 AS (
+        SELECT doc_id, n_toks,
+               ROW_NUMBER() OVER (PARTITION BY chunk
+                                  ORDER BY doc_id, chunk_idx) AS rn
+        FROM chunks2
+    ),
+    keptstats AS (
+        SELECT doc_id,
+               SUM(n_toks) AS n_tokens_total,
+               SUM(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS n_tokens_kept
+        FROM marked2 GROUP BY doc_id
+    ),
+    ng2 AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM toks2, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+        WHERE LEN(t) >= {NOVELTY_W}
+    ),
+    firsts2 AS (SELECT gram, MIN(doc_id) AS first_doc FROM ng2 GROUP BY gram),
+    nov2 AS (
+        SELECT n.doc_id,
+               CAST(SUM(CASE WHEN f.first_doc = n.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS novelty
+        FROM ng2 n JOIN firsts2 f ON n.gram = f.gram
+        GROUP BY n.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+           CAST(SUM(k.n_tokens_kept) AS BIGINT) AS tokens_kept,
+           ROUND(AVG(v.novelty), 6) AS mean_novelty
+    FROM documents d
+    JOIN keptstats k ON k.doc_id = d.doc_id
+    JOIN nov2 v ON v.doc_id = d.doc_id
+    WHERE CAST(k.n_tokens_kept AS DOUBLE) / k.n_tokens_total >= 0.5
+      AND v.novelty >= 0.6
+    GROUP BY d.source
+    """,
+)
+def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r5-continuation curation pipeline composed end-to-end: chunk-level
+    dedup statistics (≥50% of a doc's tokens must survive boilerplate
+    removal) ∧ temporal n-gram novelty (≥0.6 of its 3-grams first seen in
+    it) → per-source kept-document and kept-token accounting. The
+    two sub-pipelines are exactly corpus_chunk_dedup and
+    corpus_ngram_novelty (both independently oracle-verified); this query
+    verifies their COMPOSITION into one Catalyst plan — the shape a real
+    curation run executes, where each doc-level score is computed once and
+    the gates apply together.
+
+    Scale: both score pipelines shuffle on content keys (chunk / gram) then
+    on doc_id; the final joins are doc-keyed and the rollup is per source.
+    No stage widens: scores are one row per doc before the gates. The mean
+    novelty is ROUNDed (summation-order ulps against a 1e-6 grid)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_W))).cast("int")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.array_join(F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " ").alias("chunk"),
+        F.least(F.lit(CHUNK_W), F.size("t") - F.col("i") * CHUNK_W).alias("n_toks"),
+    )
+    wch = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    marked = chunks.select("doc_id", "n_toks", F.row_number().over(wch).alias("rn"))
+    keptstats = marked.groupBy("doc_id").agg(
+        F.sum("n_toks").alias("n_tokens_total"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_toks")).otherwise(0)).alias(
+            "n_tokens_kept"
+        ),
+    )
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+
+    ng = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=NOVELTY_W)).alias("gram")
+    )
+    firsts = ng.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    nov = (
+        ng.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty"
+            )
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(keptstats, "doc_id")
+        .join(nov, "doc_id")
+        .filter(
+            (F.col("n_tokens_kept").cast("double") / F.col("n_tokens_total") >= 0.5)
+            & (F.col("novelty") >= 0.6)
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens_kept").alias("tokens_kept"),
+            F.round(F.avg("novelty"), 6).alias("mean_novelty"),
+        )
+    )
