@@ -92,6 +92,9 @@ HEADLINE = [
     # (the two heaviest new kernels)
     "text_bigram_coherence",
     "dedup_minhash_estimate_quality",
+    # r5 continuation: the composed curation pipeline (chunk-dedup +
+    # novelty gates in one plan)
+    "pipeline_curation_v2",
 ]
 
 

@@ -1309,3 +1309,47 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("share_of_region"),
     )
+
+
+@query(
+    "scalar_date_arith_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+                AS INT) AS days_to_y2k,
+           STRFTIME(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+             AS plus_3_months,
+           STRFTIME(LAST_DAY(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           STRFTIME(DATE_TRUNC('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS quarter_start,
+           CAST(DAYOFWEEK(CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow,
+           CAST(WEEKOFYEAR(CAST(o_orderdate AS DATE)) AS INT) AS week_iso
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def scalar_date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-arithmetic scalar family (§2.6): day differences, calendar-aware
+    month addition (clamping at month ends), LAST_DAY, quarter truncation,
+    day-of-week and ISO week — the functions CDC consumers use to bucket
+    replicated order history. All results are integers or formatted date
+    strings, so cross-engine float drift cannot exist; the only semantic
+    trap is DAYOFWEEK's convention — Spark is 1=Sunday..7=Saturday, DuckDB
+    0=Sunday..6=Saturday, so the oracle adds 1; ISO weeks via WEEKOFYEAR
+    match ISO-8601 on both, and both engines clamp month-end in
+    add_months/+INTERVAL MONTH. The modulo sample keeps the result set
+    small without a sort."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3_months"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "quarter_start"
+        ),
+        F.dayofweek(d).alias("dow"),
+        F.weekofyear(d).alias("week_iso"),
+    )
