@@ -860,3 +860,44 @@ def scalar_value_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         bytes_to_utf8(F.encode(F.col("p_name"), "UTF-8")).alias("name_utf8_roundtrip"),
     )
+
+
+@query(
+    "agg_rollup_grouping_id",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT)
+             AS grouping_level,
+           COUNT(*) AS n_rows,
+           {SQL_MSUM("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING disambiguation (§2.5): the GROUPING() bitmask
+    distinguishes a real NULL group key from a rollup subtotal row — the
+    detail COALESCE alone cannot provide when the grouped column is
+    nullable. Emitted as the standard grouping_level int
+    (2·GROUPING(col1) + GROUPING(col2), 0 = detail row, 3 = grand total),
+    the same expression text on both engines. Same single-shuffle
+    expand-then-aggregate plan as agg_rollup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum(F.col("l_quantity")).alias("sum_qty"),
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias("linestatus"),
+            "grouping_level",
+            "n_rows",
+            "sum_qty",
+        )
+    )
