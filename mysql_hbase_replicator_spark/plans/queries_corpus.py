@@ -1184,3 +1184,65 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("novelty"), 6).alias("mean_novelty"),
         )
     )
+
+
+# ingest-order bucket width (docs) for the vocabulary growth curve
+VOCAB_BUCKET = 100
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    grams AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS term
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+        WHERE LEN(t) >= 3
+    ),
+    firsts AS (SELECT term, MIN(doc_id) AS fd FROM grams GROUP BY term),
+    b AS (
+        SELECT fd // {VOCAB_BUCKET} AS bucket, CAST(COUNT(*) AS BIGINT) AS new_terms
+        FROM firsts GROUP BY 1
+    )
+    SELECT CAST(bucket * {VOCAB_BUCKET} AS BIGINT) AS docs_processed_start,
+           new_terms,
+           CAST(SUM(new_terms) OVER (ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM b
+    """,
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law audit): distinct 3-gram count as
+    a function of documents ingested, in {B}-doc buckets (3-grams, not
+    unigrams: the synthetic corpus' word vocabulary saturates inside the
+    first bucket, while its gram space keeps growing — matching real
+    corpora, where phrase-level novelty outlives word-level novelty) — the curve whose
+    flattening tells curation the corpus has stopped contributing new
+    language (the aggregate cousin of corpus_ngram_novelty's per-doc
+    score). First-touch attribution again: a term's contribution bucket is
+    MIN(doc_id)//{B}, so the whole curve is one term-keyed
+    map-side-combined groupBy + a bucket rollup, and the cumulative window
+    runs over the ≤ #docs/{B}-row bucket table — the fact-scale token
+    stream never meets a window. All integers; exact on both engines."""
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=3)).alias("term")
+    )
+    firsts = toks.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    b = firsts.groupBy(
+        F.floor(F.col("fd") / VOCAB_BUCKET).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return b.select(
+        (F.col("bucket") * VOCAB_BUCKET).alias("docs_processed_start"),
+        "new_terms",
+        F.sum("new_terms").over(w).alias("vocab_size"),
+    )
+
+
+corpus_vocab_growth.__doc__ = corpus_vocab_growth.__doc__.replace(
+    "{B}", str(VOCAB_BUCKET)
+)
