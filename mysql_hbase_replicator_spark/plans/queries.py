@@ -901,3 +901,31 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) columns in one aggregate (§2.5): Spark
+    plans this with an Expand node — each input row is replicated once per
+    distinct-aggregate branch with a grouping id, so both distinct sets and
+    the plain count resolve in a single two-phase aggregate pipeline
+    instead of one self-join per distinct column (the classic rewrite this
+    shape exists to avoid). Expand multiplies shuffle input by the branch
+    count, which is the documented trade against N separate scans — at
+    100 TB, 3× one shuffle beats 3 full passes."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
