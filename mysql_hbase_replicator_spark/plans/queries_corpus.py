@@ -1246,3 +1246,75 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 corpus_vocab_growth.__doc__ = corpus_vocab_growth.__doc__.replace(
     "{B}", str(VOCAB_BUCKET)
 )
+
+
+@query(
+    "corpus_source_overlap",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
+                  FROM documents),
+    sg AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        FROM toks, UNNEST(RANGE(1, LEN(t) - 1)) AS u(i)
+        WHERE LEN(t) >= {NOVELTY_W}
+    ),
+    counts AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sg GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS gram_jaccard
+    FROM inter i
+    JOIN counts ca ON i.source_a = ca.source
+    JOIN counts cb ON i.source_b = cb.source
+    ORDER BY gram_jaccard DESC, i.source_a, i.source_b
+    LIMIT 50
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-redundancy matrix: 3-gram Jaccard overlap between every pair
+    of ingest sources, top-50 — the mirror-site detector curation runs
+    before weighting a domain mixture (two sources sharing most of their
+    phrase space are one source counted twice). Same inverted-index
+    equi-join shape as the doc-level dedup family, lifted to the source
+    level: the distinct (source, gram) table is vocabulary-bounded per
+    source, the gram join's fanout per key is ≤ #sources (not #docs — the
+    DISTINCT collapses doc multiplicity first), and the pair aggregate is
+    ≤ #sources² rows. Jaccard is bigint/bigint in double — exact both
+    engines; total-ordered top-50."""
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sg = d.select(
+        "source", F.explode(word_shingles(F.col("text"), k=NOVELTY_W)).alias("gram")
+    ).distinct()
+    counts = sg.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.select(F.col("source").alias("source_a"), "gram")
+    b = sg.select(F.col("source").alias("source_b"), "gram")
+    inter = (
+        a.join(b, "gram")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ca, "source_a")
+        .join(cb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("gram_jaccard"),
+        )
+        .orderBy(F.desc("gram_jaccard"), "source_a", "source_b")
+        .limit(50)
+    )
