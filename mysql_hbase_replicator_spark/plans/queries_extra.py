@@ -1353,3 +1353,59 @@ def scalar_date_arith_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).alias("dow"),
         F.weekofyear(d).alias("week_iso"),
     )
+
+
+@query(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT l_returnflag,
+           BOOL_AND(l_discount < 0.1) AS all_low_discount,
+           BOOL_OR(l_quantity >= 49) AS any_bulk,
+           CAST(SUM(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tax_free
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean quantifier aggregates (§2.5 EVERY/ANY): per return flag, do
+    ALL lineitems carry a sub-10% discount, does ANY order a near-max
+    quantity, and how many are tax-free. bool_and/bool_or fold map-side
+    like any other partial aggregate (a single false/true short-circuits a
+    partition's partial), and the comparisons are exact (2-decimal doubles
+    against exact literals)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.bool_and(F.col("l_discount") < 0.1).alias("all_low_discount"),
+        F.bool_or(F.col("l_quantity") >= 49).alias("any_bulk"),
+        F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("n_tax_free"),
+    )
+
+
+@query(
+    "scalar_pad_translate_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           LPAD(CAST(s_suppkey AS VARCHAR), 10, '0') AS padded_key,
+           RPAD(s_name, 25, '.') AS padded_name,
+           TRANSLATE(s_name, '#0', '_O') AS translated,
+           REVERSE(s_name) AS reversed,
+           REPEAT('-', CAST(s_suppkey % 5 AS INT)) AS bar
+    FROM supplier
+    WHERE s_suppkey % 13 = 0
+    """,
+)
+def scalar_pad_translate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width formatting scalar family (§2.6): zero-padded keys
+    (LPAD — the rowkey-formatting idiom the reference's composite-key
+    encoding motivates), RPAD column alignment, character-set TRANSLATE,
+    REVERSE, and data-driven REPEAT. Pure map-side string ops, exact on
+    both engines; the modulo sample bounds the output without a sort."""
+    s = load_table(spark, sf_dir, "supplier")
+    return s.filter(F.col("s_suppkey") % 13 == 0).select(
+        "s_suppkey",
+        F.lpad(F.col("s_suppkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad(F.col("s_name"), 25, ".").alias("padded_name"),
+        F.translate(F.col("s_name"), "#0", "_O").alias("translated"),
+        F.reverse(F.col("s_name")).alias("reversed"),
+        F.repeat(F.lit("-"), (F.col("s_suppkey") % 5).cast("int")).alias("bar"),
+    )
