@@ -1007,3 +1007,43 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_weekday_hour_profile",
+    oracle="""
+    SELECT CAST(DAYOFWEEK(CAST(ts AS TIMESTAMP)) + 1 AS INT) AS dow,
+           CAST(HOUR(CAST(ts AS TIMESTAMP)) AS INT) AS hour,
+           COUNT(*) AS n_events,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM events) AS DOUBLE) AS traffic_share
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality heat-map: event volume per (day-of-week, hour)
+    cell with its share of total traffic — the capacity-planning profile
+    and the prior behind anomaly baselines (events_anomaly_zscore's
+    day-bucket re-key assumes exactly this kind of diurnal structure).
+    One map-side-combined groupBy into a ≤7×24-cell grid; the total is a
+    1-row broadcast scalar. DAYOFWEEK +1 aligns DuckDB's 0=Sunday with
+    Spark's 1=Sunday (same convention note as scalar_date_arith_funcs);
+    shares are bigint/bigint in double — exact."""
+    e = load_table(spark, sf_dir, "events")
+    total = e.agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        e.groupBy(
+            F.dayofweek("ts").alias("dow"), F.hour("ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dow",
+            "hour",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("tot").cast("double")).alias(
+                "traffic_share"
+            ),
+        )
+    )
