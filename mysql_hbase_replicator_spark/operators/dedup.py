@@ -496,7 +496,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # probe-side chunk count for the packed all-pairs baseline below: bounds
 # Arrow row size (cap/PAIR_BUCKETS vectors per chunk) and sets the tile
-# parallelism; each tile is one numpy compute over chunk x block
+# parallelism; each tile is one numpy compute over chunk x block.
+# Python-worker memory scales with EXACT_BASELINE_MAX_DOCS × (rows per Arrow
+# batch): every chunk row carries its own copy of the broadcast block
+# (~cap×64 floats ≈ 2.5 MB at the current cap), so the builder repartitions
+# the 32 chunk rows across 32 tasks to keep each Arrow batch at ~1 block
+# copy (ADVICE r5). Raising the cap raises the per-batch footprint linearly.
 PAIR_BUCKETS = 32
 
 
@@ -554,7 +559,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = e.groupBy((F.col("vec_id") % PAIR_BUCKETS).alias("bucket")).agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("chunk")
     )
-    packed = chunks.join(F.broadcast(block))
+    # one chunk row per task: each row's Arrow batch then materializes ONE
+    # copy of the ~2.5 MB block in the Python worker instead of up to 32
+    # (hash collisions can co-locate a couple of buckets — still bounded)
+    packed = chunks.repartition(PAIR_BUCKETS, "bucket").join(F.broadcast(block))
 
     def _unpack(arr) -> tuple[np.ndarray, np.ndarray]:
         ids = np.fromiter((r["vec_id"] for r in arr), dtype=np.int64, count=len(arr))

@@ -295,7 +295,8 @@ SNAP_T2 = "2024-01-30 00:00:00"
            s2.event_type AS after_type,  s2.value AS after_value
     FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
     WHERE s1.user_id IS NULL OR s2.user_id IS NULL
-       OR s1.event_type <> s2.event_type OR s1.value <> s2.value
+       OR s1.event_type IS DISTINCT FROM s2.event_type
+       OR s1.value IS DISTINCT FROM s2.value
     """,
 )
 def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,8 +312,13 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each snapshot is one last-image-per-key window (the K5
     collapse) over a time-pruned scan; the diff is a single full outer join
     on the key — all three shuffles on user_id, and AQE reuses the exchange
-    between the two windows' shared scan lineage. The change filter is
-    null-safe by construction (images are non-null once a key exists)."""
+    between the two windows' shared scan lineage. The change filter uses a
+    null-safe inequality (``eqNullSafe`` / SQL ``IS DISTINCT FROM``): even
+    though the current image columns are never NULL, a nullable source
+    column transitioning to/from NULL must still register as a change, or
+    the roundtrip invariant (T1 + diff == T2) silently breaks — and because
+    engine and oracle would drop the same rows, oracle verification could
+    never catch it (ADVICE r5)."""
     e = load_table(spark, sf_dir, "events")
 
     def snapshot(cut: str) -> DataFrame:
@@ -343,8 +349,8 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     changed = (
         F.col("u1").isNull()
         | F.col("u2").isNull()
-        | (F.col("before_type") != F.col("after_type"))
-        | (F.col("before_value") != F.col("after_value"))
+        | ~F.col("before_type").eqNullSafe(F.col("after_type"))
+        | ~F.col("before_value").eqNullSafe(F.col("after_value"))
     )
     return diff.filter(changed).select(
         F.coalesce(F.col("u2"), F.col("u1")).alias("user_id"),
