@@ -161,16 +161,30 @@ def bench_skew_salting(spark, n_probe: int = 8_000_000, hot_frac: float = 0.75) 
     probe rows, and the same SortMergeJoin+aggregate runs plain vs salted —
     the ratio is the salt's measured effect on a single-dominant-key SMJ
     (the streaming-join shape where AQE can't help).
+
+    Round 6 adds the ADAPTIVE sweep: ``adaptive_salted_join`` derives the
+    hot key's salt width from a sampled histogram (width ∝ hot share, so
+    per-lane volume stays ~constant as the hot key grows); the sweep runs
+    it across hot_frac ∈ {0.25..0.9} on the same probe — near-flat times
+    across the sweep are the operator doing its own widening, the fix for
+    the fixed-width 5.23× scale ratio SCALING.md r5 measured.
     """
     from pyspark.sql import functions as F
 
-    from mysql_hbase_replicator_spark.operators.skew import salted_join
-
-    hot_n = int(n_probe * hot_frac)
-    probe = spark.range(n_probe).select(
-        F.when(F.col("id") < hot_n, F.lit(42)).otherwise(F.col("id") % 100_000).alias("k"),
-        (F.col("id") % 1000).cast("double").alias("v"),
+    from mysql_hbase_replicator_spark.operators.skew import (
+        adaptive_salted_join,
+        salted_join,
+        sampled_key_widths,
     )
+
+    def make_probe(frac: float):
+        hot_n = int(n_probe * frac)
+        return spark.range(n_probe).select(
+            F.when(F.col("id") < hot_n, F.lit(42)).otherwise(F.col("id") % 100_000).alias("k"),
+            (F.col("id") % 1000).cast("double").alias("v"),
+        )
+
+    probe = make_probe(hot_frac)
     build = spark.range(100_000).select(
         F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
     )
@@ -179,6 +193,9 @@ def bench_skew_salting(spark, n_probe: int = 8_000_000, hot_frac: float = 0.75) 
         return joined.groupBy("grp").agg(
             F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
         )
+
+    # width sized so each salt lane holds ~250k hot rows regardless of skew
+    adaptive_kw = dict(sample_fraction=0.02, rows_per_salt=250_000, max_salts=64)
 
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -193,6 +210,7 @@ def bench_skew_salting(spark, n_probe: int = 8_000_000, hot_frac: float = 0.75) 
         variants = (
             ("plain", agg(probe.join(build, "k"))),
             ("salted", agg(salted_join(probe, build, ["k"], n_salts=32))),
+            ("adaptive", agg(adaptive_salted_join(probe, build, ["k"], **adaptive_kw))),
         )
         best: dict[str, float] = {}
         for _rep in range(3):
@@ -202,10 +220,28 @@ def bench_skew_salting(spark, n_probe: int = 8_000_000, hot_frac: float = 0.75) 
                 dt = time.time() - t0
                 best[name] = min(best.get(name, float("inf")), dt)
         results = {f"{name}_sec": round(v, 3) for name, v in best.items()}
+
+        # hot-share sweep: adaptive width tracks the skew, time stays flat
+        sweep: dict[str, dict] = {}
+        for frac in (0.25, 0.5, 0.75, 0.9):
+            p = make_probe(frac)
+            widths = sampled_key_widths(p, ["k"], **adaptive_kw)
+            df = agg(adaptive_salted_join(p, build, ["k"], **adaptive_kw))
+            t = float("inf")
+            for _rep in range(2):
+                t0 = time.time()
+                df.write.format("noop").mode("overwrite").save()
+                t = min(t, time.time() - t0)
+            sweep[str(frac)] = {
+                "adaptive_sec": round(t, 3),
+                "hot_width": max((w[-1] for w in widths), default=1),
+            }
+        results["adaptive_sweep"] = sweep
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
     results["speedup"] = round(results["plain_sec"] / results["salted_sec"], 2)
+    results["adaptive_speedup"] = round(results["plain_sec"] / results["adaptive_sec"], 2)
     results["n_probe"] = n_probe
     results["hot_frac"] = hot_frac
     return results

@@ -143,16 +143,24 @@ def window_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Salted equi-join (operators/skew.py): lineitem's join key spread over
-    8 salts, orders replicated 8×, then the same aggregate as the plain
-    join — the oracle proves the salt changes only the shuffle layout, never
-    the result. The explicit-salt path complements AQE skew splitting for
-    streaming joins and single-dominant-key shapes."""
-    from mysql_hbase_replicator_spark.operators.skew import salted_join
+    """Adaptive salted equi-join (operators/skew.py): one sampled
+    key-histogram pass assigns each oversized lineitem orderkey a salt
+    width proportional to its measured share (cold keys width 1 — no
+    build replication), then the same aggregate as the plain join — the
+    oracle proves salting changes only the shuffle layout, never the
+    result. On this data no orderkey exceeds a lane (multiplicity ≤ 7),
+    so the plan degenerates to the unreplicated join plus the sampling
+    pass — exactly the point: a fixed n_salts=8 replicated orders 8×
+    for skew that wasn't there, which the sf≈1 probe measured at 5.23×
+    for 10× data (SCALING.md r5). The explicit-salt path complements AQE
+    skew splitting for streaming joins and single-dominant-key shapes."""
+    from mysql_hbase_replicator_spark.operators.skew import adaptive_salted_join
 
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    joined = salted_join(l, o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"], n_salts=8)
+    joined = adaptive_salted_join(
+        l, o.withColumnRenamed("o_orderkey", "l_orderkey"), ["l_orderkey"]
+    )
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.col("l_extendedprice").cast("decimal(25,6)")).cast("double").alias("sum_price"),

@@ -160,7 +160,12 @@ def test_salted_join_smj_regime(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         plan = simple_plan(QUERY_REGISTRY["join_skew_salted"](spark, SF))
         assert "SortMergeJoin" in plan
-        assert "BroadcastHashJoin" not in plan
+        # the only broadcasts allowed are the hint-forced width-map lookups
+        # (LeftOuter BuildRight against the k-row widths frame); the fact
+        # join itself (Inner) must not have been broadcast
+        for line in plan.splitlines():
+            if "BroadcastHashJoin" in line:
+                assert "LeftOuter" in line, f"non-width-map broadcast: {line}"
         # the SMJ's equi-key list includes the salt column
         smj_line = next(l for l in plan.splitlines() if "SortMergeJoin" in l)
         assert SALT in smj_line
@@ -195,6 +200,42 @@ def test_pack_sequences_prefix_sum_is_distributed(spark):
     assert "windowspecdefinition(bucket" in plan
     # offsets come back via broadcast, not a shuffled join
     assert "BroadcastHashJoin" in plan
+
+
+def test_adaptive_salt_width_grows_with_skew(spark):
+    """The adaptive salt derives per-key width from the observed histogram:
+    a hot key 4× bigger gets a ~4× wider salt, cold keys never enter the
+    width map (so the build side replicates ONLY under the hot key), and
+    the joined result is row-identical to the plain join."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.operators.skew import (
+        adaptive_salted_join,
+        sampled_key_widths,
+    )
+
+    def probe(hot_n):
+        return spark.range(hot_n + 1000).select(
+            F.when(F.col("id") < hot_n, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            (F.col("id") % 13).alias("v"),
+        )
+
+    kw = dict(sample_fraction=0.5, rows_per_salt=5_000)
+    w_small = dict((r[0], r[1]) for r in sampled_key_widths(probe(20_000), ["k"], **kw))
+    w_big = dict((r[0], r[1]) for r in sampled_key_widths(probe(80_000), ["k"], **kw))
+    assert set(w_small) == {0} and set(w_big) == {0}, "only the hot key is salted"
+    assert w_small[0] >= 2
+    assert w_big[0] >= 3 * w_small[0], f"width did not track skew: {w_small} -> {w_big}"
+
+    # correctness: adaptive == plain, including probe rows with no match
+    build = spark.range(500).select(F.col("id").alias("k"), (F.col("id") % 3).alias("g"))
+    p = probe(20_000)
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = p.join(build, ["k"], how)
+        salted = adaptive_salted_join(p, build, ["k"], how=how, **kw)
+        assert salted.count() == plain.count(), how
+        assert salted.exceptAll(plain).count() == 0, how
+        assert plain.exceptAll(salted).count() == 0, how
 
 
 def test_salted_join_rejects_build_preserving_types(spark):
