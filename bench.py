@@ -134,6 +134,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     cdc = bench_cdc_throughput(spark)
+    pruning = bench_partition_pruning(spark, sf_dir)
     # the 8M-row plain-vs-salted SMJ pair materially lengthens the run and
     # competes for cores, so it's opt-in (ADVICE r4): pass --skew to record
     # it; routine headline benches stay comparable across rounds
@@ -147,10 +148,58 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
+        "partition_pruning": pruning,
     }
     if skew is not None:
         out["skew_smj"] = skew
     print(json.dumps(out))
+
+
+def bench_partition_pruning(spark, sf_dir: str) -> dict:
+    """Measure what the day-partitioned events layout buys: the same
+    one-week hourly error-rate aggregate over (a) the raw single-file
+    events table with the ts-range filter merely PUSHED to the reader —
+    every footer opened, every straddling row-group decoded — and (b) the
+    layout-backed registered query whose date bound prunes 23 of 30 day
+    directories at planning time. The layout build (one-time,
+    fingerprint-cached) runs before the timer: steady-state read cost is
+    the number that scales to 100 TB, and build_sec is reported separately
+    so the amortization is visible."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.plans.queries_events import (
+        PRUNE_WEEK_END,
+        PRUNE_WEEK_START,
+    )
+    from mysql_hbase_replicator_spark.plans.registry import QUERY_REGISTRY
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    t0 = time.time()
+    pruned_df = QUERY_REGISTRY["events_pruned_week_error_rate"](spark, sf_dir)
+    build_sec = time.time() - t0  # ~0 when the fingerprint cache hits
+
+    e = load_table(spark, sf_dir, "events").filter(
+        (F.col("ts") >= F.lit(PRUNE_WEEK_START).cast("timestamp"))
+        & (F.col("ts") < F.lit(PRUNE_WEEK_END).cast("timestamp"))
+    )
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    unpart_df = e.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_err.alias("n_errors"),
+    )
+
+    best: dict[str, float] = {}
+    for _rep in range(3):
+        for name, df in (("unpartitioned", unpart_df), ("pruned", pruned_df)):
+            t0 = time.time()
+            df.write.format("noop").mode("overwrite").save()
+            best[name] = min(best.get(name, float("inf")), time.time() - t0)
+    return {
+        "unpartitioned_sec": round(best["unpartitioned"], 3),
+        "pruned_sec": round(best["pruned"], 3),
+        "speedup": round(best["unpartitioned"] / best["pruned"], 2),
+        "layout_build_sec": round(build_sec, 3),
+    }
 
 
 def bench_skew_salting(spark, n_probe: int = 8_000_000, hot_frac: float = 0.75) -> dict:

@@ -73,6 +73,78 @@ def write_partitioned_sorted(
     out.write.partitionBy(*partition_cols).mode("overwrite").parquet(path)
 
 
+LAYOUT_CACHE_ROOT = os.environ.get("SPARK_GRAFT_LAYOUT_CACHE", "/tmp/spark_graft_layout")
+
+
+def _fingerprint(src: str) -> str:
+    """Cheap content fingerprint of a parquet file/dir: sorted
+    (relpath, size, mtime_ns) triples. Good enough to invalidate the layout
+    cache when the source is regenerated; no data read."""
+    parts = []
+    if os.path.isdir(src):
+        for r, _, fs in sorted(os.walk(src)):
+            for f in sorted(fs):
+                p = os.path.join(r, f)
+                st = os.stat(p)
+                parts.append(f"{os.path.relpath(p, src)}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(src)
+        parts.append(f"{os.path.basename(src)}:{st.st_size}:{st.st_mtime_ns}")
+    return "\n".join(parts)
+
+
+def ensure_day_partitioned(
+    spark: SparkSession,
+    df: DataFrame,
+    src_path: str,
+    dst: str,
+    ts_col: str = "ts",
+    date_col: str = "event_date",
+    sort_cols: tuple[str, ...] = ("ts",),
+) -> str:
+    """Materialize ``df`` hive-partitioned by ``date_col = to_date(ts_col)``
+    at ``dst`` (idempotent, fingerprint-cached): the write-side half of
+    date-range pruning. A date-bounded scan of the result eliminates whole
+    day directories at planning time (``PartitionFilters``) — at 100 TB the
+    difference between reading one week and reading three years.
+
+    The cache key is a (size, mtime) fingerprint of ``src_path``; a
+    regenerated source invalidates the layout. Concurrent builders serialize
+    on a blocking flock, so the second process waits, re-reads the marker,
+    and returns the finished layout instead of double-writing.
+    """
+    import fcntl
+
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    marker = dst + ".fingerprint"
+    want = _fingerprint(src_path)
+
+    def _valid() -> bool:
+        try:
+            with open(marker) as f:
+                return f.read() == want and os.path.isdir(dst)
+        except OSError:
+            return False
+
+    if _valid():
+        return dst
+    fd = os.open(dst + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)  # blocking: wait for a peer builder
+        if _valid():
+            return dst
+        from pyspark.sql import functions as F
+
+        out = df.withColumn(date_col, F.to_date(F.col(ts_col)))
+        write_partitioned_sorted(out, dst, [date_col], sort_cols=list(sort_cols))
+        with open(marker, "w") as f:
+            f.write(want)
+        return dst
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
 def compact_small_files(
     spark: SparkSession,
     path: str,

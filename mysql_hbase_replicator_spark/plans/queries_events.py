@@ -15,6 +15,8 @@ TIMESTAMP, matching what sources/tables.py does on the Spark side.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1045,5 +1047,78 @@ def events_weekday_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events").cast("double") / F.col("tot").cast("double")).alias(
                 "traffic_share"
             ),
+        )
+    )
+
+
+# one mid-range ISO week of the 30-day events range, [start, end)
+PRUNE_WEEK_START, PRUNE_WEEK_END = "2024-01-08", "2024-01-15"
+
+
+@query(
+    "events_pruned_week_error_rate",
+    oracle=f"""
+    SELECT {SQL_TS("DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))")} AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS error_rate
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '{PRUNE_WEEK_START} 00:00:00'
+      AND CAST(ts AS TIMESTAMP) <  TIMESTAMP '{PRUNE_WEEK_END} 00:00:00'
+    GROUP BY 1
+    """,
+)
+def events_pruned_week_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-aware variant of events_hourly_error_rate: the events table is
+    first materialized day-partitioned (operators/layout.py
+    ensure_day_partitioned — the write-side contract the reference delegates
+    to HBase region servers, HbaseApplier.scala:226-275), and the
+    date-bounded scan then eliminates 23 of 30 day directories at PLANNING
+    time: the scan node shows ``PartitionFilters`` on event_date, and zero
+    I/O happens for out-of-range days. At 100 TB this is the difference
+    between scanning one week and scanning the full history — predicate
+    pushdown alone still opens every file's footer and reads every
+    row-group whose ts min/max straddles the bound.
+
+    The oracle runs the equivalent ts-range filter over the RAW events
+    table, proving the partitioned layout changes scan cost only, never
+    results (event_date = to_date(ts) in UTC, so the date bounds and the
+    ts bounds select identical rows). The layout build itself is
+    fingerprint-cached against the source parquet, one-time per SF."""
+    from mysql_hbase_replicator_spark.operators.layout import (
+        LAYOUT_CACHE_ROOT,
+        ensure_day_partitioned,
+    )
+
+    dst = os.path.join(
+        LAYOUT_CACHE_ROOT,
+        os.path.abspath(sf_dir).strip("/").replace("/", "_"),
+        "events_by_day",
+    )
+    path = ensure_day_partitioned(
+        spark,
+        load_table(spark, sf_dir, "events"),
+        f"{sf_dir}/events.parquet",
+        dst,
+    )
+    e = spark.read.parquet(path).filter(
+        (F.col("event_date") >= F.lit(PRUNE_WEEK_START))
+        & (F.col("event_date") < F.lit(PRUNE_WEEK_END))
+    )
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.alias("n_errors"),
+            (n_err.cast("double") / F.count(F.lit(1))).alias("error_rate"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "n_errors",
+            "error_rate",
         )
     )

@@ -254,6 +254,33 @@ def test_salted_join_rejects_build_preserving_types(spark):
     assert salted_join(a, b, ["k"], n_salts=4, how="left_semi").count() == 4
 
 
+def test_pruned_week_eliminates_day_partitions_at_planning(spark):
+    """The layout-aware events query must prune at PLANNING time: the scan
+    node carries a PartitionFilters entry bounding event_date (directory
+    elimination, zero I/O for out-of-range days) — a post-scan Filter or a
+    mere PushedFilters entry would still open every day's files at 100 TB.
+    The layout itself must hold one directory per day so there is something
+    to prune (30 days, 7 selected)."""
+    import os as _os
+
+    df = QUERY_REGISTRY["events_pruned_week_error_rate"](spark, SF)
+    plan = simple_plan(df)
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf_lines, plan[:2000]
+    pruning = [l for l in pf_lines if "event_date" in l and ">=" in l]
+    assert pruning, pf_lines
+
+    from mysql_hbase_replicator_spark.operators.layout import LAYOUT_CACHE_ROOT
+
+    dst = _os.path.join(
+        LAYOUT_CACHE_ROOT,
+        _os.path.abspath(SF).strip("/").replace("/", "_"),
+        "events_by_day",
+    )
+    days = [d for d in _os.listdir(dst) if d.startswith("event_date=")]
+    assert len(days) == 30, days
+
+
 def test_pipeline_pushes_lang_filter_to_scan(spark):
     plan = formatted_plan(QUERY_REGISTRY["pipeline_training_prep"](spark, SF))
     assert "PushedFilters" in plan and "In(lang" in plan
