@@ -135,6 +135,7 @@ def main() -> None:
 
     cdc = bench_cdc_throughput(spark)
     pruning = bench_partition_pruning(spark, sf_dir)
+    streaming = bench_streaming(spark)
     # the 8M-row plain-vs-salted SMJ pair materially lengthens the run and
     # competes for cores, so it's opt-in (ADVICE r4): pass --skew to record
     # it; routine headline benches stay comparable across rounds
@@ -149,10 +150,159 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
         "partition_pruning": pruning,
+        "streaming": streaming,
     }
     if skew is not None:
         out["skew_smj"] = skew
     print(json.dumps(out))
+
+
+def _bench_mapping():
+    """The synthetic two-int-PK table mapping shared by the CDC kernel and
+    streaming benches (same shape as the reference's student fixture)."""
+    from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
+
+    return HbaseTableInfo(
+        dbName="db", dbTableName="t", hbaseTableName="db:t", hbaseNameSpace="db",
+        sparkTableName="t", bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("sn", "int(11)", "sn", "IntegerType", True),
+            HbaseCollInfo("id", "int(11)", "id", "IntegerType", True),
+            HbaseCollInfo("score", "int(11)", "score", "IntegerType", False),
+            HbaseCollInfo("name", "varchar(10)", "name", "StringType", False),
+            HbaseCollInfo("rem", "varchar(2)", "rem", "StringType", False),
+        ],
+    )
+
+
+def bench_streaming(
+    spark, n_batches: int = 8, rows_per_batch: int = 5_000
+) -> dict:
+    """End-to-end micro-batch latency for the Structured-Streaming pipeline
+    (r5 verdict #5): the CDC block above times the batch KERNEL; this block
+    drives ``CdcStreamPipeline`` itself — readStream source, foreachBatch,
+    kernel, bucketed merge write, checkpoint commit — over a steady feed of
+    ``n_batches`` pre-written event files at one file per trigger, for BOTH
+    sources (engine-native jsonl and Debezium envelopes), with the
+    StatusServer live and scraped at the end.
+
+    Reported per source: sustained events/s over the whole drain,
+    micro-batch duration p50/p95 (Spark's own triggerExecution from
+    recentProgress, non-empty batches only), and the first batch separately
+    — it pays one-time codegen/Arrow setup and would otherwise poison p95.
+    The reference's equivalent surface is its latency ring
+    (HbaseApplier.scala:45-52) over one-RPC-per-row applies."""
+    import json as _json
+    import urllib.request
+
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+    from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+    from mysql_hbase_replicator_spark.streaming.status import StatusServer
+
+    mapping = _bench_mapping()
+
+    def img(i: int) -> dict:
+        return {
+            "sn": i % 100,
+            "id": (i // 100) % 100,
+            "score": i % 1000,
+            "name": f"n{i % 97}",
+            "rem": "r",
+        }
+
+    def jsonl_line(i: int) -> str:
+        mod = i % 10
+        op = "insert" if mod < 6 else ("update" if mod < 8 else "delete")
+        return _json.dumps(
+            {
+                "position": i + 1,
+                "op": op,
+                "db": "db",
+                "table": "t",
+                "before": img(i) if mod >= 6 else None,
+                "after": img(i) if mod < 8 else None,
+            }
+        )
+
+    def debezium_line(i: int) -> str:
+        mod = i % 10
+        op = "c" if mod < 6 else ("u" if mod < 8 else "d")
+        return _json.dumps(
+            {
+                "op": op,
+                "before": img(i) if mod >= 6 else None,
+                "after": img(i) if mod < 8 else None,
+                "source": {
+                    "db": "db",
+                    "table": "t",
+                    "file": "binlog.000001",
+                    "pos": i + 1,
+                    "ts_ms": 1_700_000_000_000 + i,
+                    "server_id": 1,
+                },
+            }
+        )
+
+    def run_source(fmt: str, make_line) -> dict:
+        root = tempfile.mkdtemp(prefix=f"stream-bench-{fmt}-")
+        try:
+            events_dir = os.path.join(root, "events")
+            os.makedirs(events_dir)
+            n_events = n_batches * rows_per_batch
+            for b in range(n_batches):
+                tmp = os.path.join(events_dir, f".{b:04d}.tmp")
+                with open(tmp, "w") as f:
+                    for i in range(b * rows_per_batch, (b + 1) * rows_per_batch):
+                        f.write(make_line(i) + "\n")
+                os.replace(tmp, os.path.join(events_dir, f"{b:04d}.json"))
+
+            store = ParquetKeyedStore(os.path.join(root, "store"), n_buckets=32)
+            pipe = CdcStreamPipeline(
+                spark=spark,
+                events_path=events_dir,
+                row_struct=None,
+                store=store,
+                mappings={"db.t": mapping},
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                source_format=fmt,
+                max_files_per_trigger=1,
+            )
+            srv = StatusServer(pipe, port=0).start()
+            try:
+                t0 = time.time()
+                q = pipe.start(available_now=True, query_name=f"bench-{fmt}")
+                q.awaitTermination(600)
+                wall = time.time() - t0
+                durs = [
+                    p["durationMs"]["triggerExecution"]
+                    for p in q.recentProgress
+                    if p["numInputRows"] > 0
+                ]
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/jmx", timeout=10
+                ) as resp:
+                    counts = _json.loads(resp.read())["counts"]
+            finally:
+                srv.stop()
+            durs_sorted = sorted(durs[1:]) or sorted(durs)
+            p = lambda q_: durs_sorted[int(q_ * (len(durs_sorted) - 1))]  # noqa: E731
+            return {
+                "events": n_events,
+                "n_batches": len(durs),
+                "wall_sec": round(wall, 3),
+                "events_per_sec": int(n_events / wall),
+                "batch_ms_p50": p(0.50),
+                "batch_ms_p95": p(0.95),
+                "first_batch_ms": durs[0] if durs else None,
+                "status_counts_total": sum(counts.values()),
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    return {
+        "jsonl": run_source("jsonl", jsonl_line),
+        "debezium": run_source("debezium", debezium_line),
+    }
 
 
 def bench_partition_pruning(spark, sf_dir: str) -> dict:
@@ -309,21 +459,10 @@ def bench_cdc_throughput(spark, n_events: int = 200_000, reps: int = 2) -> dict:
     long-running one-RPC-per-row apply loop."""
     from pyspark.sql import functions as F
 
-    from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
     from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
     from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
 
-    mapping = HbaseTableInfo(
-        dbName="db", dbTableName="t", hbaseTableName="db:t", hbaseNameSpace="db",
-        sparkTableName="t", bytesUtils="Binary",
-        cols=[
-            HbaseCollInfo("sn", "int(11)", "sn", "IntegerType", True),
-            HbaseCollInfo("id", "int(11)", "id", "IntegerType", True),
-            HbaseCollInfo("score", "int(11)", "score", "IntegerType", False),
-            HbaseCollInfo("name", "varchar(10)", "name", "StringType", False),
-            HbaseCollInfo("rem", "varchar(2)", "rem", "StringType", False),
-        ],
-    )
+    mapping = _bench_mapping()
     mod = F.col("id") % 10
     img = F.struct(
         (F.col("id") % 100).cast("int").alias("sn"),

@@ -101,12 +101,19 @@ def read_event_log(spark: SparkSession, path: str, row_struct: T.StructType) -> 
     return spark.read.schema(cdc_event_schema(row_struct)).json(path)
 
 
-def read_event_stream(spark: SparkSession, path: str, row_struct: T.StructType) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    path: str,
+    row_struct: T.StructType,
+    max_files_per_trigger: int = 16,
+) -> DataFrame:
     """Structured Streaming source over the same event directory. Resume
-    comes from checkpointLocation (S2) — no hand-rolled position row."""
+    comes from checkpointLocation (S2) — no hand-rolled position row.
+    ``max_files_per_trigger`` bounds micro-batch size (latency/throughput
+    knob; 1 = one event file per micro-batch, the latency-bench setting)."""
     return (
         spark.readStream.schema(cdc_event_schema(row_struct))
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )
 
@@ -147,7 +154,10 @@ def cdc_json_event_schema(with_seq: bool = False) -> T.StructType:
 
 
 def read_event_stream_json(
-    spark: SparkSession, path: str, with_seq: bool = False
+    spark: SparkSession,
+    path: str,
+    with_seq: bool = False,
+    max_files_per_trigger: int = 16,
 ) -> DataFrame:
     """Schema-free (multi-table) streaming source: images are JSON strings,
     parsed per table in the kernel from each table's declared mapping.
@@ -156,6 +166,6 @@ def read_event_stream_json(
     binlog file)."""
     return (
         spark.readStream.schema(cdc_json_event_schema(with_seq))
-        .option("maxFilesPerTrigger", 16)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )

@@ -89,6 +89,9 @@ class CdcStreamPipeline:
     # returning the current schema per table; PK drift kills the query.
     declared_schemas: dict[str, TableSchema] | None = None
     fresh_schema_provider: object | None = None  # Callable[[str], TableSchema]
+    # micro-batch sizing: files admitted per trigger (1 = one event file per
+    # micro-batch — the latency-measurement setting; 16 = throughput default)
+    max_files_per_trigger: int = 16
 
     results: list[CdcBatchResult] = field(default_factory=list)
     # O1 latency rings (HbaseApplier.scala:45-52): last-10 wall-time samples
@@ -169,17 +172,27 @@ class CdcStreamPipeline:
             # raw envelope lines; the per-batch split in _apply_batch does
             # the convert + dead-letter routing (a Kafka readStream drops in
             # by swapping this reader — the value column name matches)
-            stream = self.spark.readStream.text(self.events_path)
+            stream = self.spark.readStream.option(
+                "maxFilesPerTrigger", self.max_files_per_trigger
+            ).text(self.events_path)
         elif self.row_struct is None:
             from mysql_hbase_replicator_spark.sources.cdc_events import (
                 read_event_stream_json,
             )
 
             stream = read_event_stream_json(
-                self.spark, self.events_path, with_seq=self.stream_with_seq
+                self.spark,
+                self.events_path,
+                with_seq=self.stream_with_seq,
+                max_files_per_trigger=self.max_files_per_trigger,
             )
         else:
-            stream = read_event_stream(self.spark, self.events_path, self.row_struct)
+            stream = read_event_stream(
+                self.spark,
+                self.events_path,
+                self.row_struct,
+                max_files_per_trigger=self.max_files_per_trigger,
+            )
         writer = (
             stream.writeStream.queryName(query_name)
             .foreachBatch(self._apply_batch)
