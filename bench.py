@@ -95,6 +95,42 @@ HEADLINE = [
     # r5 continuation: the composed curation pipeline (chunk-dedup +
     # novelty gates in one plan)
     "pipeline_curation_v2",
+    # r6 (verdict #6): every registered family now has bench representation.
+    # The whole cdc_* oracle family (previously only last-image was benched):
+    "cdc_apply_upsert_delete",
+    "cdc_checkpoint_high_watermark",
+    "cdc_projection_rename_cast",
+    "cdc_replay_idempotence",
+    "cdc_rotate_checkpoint",
+    "cdc_rowkey_encode",
+    "cdc_scd2_history",
+    "cdc_snapshot_diff",
+    # join family gaps (nearest as-of; build-preserving outer; binned range)
+    "join_asof_nearest",
+    "join_full_outer",
+    "join_range_binned",
+    # events family gaps named in the verdict + the r6 layout-pruned query
+    "events_dau_wau",
+    "events_weekday_hour_profile",
+    "events_user_retention",
+    "events_pruned_week_error_rate",
+    # agg / corpus gaps named in the verdict
+    "agg_share_of_parent",
+    "agg_pivot",
+    "corpus_source_overlap",
+    "corpus_vocab_growth",
+    "corpus_decontaminate",
+    # families with ZERO bench rows until r6:
+    "scalar_regexp_funcs",      # scalar_* (regex is its most expensive rep)
+    "scalar_json_funcs",        # scalar_* JSON path
+    "setop_except_all",         # setop_*
+    "sample_stratified",        # sampling
+    "split_train_valid",        # split
+    "sql_nation_pair_volume",   # flagged 3.26x at the second 10x step
+    "sql_subquery_exists",      # subquery family (SQL front-end form)
+    "subquery_above_customer_avg",  # subquery family (DataFrame form)
+    "embedding_kmeans_clusters",
+    "udf_pandas_scalar_slug",   # scalar pandas UDF rep
 ]
 
 

@@ -17,7 +17,18 @@ DISJOINT key ranges (copy i shifts every key column by i*stride), so:
 - timestamps are left alone: 10x the rows in the same time range models
   growing traffic, keeping window/session queries comparable.
 
-Usage: python scripts/make_scaled_sf.py [src_sf_dir] [dst_dir] [n_copies]
+For BIG scale-ups (sf~10 = 100 copies) the per-copy suffix alone would be
+wrong for documents: every doc would have n_copies-1 near-dups, a
+duplication factor GROWING with corpus size — real corpora hold it roughly
+constant, and dedup output would grow quadratically. ``family_size``
+(default n_copies, i.e. one family = the historical behavior) groups
+copies into families: within a family, copies are near-dups (suffix
+token); across families, every token is rewritten with a family tag
+(regexp: token -> token~fN), making shingle sets disjoint (jaccard ~0).
+So 100 copies at family_size=10 means 10x the sf~1 corpus at the SAME
+~10-near-dup duplication factor — the realistic constant-dup regime.
+
+Usage: python scripts/make_scaled_sf.py [src_sf_dir] [dst_dir] [n_copies] [family_size]
 """
 
 from __future__ import annotations
@@ -49,6 +60,7 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     n_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    family_size = int(sys.argv[4]) if len(sys.argv) > 4 else n_copies
 
     from pyspark.sql import functions as F
 
@@ -72,8 +84,15 @@ def main() -> None:
             for col, stride in strides.items():
                 c = c.withColumn(col, (F.col(col) + F.lit(i * stride)).cast("long"))
             if t == "documents" and i > 0:
-                # near-dup, not exact dup, across copies (see module docstring)
-                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" c{i}")))
+                fam = i // family_size
+                if fam > 0:
+                    # disjoint token space per family: cross-family jaccard ~0
+                    c = c.withColumn(
+                        "text", F.regexp_replace("text", r"(\S+)", f"$1~f{fam}")
+                    )
+                if i % family_size != 0:
+                    # near-dup, not exact dup, within the family
+                    c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" c{i}")))
                 c = c.withColumn("n_chars", F.length("text").cast("long"))
             copies.append(c)
         out = copies[0]

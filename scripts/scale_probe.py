@@ -1,9 +1,14 @@
-"""Scaling probe for SCALING.md: times the FULL bench.py HEADLINE set at
-three SFs (sf0.01, sf0.1, and the make_scaled_sf.py sf~1 copy) in ONE
-session, best-of-2 warm per query per SF — the same methodology as
-bench.py, so the columns are comparable to BENCH_r*.json.
+"""Scaling probe for SCALING.md: times the FULL bench.py HEADLINE set at a
+series of SFs in ONE session, best-of-2 warm per query per SF — the same
+methodology as bench.py, so the columns are comparable to BENCH_r*.json.
 
-Usage: python scripts/scale_probe.py [sf1_dir] > /tmp/scale_probe.json
+Usage:
+  python scripts/scale_probe.py [label=dir ...] [--only n1,n2] [--skip n1,n2]
+
+Defaults to the historical three columns:
+  0.01=/root/testdata/sf0.01 0.1=/root/testdata/sf0.1 ~1=/tmp/sf1
+Pass explicit pairs for other steps, e.g. a single sf~10 column:
+  python scripts/scale_probe.py ~10=/tmp/sf10 --skip udaf_pandas_median
 """
 
 from __future__ import annotations
@@ -17,7 +22,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     import bench
     from mysql_hbase_replicator_spark.plans.registry import (
         QUERY_REGISTRY,
@@ -25,21 +29,49 @@ def main() -> None:
     )
     from mysql_hbase_replicator_spark.session import get_spark
 
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    skip: set[str] = set()
+    pairs: list[tuple[str, str]] = []
+    i = 0
+    while i < len(args):
+        if args[i] == "--only":
+            only = set(args[i + 1].split(","))
+            i += 2
+        elif args[i] == "--skip":
+            skip = set(args[i + 1].split(","))
+            i += 2
+        else:
+            label, _, d = args[i].partition("=")
+            pairs.append((label, d))
+            i += 1
+    if not pairs:
+        pairs = [
+            ("0.01", "/root/testdata/sf0.01"),
+            ("0.1", "/root/testdata/sf0.1"),
+            ("~1", "/tmp/sf1"),
+        ]
+
+    names = [
+        n
+        for n in bench.HEADLINE
+        if (only is None or n in only) and n not in skip
+    ]
+
     load_all_queries()
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
 
-    sfs = {"0.01": "/root/testdata/sf0.01", "0.1": "/root/testdata/sf0.1", "~1": sf1}
     # codegen warmup once at the smallest SF (plan shapes, not data)
-    for name in bench.HEADLINE:
+    for name in names:
         QUERY_REGISTRY[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()
     out: dict[str, dict[str, float]] = {}
-    for label, sf_dir in sfs.items():
+    for label, sf_dir in pairs:
         spark.catalog.clearCache()
         col: dict[str, float] = {}
-        for name in bench.HEADLINE:
+        for name in names:
             best = float("inf")
             for _rep in range(2):
                 t0 = time.time()
@@ -48,6 +80,7 @@ def main() -> None:
                 ).save()
                 best = min(best, time.time() - t0)
             col[name] = round(best, 3)
+            print(f"# {label} {name}: {col[name]}s", file=sys.stderr)
         out[label] = col
         print(f"# sf{label}: total {round(sum(col.values()), 2)}s", file=sys.stderr)
     print(json.dumps(out))
