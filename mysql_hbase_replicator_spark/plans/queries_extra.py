@@ -564,49 +564,91 @@ def agg_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_range_binned",
     oracle="""
-    SELECT CAST(FLOOR(b.p_retailprice) AS BIGINT) AS bin,
+    WITH c AS (
+        SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT CAST(GREATEST(a.cents, b.cents) // 100 AS BIGINT) AS bin,
            COUNT(*) AS n_pairs,
-           CAST(SUM(CAST(ABS(a.p_retailprice - b.p_retailprice) AS DECIMAL(25,6)))
+           CAST(CAST(SUM(ABS(a.cents - b.cents)) AS DECIMAL(25,6)) / 100
                 AS DOUBLE) AS sum_absdiff
-    FROM part a
-    JOIN part b ON a.p_partkey < b.p_partkey
-               AND ABS(a.p_retailprice - b.p_retailprice) <= 1.0
+    FROM c a
+    JOIN c b ON a.p_partkey < b.p_partkey AND ABS(a.cents - b.cents) <= 100
     GROUP BY 1
     """,
 )
 def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure interval join (|price_a − price_b| ≤ 1.0) with NO equi key — the
-    case Catalyst can only plan as a nested-loop product. The scalable
-    rewrite bins values at the tolerance width and explodes each probe row
-    into its 3 adjacent bins: the join becomes an EQUI join on the bin
-    (shuffle, not product), with the exact predicate as a post-filter. Each
-    qualifying pair lands in exactly one (probe-bin = build-bin) slot, so no
-    dedup pass is needed. Result is provably identical to the naive range
-    join — which is what the oracle runs."""
+    """Tolerance self-join aggregate (all pairs with |price_a − price_b| ≤
+    $1, counted and summed per price bin) with NO equi key — the shape
+    Catalyst alone can only plan as a nested-loop product.
+
+    The r5 form rewrote it as a bin-exploded EQUI join (probe row → 3
+    adjacent tolerance-width bins, exact predicate as post-filter). That
+    kills the cartesian product but still MATERIALIZES every qualifying
+    pair, and pair count is quadratic in per-bin density: the r6 sf≈10
+    probe measured it at 17× for 10× data (3.4 s → 57.8 s at sf≈1; part
+    has only 1000 distinct prices, so density grows linearly with SF).
+
+    Because the query only needs per-bin COUNT and SUM(|Δ|) — not the
+    pairs — it is computed here with no pair fan-out at all: a sweep over
+    the sorted price axis. Prices are exact 2-decimal values, so on an
+    integer cents axis each row's qualifying partners are its RANGE frame
+    [cents−100, cents]; counting each unordered pair once at its
+    later-in-(cents, partkey)-order endpoint gives, per row i,
+
+        n_pairs(i)  = frame_count − peer_count + rank_within_peers − 1
+        sum|Δ|(i)   = cents_i·n_pairs(i) − (frame_sum − peers' cents)
+
+    — prefix-sum arithmetic in exact int64 cents. The global RANGE window
+    runs re-keyed through operators/window_rekey.stitched_range_frame
+    (250-cent buckets ≥ the 100-cent tolerance, boundary rows carried
+    once), so parallelism is #buckets, not 1. Cost: O(n log bucket) with
+    zero pair materialization — the probe ratio drops from 17× to ~linear.
+    The oracle still materializes every pair (DuckDB, sf0.01-sized), in
+    the same cents arithmetic, proving the sweep exact; a pair's bin is
+    floor(max(price_a, price_b)) — the sweep's assignment point.
+
+    The bin-exploded equi-join rewrite remains the right shape when the
+    OUTPUT is the pairs themselves (join_interval_overlap)."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        STITCH_CARRY,
+        stitched_range_frame,
+    )
+
+    TOL, BUCKET = 100, 250  # cents; bucket >= tolerance
     p = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", F.floor("p_retailprice").alias("bin")
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("long").alias("cents")
     )
-    probe = p.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_retailprice").alias("price_a"),
-        F.explode(
-            F.array(F.col("bin") - 1, F.col("bin"), F.col("bin") + 1)
-        ).alias("bin"),
+    # peer stats BEFORE stitching (carries would double-count peers)
+    wp = Window.partitionBy("cents").orderBy("p_partkey")
+    p2 = p.withColumn("_rnk", F.row_number().over(wp)).withColumn(
+        "_pcnt", F.count(F.lit(1)).over(Window.partitionBy("cents"))
     )
-    build = p.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_retailprice").alias("price_b"),
-        "bin",
+    stitched, w = stitched_range_frame(p2, [], "cents", BUCKET, TOL)
+    framed = stitched.select(
+        "*",
+        F.count(F.lit(1)).over(w).alias("_fcnt"),
+        F.sum("cents").over(w).alias("_fsum"),
+    ).where(~F.col(STITCH_CARRY))
+    c = F.col("cents")
+    n_pairs_i = F.col("_fcnt") - F.col("_pcnt") + F.col("_rnk") - 1
+    earlier_sum = (
+        F.col("_fsum") - F.col("_pcnt") * c + (F.col("_rnk") - 1) * c
     )
-    pairs = probe.join(build, "bin").filter(
-        (F.col("key_a") < F.col("key_b"))
-        & (F.abs(F.col("price_a") - F.col("price_b")) <= 1.0)
+    per_row = framed.select(
+        F.floor(c / 100).alias("bin"),
+        n_pairs_i.alias("_np"),
+        (c * n_pairs_i - earlier_sum).alias("_sd"),
     )
-    return pairs.groupBy(F.floor("price_b").cast("long").alias("bin")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(F.abs(F.col("price_a") - F.col("price_b")).cast("decimal(25,6)"))
-        .cast("double")
-        .alias("sum_absdiff"),
+    return (
+        per_row.groupBy("bin")
+        .agg(
+            F.sum("_np").alias("n_pairs"),
+            (F.sum("_sd").cast("decimal(25,6)") / 100)
+            .cast("double")
+            .alias("sum_absdiff"),
+        )
+        .where(F.col("n_pairs") > 0)
     )
 
 

@@ -336,11 +336,18 @@ def test_approx_count_distinct_accuracy(spark):
 
 
 def test_binned_range_join_avoids_nested_loop(spark):
-    """The binned rewrite must plan as an equi join on the bin — never a
-    nested-loop/cartesian product."""
+    """The tolerance self-join aggregate must never plan a nested-loop /
+    cartesian product — and since r6 it must not materialize pairs at all:
+    the plan is a stitched RANGE-window sweep (r6 probe measured the
+    pair-materializing form at 17x for 10x data), so NO join of any kind
+    may appear, and the window must partition on the stitch bucket, never
+    run single-partition."""
     plan = simple_plan(QUERY_REGISTRY["join_range_binned"](spark, SF))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+    for join_node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_node not in plan, join_node
+    assert "windowspecdefinition(_stitch_bucket" in plan
 
 
 def test_corpus_shuffle_prefix_sum_is_distributed(spark):
