@@ -360,11 +360,18 @@ def _apply_table(
     w = Window.partitionBy(*sink_pks).orderBy(F.desc("_ord"), F.desc("_seq"))
     final = actions.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
-    upserts = final.filter(F.col("_kind") == "upsert").select(*sink_cols)
-    deletes = final.filter(F.col("_kind") == "delete").select(*sink_pks)
+    # the merge runs two actions over the collapsed batch (changed-bucket
+    # discovery, then the staged write) — cache the collapse so the window
+    # shuffle executes once per batch, not once per action
+    final = final.persist()
+    try:
+        upserts = final.filter(F.col("_kind") == "upsert").select(*sink_cols)
+        deletes = final.filter(F.col("_kind") == "delete").select(*sink_pks)
 
-    # --- K2/K3/K4: MERGE ----------------------------------------------------
-    store.merge(spark, table_name, upserts, deletes, sink_pks)
+        # --- K2/K3/K4: MERGE ------------------------------------------------
+        store.merge(spark, table_name, upserts, deletes, sink_pks)
+    finally:
+        final.unpersist()
 
 
 def replay_dead_letters(
