@@ -209,6 +209,49 @@ def stitched_global_rank(
     return out
 
 
+def adaptive_time_bucket(
+    df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    target_rows: int = 2_000,
+    min_width_us: int = 3_600_000_000,
+) -> Column:
+    """Pick the stitch-bucket width from the DATA instead of a constant.
+
+    A fixed 1-day bucket was right at sf0.1 (~670 rows per (key, day)) and
+    wrong at sf≈10 (~67k rows per task — the r6 probe measured the two
+    day-bucketed events windows at 5.3–6.6× for 10× data because per-task
+    sort grew 10× against fixed lanes). One cheap aggregate pass
+    (count, min/max ts, approx key cardinality) sizes the bucket so each
+    (key, bucket) window task sorts ~``target_rows`` rows:
+
+        width = clamp(span / ceil(n / (n_keys · target_rows)),
+                      min_width_us, span)
+
+    The 1-hour floor keeps tiny SFs from fragmenting into carry-dominated
+    buckets (the stitch cost is O(#buckets × frame) replicated rows).
+    Correctness is bucket-width-independent — the stitch kernels are exact
+    for ANY non-decreasing bucket (property-tested bit-identical), so this
+    is purely a parallelism/occupancy knob, the same role AQE's target
+    partition size plays for shuffles."""
+    import math
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.unix_micros(F.col(ts_col))).alias("lo"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("hi"),
+        F.approx_count_distinct(F.concat_ws("|", *keys)).alias("k"),
+    ).first()
+    n, lo, hi, n_keys = row["n"], row["lo"], row["hi"], max(1, row["k"] or 1)
+    if not n:
+        width = min_width_us
+    else:
+        span = max(1, hi - lo + 1)
+        want = max(1, math.ceil(n / (n_keys * target_rows)))
+        width = max(min_width_us, math.ceil(span / want))
+    return F.floor(F.unix_micros(F.col(ts_col)) / F.lit(width))
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL NTILE(k) from a global 1-based row_number and the partition row
     count: the first n % k tiles get ceil(n/k) rows, the rest floor(n/k) —
