@@ -887,11 +887,23 @@ def window_range_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: o_orderpriority has 5 values, so the plain partitionBy
     window caps parallelism at 5; the registered plan re-keys on
-    (priority, $10k price bucket) via the RANGE stitch kernel
+    (priority, price bucket) via the RANGE stitch kernel
     (operators/window_rekey.py) — rows within $1000 of their bucket's
     upper edge are replicated once into the next bucket, which is
     sufficient because bucket width >= the RANGE width. Bit-identical
-    output, parallelism #priorities x #price-buckets."""
+    output, parallelism #priorities x #price-buckets.
+
+    Width choice, measured (r6): unlike the ROWS-frame events windows
+    (where adaptive_time_bucket bought 25-30% at sf≈10), this query is
+    frame-ACCUMULATION-dominated, not sort-dominated — at sf≈10 the $1000
+    frame holds ~5.4k rows, so per-row running-aggregate work is the cost
+    and a same-session width sweep (2.5k/10k/25k/50k → 16.2/17.7/21.4/
+    22.2 s) shows the bucket width is not the lever; narrower only
+    increases the carry-duplication fraction (preceding/width). The fixed
+    $10k width (1000 buckets at any SF of this price span, 10% carries)
+    stays; its 5.6× third-step ratio is the frame density growing 10×
+    with the data — inherent to the query's semantics, linear in
+    frame-row volume."""
     from mysql_hbase_replicator_spark.operators.window_rekey import (
         STITCH_CARRY,
         stitched_range_frame,

@@ -422,3 +422,34 @@ if HAVE_HYP:
             F.dense_rank().over(wp).alias("d"),
         )
         _assert_same(got, ref)
+
+
+def test_adaptive_time_bucket_tracks_density(spark):
+    """The adaptive bucket width is an occupancy knob: 10x the rows in the
+    same time span must produce ~10x the buckets (until the 1-hour floor),
+    and the resulting bucket column must be non-decreasing in ts — the
+    stitch kernels' correctness precondition."""
+    from mysql_hbase_replicator_spark.operators.window_rekey import (
+        adaptive_time_bucket,
+    )
+
+    def events(n):
+        # n rows spread over 100 days, one synthetic key
+        return spark.range(n).select(
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * (8_640_000_000_000 // n)
+            ).alias("ts"),
+            F.lit("t").alias("k"),
+        )
+
+    def n_buckets(n_rows, **kw):
+        df = events(n_rows)
+        b = adaptive_time_bucket(df, "ts", ["k"], **kw)
+        return df.select(b.alias("b")).distinct().count()
+
+    small = n_buckets(4_000)
+    big = n_buckets(40_000)
+    assert small >= 2
+    assert 5 * small <= big <= 20 * small, (small, big)
+    # the 1-hour floor: absurdly small targets can't fragment past span/1h
+    assert n_buckets(40_000, target_rows=1) <= 100 * 24 + 1  # +1: span edge
