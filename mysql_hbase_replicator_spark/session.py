@@ -11,6 +11,13 @@ Local testing runs on ``local[N]`` but every setting here is chosen for the
 - Shuffle partitions default to cores locally; AQE coalesces down, and on a
   real cluster the initial value would be sized to ~128 MB post-shuffle
   partitions (spark.sql.adaptive.coalescePartitions handles the rest).
+- Heap: local mode puts driver and executors in ONE JVM, so
+  ``spark.driver.memory`` is the whole heap. The 8g default fits the test
+  SFs; size it at roughly **1-1.5 GiB per core** for heavier local runs
+  (``SPARK_GRAFT_DRIVER_MEM=48g`` for the sf≈10 scaling probe on 32 lanes —
+  the first sf≈10 probe OOM'd at 8g and GCLocker stalls skewed timings up
+  to 2× before dying; see SCALING.md). On a real cluster the same ratio is
+  ``spark.executor.memory / spark.executor.cores``.
 """
 
 from __future__ import annotations
