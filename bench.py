@@ -231,7 +231,7 @@ def bench_streaming(
     import json as _json
     import urllib.request
 
-    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+    from mysql_hbase_replicator_spark.operators.merge import LogStructuredKeyedStore
     from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
     from mysql_hbase_replicator_spark.streaming.status import StatusServer
 
@@ -292,7 +292,15 @@ def bench_streaming(
                         f.write(make_line(i) + "\n")
                 os.replace(tmp, os.path.join(events_dir, f"{b:04d}.json"))
 
-            store = ParquetKeyedStore(os.path.join(root, "store"), n_buckets=32)
+            # the pipeline's production store is the LSM (merge-on-read)
+            # variant: per batch it appends one delta instead of rewriting
+            # affected buckets (r6 verdict #2 — the bucket rewrite was the
+            # dominant term of the micro-batch floor). Compaction cost is
+            # measured separately below; at the default cadence (64 appends)
+            # its amortized per-batch share is ~compact_sec/64.
+            store = LogStructuredKeyedStore(
+                os.path.join(root, "store"), n_buckets=32, compact_every=64
+            )
             pipe = CdcStreamPipeline(
                 spark=spark,
                 events_path=events_dir,
@@ -320,6 +328,9 @@ def bench_streaming(
                     counts = _json.loads(resp.read())["counts"]
             finally:
                 srv.stop()
+            t0 = time.time()
+            store.compact(spark, "db:t")
+            compact_sec = time.time() - t0
             durs_sorted = sorted(durs[1:]) or sorted(durs)
             p = lambda q_: durs_sorted[int(q_ * (len(durs_sorted) - 1))]  # noqa: E731
             return {
@@ -331,6 +342,8 @@ def bench_streaming(
                 "batch_ms_p95": p(0.95),
                 "first_batch_ms": durs[0] if durs else None,
                 "status_counts_total": sum(counts.values()),
+                "store": "log_structured",
+                "compact_sec": round(compact_sec, 3),
             }
         finally:
             shutil.rmtree(root, ignore_errors=True)

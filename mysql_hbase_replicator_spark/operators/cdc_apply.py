@@ -57,6 +57,23 @@ from mysql_hbase_replicator_spark.sources.cdc_events import (
 DEAD_LETTER_TABLE = "_dead_letter"
 CHECKPOINT_FILE = "_checkpoint.json"
 
+# Micro-batch regime switch (r6 verdict #2 — streaming fixed cost): below
+# this many row events the batch's plans are TINY (a few thousand rows per
+# shuffle), and the per-action fixed costs — AQE's per-stage re-optimization
+# rounds, 32-partition shuffles, the collapse-cache materialization — cost
+# more wall-clock than they save. Small batches therefore run with AQE off,
+# a handful of shuffle partitions, and no collapse persist (recomputing a
+# 5k-row window inside the merge's two actions is cheaper than a dedicated
+# materialization action). Large batches (backfills, the 200k-event kernel
+# bench) keep the session's AQE settings and the collapse cache — the 100 TB
+# configuration. Measured at 5k-event batches: 3.4 s → 2.3 s from the conf
+# switch alone (scripts/profile_stream.py), before the action-count cuts.
+SMALL_BATCH_ROWS = 50_000
+SMALL_BATCH_CONF = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "4",
+}
+
 
 @dataclass
 class CdcBatchResult:
@@ -93,6 +110,34 @@ def _gated(side: str, col_name: str) -> Column:
     return F.when(_present(side, col_name), F.col(f"{side}.{col_name}"))
 
 
+def _pks_valid_on(info: HbaseTableInfo, side_col: Column, inc_col: Column) -> Column:
+    """K1 precondition over explicit image/included columns (so the batch-wide
+    stats pass can validate per table without first renaming columns)."""
+    cond = F.lit(True)
+    for c in info.key_columns():
+        present = side_col.isNotNull() & (
+            inc_col.isNull() | F.array_contains(inc_col, c.dbColumnName)
+        )
+        cond = cond & present & side_col.getField(c.dbColumnName).isNotNull()
+    return cond
+
+
+def _valid_expr(info: HbaseTableInfo, before: Column, after: Column) -> Column:
+    """The K1 validity decision for one table's events (op-dependent image
+    choice; update validates BOTH rowkeys like the reference,
+    HbaseApplier.scala:250-251)."""
+    inc_b, inc_a = F.col("included_before"), F.col("included_after")
+    return (
+        F.when(F.col("op") == OP_INSERT, _pks_valid_on(info, after, inc_a))
+        .when(F.col("op") == OP_DELETE, _pks_valid_on(info, before, inc_b))
+        .when(
+            F.col("op") == OP_UPDATE,
+            _pks_valid_on(info, after, inc_a) & _pks_valid_on(info, before, inc_b),
+        )
+        .otherwise(F.lit(False))
+    )
+
+
 def _sink_projection(info: HbaseTableInfo, side: str) -> list[Column]:
     """P2 (gate) + P3 (rename) + P4 (cast) for one image side."""
     return [
@@ -105,10 +150,7 @@ def _sink_projection(info: HbaseTableInfo, side: str) -> list[Column]:
 
 def _pks_valid(info: HbaseTableInfo, side: str) -> Column:
     """K1 precondition: (pk & included) == pk and all PK values non-null."""
-    cond = F.lit(True)
-    for c in info.key_columns():
-        cond = cond & _present(side, c.dbColumnName) & F.col(f"{side}.{c.dbColumnName}").isNotNull()
-    return cond
+    return _pks_valid_on(info, F.col(side), F.col(f"included_{side}"))
 
 
 def read_checkpoint_state(store: ParquetKeyedStore) -> dict | None:
@@ -179,11 +221,33 @@ def apply_cdc_batch(
         # position order, which is only correct for globally monotonic
         # positions (true of the file-log stand-in fixtures).
         ord_col = F.col("seq") if "seq" in events.columns else F.col("position")
+        # K1 validity is folded into this same pass (one CASE branch per
+        # mapped table) so the kernel never pays a dedicated dead-letter
+        # count action: the dead-letter WRITE happens only for tables whose
+        # n_dead here is non-zero (the rare path). Generic multi-table mode
+        # parses the JSON images inline with each table's declared schema —
+        # the identical expressions _apply_table uses, so the counts and the
+        # written rows can't diverge.
+        generic_images = dict(events.dtypes).get("before") == "string"
+        invalid_case = F.lit(False)
+        for fn, info in mappings.items():
+            if generic_images:
+                struct = source_struct(info)
+                b = F.from_json(F.col("before"), struct)
+                a = F.from_json(F.col("after"), struct)
+            else:
+                b, a = F.col("before"), F.col("after")
+            invalid_case = F.when(
+                F.col("_full_name") == fn, ~_valid_expr(info, b, a)
+            ).otherwise(invalid_case)
         stats = (
             events.withColumn("_full_name", _full_name())
             .groupBy("_full_name", "op")
             .agg(
                 F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.when(F.col("op").isin(*ROW_OPS) & invalid_case, 1).otherwise(0)
+                ).alias("n_dead"),
                 F.max(
                     F.struct(ord_col.alias("o"), F.col("position").alias("position"))
                 ).alias("maxpos"),
@@ -218,12 +282,18 @@ def apply_cdc_batch(
             result.checkpoint_filename = prev.get("filename") if prev else None
         mapped = set(mappings)
         tables_in_batch = set()
+        dead_counts: dict[str, int] = {}
+        n_row_events = 0
         for r in stats:
             if r["op"] not in ROW_OPS:
                 continue
+            n_row_events += r["n"]
             if r["_full_name"] in mapped:
                 result.applied_counts[f"{r['_full_name']}.{r['op']}"] = r["n"]
                 tables_in_batch.add(r["_full_name"])
+                dead_counts[r["_full_name"]] = (
+                    dead_counts.get(r["_full_name"], 0) + r["n_dead"]
+                )
             else:
                 result.skipped_unmapped += r["n"]
 
@@ -231,12 +301,34 @@ def apply_cdc_batch(
             "_full_name", _full_name()
         )
 
-        for full_name in sorted(tables_in_batch):
-            info = mappings[full_name]
-            ev = row_events.filter(F.col("_full_name") == full_name)
-            t0 = _time.perf_counter()
-            _apply_table(spark, ev, store, info, k3_mode, result)
-            result.apply_latency_s[f"apply:{full_name}"] = _time.perf_counter() - t0
+        small = n_row_events < SMALL_BATCH_ROWS
+        prev_conf = {k: spark.conf.get(k, None) for k in SMALL_BATCH_CONF}
+        try:
+            if small:
+                for k, v in SMALL_BATCH_CONF.items():
+                    spark.conf.set(k, v)
+            for full_name in sorted(tables_in_batch):
+                info = mappings[full_name]
+                ev = row_events.filter(F.col("_full_name") == full_name)
+                t0 = _time.perf_counter()
+                _apply_table(
+                    spark,
+                    ev,
+                    store,
+                    info,
+                    k3_mode,
+                    result,
+                    n_dead=dead_counts.get(full_name, 0),
+                    small=small,
+                )
+                result.apply_latency_s[f"apply:{full_name}"] = _time.perf_counter() - t0
+        finally:
+            if small:
+                for k, v in prev_conf.items():
+                    if v is None:
+                        spark.conf.unset(k)
+                    else:
+                        spark.conf.set(k, v)
 
         if max_dead_letter is not None and result.dead_letter_count > max_dead_letter:
             raise DeadLetterOverflowError(
@@ -278,7 +370,16 @@ def _apply_table(
     info: HbaseTableInfo,
     k3_mode: str,
     result: CdcBatchResult,
+    n_dead: int = -1,
+    small: bool = False,
 ) -> None:
+    # Small-batch regime: the action-expansion union below reads this frame
+    # once per branch (3 branches), so a 32-partition micro-batch cache turns
+    # into ~100 near-empty scan tasks per action. Coalesce (narrow — no
+    # shuffle; each task just reads several cached blocks) to keep task
+    # counts proportional to the data.
+    if small:
+        ev = ev.coalesce(4)
     # generic multi-table mode: images arrive as JSON strings; parse them
     # against THIS table's declared source schema before the typed kernel
     dtypes = dict(ev.dtypes)
@@ -305,9 +406,10 @@ def _apply_table(
         .otherwise(F.lit(False))
     )
     ev = ev.withColumn("_valid", valid)
-    dead = ev.filter(~F.col("_valid"))
-    n_dead = dead.count()
+    if n_dead < 0:  # caller didn't pre-count (direct _apply_table use)
+        n_dead = ev.filter(~F.col("_valid")).count()
     if n_dead:
+        dead = ev.filter(~F.col("_valid"))
         result.dead_letter_count += n_dead
         dead.select(
             F.col("position"),
@@ -360,18 +462,23 @@ def _apply_table(
     w = Window.partitionBy(*sink_pks).orderBy(F.desc("_ord"), F.desc("_seq"))
     final = actions.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
 
-    # the merge runs two actions over the collapsed batch (changed-bucket
-    # discovery, then the staged write) — cache the collapse so the window
-    # shuffle executes once per batch, not once per action
-    final = final.persist()
+    # The rewrite store's merge runs two actions over the collapsed batch
+    # (changed-bucket discovery, then the staged write) — for LARGE batches,
+    # cache the collapse so the window shuffle executes once per batch, not
+    # once per action. Small micro-batches skip the cache: the dedicated
+    # materialization action costs more than recomputing a few-thousand-row
+    # window inside the merge's actions (SMALL_BATCH_ROWS note above). A
+    # single-action store (LogStructuredKeyedStore's delta append) never
+    # benefits from the cache.
+    cache = not small and store.MULTI_ACTION_MERGE
+    if cache:
+        final = final.persist()
     try:
-        upserts = final.filter(F.col("_kind") == "upsert").select(*sink_cols)
-        deletes = final.filter(F.col("_kind") == "delete").select(*sink_pks)
-
         # --- K2/K3/K4: MERGE ------------------------------------------------
-        store.merge(spark, table_name, upserts, deletes, sink_pks)
+        store.merge_actions(spark, table_name, final, sink_cols, sink_pks)
     finally:
-        final.unpersist()
+        if cache:
+            final.unpersist()
 
 
 def replay_dead_letters(

@@ -26,16 +26,26 @@ but a production deployment should swap `ParquetKeyedStore` for Delta MERGE
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 BUCKET_COL = "_bucket"
+SCHEMA_FILE = "_schema.json"
+KIND_COL = "_kind"  # collapsed-action discriminator: "upsert" | "delete"
 
 
 class ParquetKeyedStore:
+    # merge_actions on this store runs >1 Spark action (bucket discovery,
+    # then the staged write) — callers may cache the action frame. A
+    # single-action subclass (LogStructuredKeyedStore) sets this False.
+    MULTI_ACTION_MERGE = True
+
     def __init__(self, base_dir: str, n_buckets: int = 32):
         self.base_dir = base_dir
         self.n_buckets = n_buckets
@@ -58,28 +68,94 @@ class ParquetKeyedStore:
     def _bucket(self, pk_cols: list[str]):
         return F.pmod(F.xxhash64(*[F.col(c) for c in pk_cols]), F.lit(self.n_buckets))
 
+    # --- schema registry ----------------------------------------------------
+    # Every write records the table's current (widest) schema in
+    # _schema.json, and reads supply it explicitly: the parquet reader fills
+    # columns a not-yet-rewritten bucket lacks with nulls, which is exactly
+    # what option("mergeSchema") computes — but mergeSchema derives it by
+    # OPENING EVERY FOOTER at plan time, a per-read job whose cost is pure
+    # fixed overhead in the streaming micro-batch path (profiled ~0.2 s per
+    # merge at 5k events; see PLANS.md streaming-floor table). Tables written
+    # before this registry existed fall back to mergeSchema once and are
+    # upgraded on their next write.
+
+    def _schema_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), SCHEMA_FILE)
+
+    def _registry(self, name: str) -> dict | None:
+        try:
+            with open(self._schema_path(name)) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            return None
+        # legacy format: the bare StructType JSON (no wrapper object)
+        if isinstance(doc, dict) and doc.get("type") == "struct":
+            return {"schema": doc}
+        return doc if isinstance(doc, dict) else None
+
+    def _read_schema(self, name: str) -> T.StructType | None:
+        doc = self._registry(name)
+        try:
+            return T.StructType.fromJson(doc["schema"]) if doc else None
+        except (ValueError, KeyError):
+            return None
+
+    def _read_pk_cols(self, name: str) -> list[str] | None:
+        doc = self._registry(name)
+        return doc.get("pk_cols") if doc else None
+
+    def _write_schema(
+        self, name: str, schema: T.StructType, pk_cols: list[str] | None = None
+    ) -> None:
+        doc = {"schema": schema.jsonValue()}
+        if pk_cols is None:  # keep previously recorded keys
+            pk_cols = self._read_pk_cols(name)
+        if pk_cols is not None:
+            doc["pk_cols"] = list(pk_cols)
+        os.makedirs(self.table_path(name), exist_ok=True)
+        tmp = self._schema_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._schema_path(name))
+
+    def _read_current(self, spark: SparkSession, name: str) -> DataFrame:
+        """The stored table WITH its bucket column, schema-registry fast path."""
+        schema = self._read_schema(name)
+        reader = (
+            spark.read.schema(schema)
+            if schema is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        return reader.parquet(self.table_path(name))
+
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
-        """Current table state (without the bucket column). mergeSchema
-        reconciles footers across buckets after additive column evolution —
-        buckets not yet rewritten since a column arrived lack it physically;
-        their rows read as null for it."""
+        """Current table state (without the bucket column)."""
         if not self.exists(name) or not self._has_data_files(name):
             return None
-        return (
-            spark.read.option("mergeSchema", "true")
-            .parquet(self.table_path(name))
-            .drop(BUCKET_COL)
-        )
+        return self._read_current(spark, name).drop(BUCKET_COL)
 
     def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
         """Full (re)load — initial snapshot path."""
-        (
-            df.withColumn(BUCKET_COL, self._bucket(pk_cols))
-            .repartition(BUCKET_COL)
-            .write.partitionBy(BUCKET_COL)
-            .mode("overwrite")
-            .parquet(self.table_path(name))
+        staged = df.withColumn(BUCKET_COL, self._bucket(pk_cols)).repartition(BUCKET_COL)
+        staged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+            self.table_path(name)
         )
+        self._write_schema(name, staged.schema, pk_cols)
+
+    def merge_actions(
+        self,
+        spark: SparkSession,
+        name: str,
+        final: DataFrame,
+        sink_cols: list[str],
+        pk_cols: list[str],
+    ) -> None:
+        """Apply a COLLAPSED action frame (one row per PK: ``sink_cols`` +
+        ``_kind`` ∈ {upsert, delete}; the CDC kernel's K5 output shape) —
+        the store-polymorphic entry point the kernel uses."""
+        upserts = final.filter(F.col(KIND_COL) == "upsert").select(*sink_cols)
+        deletes = final.filter(F.col(KIND_COL) == "delete").select(*pk_cols)
+        self.merge(spark, name, upserts, deletes, pk_cols)
 
     def merge(
         self,
@@ -88,13 +164,18 @@ class ParquetKeyedStore:
         upserts: DataFrame,
         delete_keys: DataFrame,
         pk_cols: list[str],
+        affected: list[int] | None = None,
     ) -> None:
         """MERGE: delete rows matching ``delete_keys`` or ``upserts`` keys,
         then insert ``upserts``. Equivalent to
         ``MERGE INTO t ON pk WHEN MATCHED [AND in deletes] DELETE
         WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT``.
 
-        Only affected buckets are read and rewritten.
+        Only affected buckets are read and rewritten. ``affected`` lets a
+        caller supply the changed buckets when it already knows them (they
+        must come from the identical ``_bucket`` hash over the same typed key
+        columns); when None they are discovered here with a distinct-collect
+        action.
         """
         path = self.table_path(name)
         if not self.exists(name) or not self._has_data_files(name):
@@ -104,18 +185,15 @@ class ParquetKeyedStore:
         changed_keys = (
             upserts.select(*pk_cols).unionByName(delete_keys.select(*pk_cols)).dropDuplicates()
         )
-        affected = [
-            r[0]
-            for r in changed_keys.select(self._bucket(pk_cols).alias("b")).distinct().collect()
-        ]
+        if affected is None:
+            affected = [
+                r[0]
+                for r in changed_keys.select(self._bucket(pk_cols).alias("b")).distinct().collect()
+            ]
         if not affected:
             return
 
-        current = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(path)
-            .filter(F.col(BUCKET_COL).isin(affected))
-        )
+        current = self._read_current(spark, name).filter(F.col(BUCKET_COL).isin(affected))
         kept = current.drop(BUCKET_COL).join(F.broadcast(changed_keys), pk_cols, "left_anti")
         # allowMissingColumns = additive schema evolution: a column arriving
         # in upserts backfills null for kept rows (and vice versa for columns
@@ -128,23 +206,250 @@ class ParquetKeyedStore:
 
         # Dynamic partition overwrite only rewrites buckets present in the
         # output; buckets whose rows were all deleted produce no output and
-        # must be cleared explicitly. The conf is scoped to this write — it
-        # changes overwrite semantics session-wide, so the previous value is
-        # restored for whatever else shares the session.
+        # must be cleared explicitly. Which buckets got written is OBSERVED on
+        # the write action itself (collect_set over the rows as they stream to
+        # the files), so the merge costs exactly two Spark actions — the
+        # affected-bucket collect above and the write — instead of the
+        # persist + distinct-collect + write it used to take (the extra
+        # action was ~0.7 s of pure fixed cost per streaming micro-batch).
+        # The conf is scoped to this write — it changes overwrite semantics
+        # session-wide, so the previous value is restored for whatever else
+        # shares the session.
         prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        staged = new_state.repartition(BUCKET_COL)
-        staged.persist()
+        obs = Observation()
+        staged = new_state.repartition(BUCKET_COL).observe(
+            obs, F.collect_set(BUCKET_COL).alias("written")
+        )
         try:
-            written_buckets = {r[0] for r in staged.select(BUCKET_COL).distinct().collect()}
             staged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
+            written_buckets = set(obs.get["written"])
             for b in set(affected) - written_buckets:
                 bucket_dir = os.path.join(path, f"{BUCKET_COL}={b}")
                 if os.path.isdir(bucket_dir):
                     shutil.rmtree(bucket_dir)
+            self._write_schema(name, staged.schema, pk_cols)
         finally:
-            staged.unpersist()
             if prev_mode is None:
                 spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
             else:
                 spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+class LogStructuredKeyedStore(ParquetKeyedStore):
+    """Merge-on-read variant of the keyed store — the LSM/HBase-shaped write
+    path (SURVEY.md §1.1: the reference's sink IS an LSM tree; an HBase Put
+    appends to the memstore/WAL and compaction folds later,
+    HbaseApplier.scala:226-275 never rewrites existing cells).
+
+    The rewrite store above pays, per micro-batch: read affected buckets +
+    anti-join + dynamic-overwrite commit across up to n_buckets partition
+    directories (~1.2 s of fixed cost at 5k-event batches — the dominant
+    term of BENCH_r06's streaming floor). Here ``merge_actions`` instead
+    APPENDS the collapsed action frame as one small delta
+    (``_delta/_lsm_seq=N/``, one cheap single-action write), and the base
+    table is only rewritten by ``compact()`` — flock-guarded, triggered
+    every ``compact_every`` appends, amortizing the rewrite across batches.
+
+    ``read`` reconstructs current state: last action per key across deltas
+    (by append seq) wins; a surviving upsert overrides the base row, a
+    delete removes it. Exactly the Hudi merge-on-read / Delta deletion-
+    vector trade: write-optimized streaming path, read pays the collapse
+    until compaction catches up — at 1000-executor scale the delta collapse
+    is one window over the (small) recent-change set and the base stays
+    partition-pruned.
+
+    Effectively-once is preserved: a replayed micro-batch appends a
+    DUPLICATE delta at a higher seq, and last-image-wins collapse makes the
+    reconstructed state identical (file-level duplication is garbage the
+    next compaction drops). Crash mid-compaction is recovered by
+    ``_maybe_recover`` from the staged directory (the os.replace-style
+    rename protocol below).
+    """
+
+    MULTI_ACTION_MERGE = False
+    DELTA_DIR = "_delta"
+    SEQ_COL = "_lsm_seq"
+
+    def __init__(self, base_dir: str, n_buckets: int = 32, compact_every: int = 64):
+        super().__init__(base_dir, n_buckets=n_buckets)
+        self.compact_every = compact_every
+
+    # --- delta bookkeeping --------------------------------------------------
+    def _delta_path(self, name: str) -> str:
+        return os.path.join(self.table_path(name), self.DELTA_DIR)
+
+    def _delta_seqs(self, name: str) -> list[int]:
+        try:
+            entries = os.listdir(self._delta_path(name))
+        except OSError:
+            return []
+        seqs = []
+        for e in entries:
+            if e.startswith(f"{self.SEQ_COL}="):
+                tail = e.split("=", 1)[1]
+                if tail.isdigit():
+                    seqs.append(int(tail))
+        return sorted(seqs)
+
+    def _has_delta_files(self, name: str) -> bool:
+        for _dir, _subdirs, files in os.walk(self._delta_path(name)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    # --- crash recovery for the compaction swap -----------------------------
+    def _staging_path(self, name: str) -> str:
+        return self.table_path(name) + ".compacting"
+
+    def _old_path(self, name: str) -> str:
+        return self.table_path(name) + ".pre-compact"
+
+    def _maybe_recover(self, name: str) -> None:
+        """Finish a compaction swap interrupted between renames: a completed
+        staging dir (has _SUCCESS) with no live table dir is the new truth;
+        a leftover .pre-compact dir is garbage either way."""
+        staging, live, old = (
+            self._staging_path(name),
+            self.table_path(name),
+            self._old_path(name),
+        )
+        if os.path.isdir(staging):
+            if os.path.exists(os.path.join(staging, "_SUCCESS")) and not os.path.isdir(live):
+                os.rename(staging, live)
+            elif os.path.isdir(live):  # crash before the live dir moved aside,
+                shutil.rmtree(staging)  # or staging incomplete: discard staging
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+
+    # --- write path ---------------------------------------------------------
+    def merge_actions(
+        self,
+        spark: SparkSession,
+        name: str,
+        final: DataFrame,
+        sink_cols: list[str],
+        pk_cols: list[str],
+    ) -> None:
+        self._maybe_recover(name)
+        actions = final.select(*sink_cols, KIND_COL)
+        seqs = self._delta_seqs(name)
+        n = (seqs[-1] + 1) if seqs else 0
+        out = os.path.join(self._delta_path(name), f"{self.SEQ_COL}={n}")
+        # overwrite into the delta's OWN fresh subdir: a crashed write leaves
+        # only an uncommitted _temporary dir (invisible to readers) and the
+        # replayed batch lands at the next seq
+        actions.write.mode("overwrite").parquet(out)
+        # registry schema = the SINK schema (no _kind: that column exists
+        # only inside delta files; leaking it into the registry would make
+        # base reads surface a phantom null column)
+        self._write_schema(name, actions.drop(KIND_COL).schema, pk_cols)
+        if len(seqs) + 1 >= self.compact_every:
+            self.compact(spark, name)
+
+    def merge(
+        self,
+        spark: SparkSession,
+        name: str,
+        upserts: DataFrame,
+        delete_keys: DataFrame,
+        pk_cols: list[str],
+        affected: list[int] | None = None,
+    ) -> None:
+        """Split-API compatibility: fold upserts + deletes into one action
+        frame (upsert wins over a same-batch delete of the same key, the
+        rewrite store's MERGE semantics) and append it."""
+        sink_cols = [c for c in upserts.columns]
+        padded = delete_keys.select(
+            *[
+                F.col(c) if c in delete_keys.columns else F.lit(None).alias(c)
+                for c in sink_cols
+            ]
+        )
+        final = upserts.withColumn(KIND_COL, F.lit("upsert")).unionByName(
+            padded.withColumn(KIND_COL, F.lit("delete"))
+        )
+        # same-key upsert+delete in ONE call: keep the upsert (MERGE parity)
+        w = Window.partitionBy(*pk_cols).orderBy(F.desc(F.col(KIND_COL) == "upsert"))
+        final = (
+            final.withColumn("_mrn", F.row_number().over(w))
+            .filter(F.col("_mrn") == 1)
+            .drop("_mrn")
+        )
+        self.merge_actions(spark, name, final, sink_cols, pk_cols)
+
+    # --- read path ----------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        self._maybe_recover(name)
+        return super().exists(name)
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+        self._maybe_recover(name)
+        seqs = self._delta_seqs(name)
+        base = super().read(spark, name)
+        if not seqs or not self._has_delta_files(name):
+            return base
+        pk_cols = self._read_pk_cols(name)
+        if pk_cols is None:
+            raise ValueError(
+                f"log-structured table {name!r} has deltas but no recorded "
+                f"pk_cols in {SCHEMA_FILE} — cannot reconstruct state"
+            )
+        deltas = spark.read.option("mergeSchema", "true").parquet(self._delta_path(name))
+        w = Window.partitionBy(*pk_cols).orderBy(
+            F.desc(self.SEQ_COL), F.desc(F.col(KIND_COL) == "upsert")
+        )
+        last = (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", self.SEQ_COL)
+        )
+        live = last.filter(F.col(KIND_COL) == "upsert").drop(KIND_COL)
+        if base is None:
+            return live
+        changed = last.select(*pk_cols)
+        kept = base.join(F.broadcast(changed), pk_cols, "left_anti")
+        return kept.unionByName(live, allowMissingColumns=True)
+
+    # --- compaction ---------------------------------------------------------
+    def compact(self, spark: SparkSession, name: str) -> bool:
+        """Fold all deltas into the bucketed base (the LSM major compaction).
+        flock-guarded (the layout.py compaction-lock protocol) so concurrent
+        processes serialize; returns True if a compaction ran."""
+        import fcntl
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        lock_path = os.path.join(self.base_dir, f".{name.replace(':', '_')}.compact.lock")
+        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            self._maybe_recover(name)
+            if not self._delta_seqs(name) or not self._has_delta_files(name):
+                return False
+            pk_cols = self._read_pk_cols(name)
+            state = self.read(spark, name)
+            staging, live, old = (
+                self._staging_path(name),
+                self.table_path(name),
+                self._old_path(name),
+            )
+            shutil.rmtree(staging, ignore_errors=True)
+            # materialize the new base OUTSIDE the live dir, then swap via
+            # two renames (each atomic; _maybe_recover finishes a crash
+            # between them from the staged _SUCCESS marker)
+            (
+                state.withColumn(BUCKET_COL, self._bucket(pk_cols))
+                .repartition(BUCKET_COL)
+                .write.partitionBy(BUCKET_COL)
+                .mode("overwrite")
+                .parquet(staging)
+            )
+            schema = spark.read.parquet(staging).schema
+            os.rename(live, old)
+            os.rename(staging, live)
+            shutil.rmtree(old)
+            self._write_schema(name, schema, pk_cols)
+            return True
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)

@@ -58,14 +58,28 @@ def _op_col(op: Column) -> Column:
     return out
 
 
-def _parsed(raw: DataFrame, value_col: str) -> DataFrame:
+def parse_envelopes(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """The shared parse pass: original columns + ``_env`` (typed envelope
+    struct) + ``_op`` (normalized op, NULL for tombstones/corrupt rows).
+    ``debezium_to_cdc_events`` and ``debezium_dead_letters`` are both cheap
+    projections of this frame — a caller that needs both (the streaming
+    pipeline does, every micro-batch) should parse ONCE, persist the result,
+    and pass it via their ``parsed=`` parameter; re-deriving the parse per
+    consumer doubles the JSON work and, worse, adds a dedicated count action
+    per batch (the r6 Debezium-vs-jsonl latency gap, BENCH_r06)."""
     return raw.withColumn(
         "_env", F.from_json(F.col(value_col).cast("string"), _ENVELOPE_SCHEMA)
     ).withColumn("_op", _op_col(F.col("_env.op")))
 
 
+_parsed = parse_envelopes  # internal alias (original name)
+
+
 def debezium_to_cdc_events(
-    raw: DataFrame, value_col: str = "value", seq_col: Column | None = None
+    raw: DataFrame | None = None,
+    value_col: str = "value",
+    seq_col: Column | None = None,
+    parsed: DataFrame | None = None,
 ) -> DataFrame:
     """Transform a frame of Debezium envelope JSON strings (the `value` of a
     Kafka record, after schema-registry unwrapping) into the engine's CDC
@@ -93,12 +107,14 @@ def debezium_to_cdc_events(
       unavailable, so seq degrades to ``ts_ms * 1e6`` (same-millisecond
       arrival ties are NOT broken — pass the source's offset instead).
     """
-    env = _parsed(raw, value_col).filter(F.col("_op").isNotNull())
+    if parsed is None:
+        parsed = _parsed(raw, value_col)
+    env = parsed.filter(F.col("_op").isNotNull())
     if seq_col is not None:
         seq = seq_col
     else:
         coarse = F.col("_env.source.ts_ms") * F.lit(1_000_000)
-        if raw.isStreaming:
+        if parsed.isStreaming:
             seq = coarse
         else:
             wr = Window.partitionBy(F.col("_env.source.ts_ms")).orderBy(
@@ -119,16 +135,20 @@ def debezium_to_cdc_events(
     )
 
 
-def debezium_dead_letters(raw: DataFrame, value_col: str = "value") -> DataFrame:
+def debezium_dead_letters(
+    raw: DataFrame | None = None,
+    value_col: str = "value",
+    parsed: DataFrame | None = None,
+) -> DataFrame:
     """The rows ``debezium_to_cdc_events`` cannot convert — non-null
     payloads that fail JSON parsing or carry a missing/unknown ``op`` — in
     the kernel's ``_dead_letter`` schema, raw payload preserved verbatim so
     an operator can fix and replay them (K6: failures queue, never vanish).
     Tombstones (null payloads) are NOT dead letters: they are a documented
     part of the protocol and carry no information to replay."""
-    bad = _parsed(raw, value_col).filter(
-        F.col(value_col).isNotNull() & F.col("_op").isNull()
-    )
+    if parsed is None:
+        parsed = _parsed(raw, value_col)
+    bad = parsed.filter(F.col(value_col).isNotNull() & F.col("_op").isNull())
     return bad.select(
         F.col("_env.source.pos").alias("position"),
         F.coalesce(F.col("_env.op"), F.lit("?")).alias("op"),

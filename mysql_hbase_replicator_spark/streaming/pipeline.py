@@ -132,11 +132,18 @@ class CdcStreamPipeline:
             from mysql_hbase_replicator_spark.sources.debezium import (
                 debezium_dead_letters,
                 debezium_to_cdc_events,
+                parse_envelopes,
             )
 
-            raw = batch_df.persist()
+            # parse ONCE and persist the parsed frame: the dead-letter count,
+            # the dead-letter write (rare path), and the event conversion are
+            # all projections of the same parse — caching post-parse instead
+            # of the raw text means the envelope JSON is decoded once per
+            # batch, not once per downstream action (r6 verdict #3: this plus
+            # the kernel's action cuts closes the Debezium-vs-jsonl gap).
+            parsed = parse_envelopes(batch_df).persist()
             try:
-                dead = debezium_dead_letters(raw)
+                dead = debezium_dead_letters(parsed=parsed)
                 n_ingest_dead = dead.count()
                 if n_ingest_dead:
                     dead.write.mode("append").parquet(
@@ -152,10 +159,10 @@ class CdcStreamPipeline:
                     )
                 # inside foreachBatch the frame is a plain batch, so the
                 # order-preserving rank seq applies per micro-batch
-                batch_df = debezium_to_cdc_events(raw)
+                batch_df = debezium_to_cdc_events(parsed=parsed)
                 result = self._apply_kernel(batch_df)
             finally:
-                raw.unpersist()
+                parsed.unpersist()
         else:
             result = self._apply_kernel(batch_df)
         result.dead_letter_count += n_ingest_dead

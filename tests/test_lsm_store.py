@@ -1,0 +1,272 @@
+"""LogStructuredKeyedStore (merge-on-read) semantics.
+
+The LSM store must be OBSERVATIONALLY IDENTICAL to the rewrite store: every
+batch sequence applied through the CDC kernel must reconstruct the same
+final state from base+deltas as the rewrite store materializes eagerly, and
+compaction must be a pure representation change. This mirrors the
+reference's sink reality — an HBase Put/Delete is an LSM append
+(HbaseApplier.scala:226-275), state is only ever the fold of the log.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
+from mysql_hbase_replicator_spark.operators.merge import (
+    LogStructuredKeyedStore,
+    ParquetKeyedStore,
+)
+from mysql_hbase_replicator_spark.sources.cdc_events import events_from_rows
+
+COLS = ("sn", "id", "score", "name", "rem")
+TABLE = "mixfs:student2"
+
+
+def row(sn, id_, score=None, name=None, rem=None):
+    return {"sn": sn, "id": id_, "score": score, "name": name, "rem": rem}
+
+
+def ev(pos, op, before=None, after=None):
+    return {
+        "position": pos,
+        "op": op,
+        "db": "mixfs",
+        "table": "student",
+        "before": before,
+        "after": after,
+    }
+
+
+BATCH_1 = [
+    ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+    ev(2, "insert", after=row(1, 2, 80, "bob", "b")),
+    ev(3, "insert", after=row(2, 1, 70, "cat", "c")),
+]
+BATCH_2 = [
+    ev(4, "update", before=row(1, 1, 90, "ann", "a"), after=row(1, 1, 95, "ann", "a")),
+    ev(5, "delete", before=row(1, 2, 80, "bob", "b")),
+    # PK-changing update: old key (2,1) must disappear, (2,9) appear
+    ev(6, "update", before=row(2, 1, 70, "cat", "c"), after=row(2, 9, 70, "cat", "c")),
+    ev(7, "insert", after=row(3, 3, 60, "dan", "d")),
+]
+BATCH_3 = [
+    ev(8, "delete", before=row(3, 3, 60, "dan", "d")),
+    ev(9, "insert", after=row(4, 4, 50, "eve", "e")),
+    ev(10, "update", before=row(1, 1, 95, "ann", "a"), after=row(1, 1, 99, "ann", "z")),
+]
+
+
+def state(spark, store):
+    df = store.read(spark, TABLE)
+    if df is None:
+        return []
+    return sorted(tuple(r) for r in df.select(*COLS).collect())
+
+
+def apply_batches(spark, store, student_struct, student_mapping, batches):
+    for b in batches:
+        apply_cdc_batch(
+            spark,
+            events_from_rows(spark, b, student_struct),
+            store,
+            {"mixfs.student": student_mapping},
+        )
+
+
+@pytest.fixture()
+def stores(tmp_path):
+    return (
+        ParquetKeyedStore(str(tmp_path / "rw"), n_buckets=4),
+        LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4),
+    )
+
+
+def test_lsm_equals_rewrite_store(spark, stores, student_struct, student_mapping):
+    rw, lsm = stores
+    for batches in ([BATCH_1], [BATCH_2], [BATCH_3]):
+        apply_batches(spark, rw, student_struct, student_mapping, batches)
+        apply_batches(spark, lsm, student_struct, student_mapping, batches)
+        assert state(spark, lsm) == state(spark, rw)
+    # deltas actually accumulated (merge-on-read path, not silent rewrites)
+    assert lsm._delta_seqs(TABLE) != []
+
+
+def test_lsm_replay_idempotent(spark, stores, student_struct, student_mapping):
+    rw, lsm = stores
+    apply_batches(spark, rw, student_struct, student_mapping, [BATCH_1, BATCH_2])
+    apply_batches(
+        spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2, BATCH_2]
+    )  # BATCH_2 replayed (at-least-once delivery)
+    assert state(spark, lsm) == state(spark, rw)
+
+
+def test_lsm_compaction_preserves_state(
+    spark, stores, student_struct, student_mapping
+):
+    rw, lsm = stores
+    apply_batches(spark, rw, student_struct, student_mapping, [BATCH_1, BATCH_2, BATCH_3])
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2, BATCH_3])
+    before = state(spark, lsm)
+    assert lsm.compact(spark, TABLE) is True
+    assert lsm._delta_seqs(TABLE) == []
+    assert state(spark, lsm) == before == state(spark, rw)
+    # appends keep working after compaction
+    apply_batches(
+        spark, lsm, student_struct, student_mapping,
+        [[ev(11, "insert", after=row(9, 9, 1, "zed", "z"))]],
+    )
+    apply_batches(
+        spark, rw, student_struct, student_mapping,
+        [[ev(11, "insert", after=row(9, 9, 1, "zed", "z"))]],
+    )
+    assert state(spark, lsm) == state(spark, rw)
+    # second compact on a no-delta table is a no-op
+    lsm.compact(spark, TABLE)
+    assert lsm.compact(spark, TABLE) is False
+
+
+def test_lsm_auto_compaction_trigger(spark, tmp_path, student_struct, student_mapping):
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4, compact_every=2)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
+    assert lsm._delta_seqs(TABLE) == [0]
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_2])
+    # second append hit compact_every=2 → folded into the base
+    assert lsm._delta_seqs(TABLE) == []
+    rw = ParquetKeyedStore(str(tmp_path / "rw"), n_buckets=4)
+    apply_batches(spark, rw, student_struct, student_mapping, [BATCH_1, BATCH_2])
+    assert state(spark, lsm) == state(spark, rw)
+
+
+def test_lsm_split_api_upsert_beats_delete(spark, tmp_path):
+    """merge() parity: a key in BOTH upserts and deletes ends up upserted
+    (the rewrite store's MERGE resolves the same way)."""
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    rw = ParquetKeyedStore(str(tmp_path / "rw"), n_buckets=4)
+    base = spark.createDataFrame([(1, "old"), (2, "bye")], "k int, v string")
+    ups = spark.createDataFrame([(1, "new")], "k int, v string")
+    dels = spark.createDataFrame([(1,), (2,)], "k int")
+    for s in (lsm, rw):
+        s.overwrite(spark, "t", base, ["k"])
+        s.merge(spark, "t", ups, dels, ["k"])
+    expect = sorted(tuple(r) for r in rw.read(spark, "t").collect())
+    assert sorted(tuple(r) for r in lsm.read(spark, "t").collect()) == expect
+    assert expect == [(1, "new")]
+
+
+def test_lsm_crash_recovery_completes_swap(spark, tmp_path, student_struct, student_mapping):
+    """A compaction that crashed between the two renames (staged _SUCCESS
+    present, live dir gone) is finished by the next access."""
+    import shutil
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2])
+    want = state(spark, lsm)
+    # simulate: staging written, live renamed aside, then crash
+    live = lsm.table_path(TABLE)
+    staging, old = lsm._staging_path(TABLE), lsm._old_path(TABLE)
+    st = lsm.read(spark, TABLE)
+    from mysql_hbase_replicator_spark.operators.merge import BUCKET_COL
+
+    (
+        st.withColumn(BUCKET_COL, lsm._bucket(["sn", "id"]))
+        .repartition(BUCKET_COL)
+        .write.partitionBy(BUCKET_COL)
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    os.rename(live, old)
+    assert not os.path.isdir(live)
+    # next read triggers recovery and sees the compacted state
+    assert state(spark, lsm) == want
+    assert os.path.isdir(live) and not os.path.isdir(staging) and not os.path.isdir(old)
+
+
+def test_lsm_incomplete_staging_discarded(spark, tmp_path, student_struct, student_mapping):
+    """A staging dir WITHOUT _SUCCESS (crash mid-write) is discarded and the
+    live table remains authoritative."""
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
+    want = state(spark, lsm)
+    os.makedirs(lsm._staging_path(TABLE))
+    with open(os.path.join(lsm._staging_path(TABLE), "part-junk.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    assert state(spark, lsm) == want
+    assert not os.path.isdir(lsm._staging_path(TABLE))
+
+
+def test_lsm_additive_schema_evolution(spark, tmp_path):
+    """A column arriving mid-stream backfills null for earlier rows — the
+    rewrite store's allowMissingColumns semantics, reconstructed on read."""
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    lsm.overwrite(
+        spark, "t", spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"), ["k"]
+    )
+    ups = spark.createDataFrame([(2, "b2", 7.5), (3, "c", 1.0)], "k int, v string, w double")
+    dels = spark.createDataFrame([], "k int")
+    lsm.merge(spark, "t", ups, dels, ["k"])
+    got = {r["k"]: (r["v"], r["w"]) for r in lsm.read(spark, "t").collect()}
+    assert got == {1: ("a", None), 2: ("b2", 7.5), 3: ("c", 1.0)}
+    # and compaction bakes the widened schema into the base
+    lsm.compact(spark, "t")
+    got = {r["k"]: (r["v"], r["w"]) for r in lsm.read(spark, "t").collect()}
+    assert got == {1: ("a", None), 2: ("b2", 7.5), 3: ("c", 1.0)}
+
+
+def test_lsm_streaming_pipeline_end_to_end(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """CdcStreamPipeline with the LSM store: the full readStream →
+    foreachBatch → delta-append path reaches the same state as the batch
+    kernel over the rewrite store, across a restart."""
+    import json
+
+    from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+
+    events_dir = str(tmp_path / "events")
+    os.makedirs(events_dir)
+
+    def write_file(name, events):
+        with open(os.path.join(events_dir, name), "w") as f:
+            for e in events:
+                f.write(json.dumps(e) + "\n")
+
+    write_file("b1.json", BATCH_1)
+    write_file("b2.json", BATCH_2)
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=events_dir,
+        row_struct=student_struct,
+        store=lsm,
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    rw = ParquetKeyedStore(str(tmp_path / "rw"), n_buckets=4)
+    apply_batches(spark, rw, student_struct, student_mapping, [BATCH_1, BATCH_2])
+    assert state(spark, lsm) == state(spark, rw)
+    # restart with a third file: checkpoint resume + another delta append
+    write_file("b3.json", BATCH_3)
+    pipe2 = CdcStreamPipeline(
+        spark=spark,
+        events_path=events_dir,
+        row_struct=student_struct,
+        store=lsm,
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    q2 = pipe2.start(available_now=True)
+    q2.awaitTermination(120)
+    apply_batches(spark, rw, student_struct, student_mapping, [BATCH_3])
+    assert state(spark, lsm) == state(spark, rw)
+    assert pipe2.total_counts() == {
+        "mixfs.student.delete": 1,
+        "mixfs.student.insert": 1,
+        "mixfs.student.update": 1,
+    }
