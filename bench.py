@@ -381,10 +381,25 @@ def bench_partition_pruning(spark, sf_dir: str) -> dict:
         (F.col("ts") >= F.lit(PRUNE_WEEK_START).cast("timestamp"))
         & (F.col("ts") < F.lit(PRUNE_WEEK_END).cast("timestamp"))
     )
+    # identical output projection to the pruned registered query (window
+    # formatting + error_rate included) so the timed pair differs ONLY in
+    # scan strategy — omitting columns from the baseline biased it slow-side
+    from mysql_hbase_replicator_spark.plans.queries import ts_str
+
     n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
-    unpart_df = e.groupBy(F.window("ts", "1 hour")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        n_err.alias("n_errors"),
+    unpart_df = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            n_err.alias("n_errors"),
+            (n_err.cast("double") / F.count(F.lit(1))).alias("error_rate"),
+        )
+        .select(
+            ts_str(F.col("w.start")).alias("window_start"),
+            "n_events",
+            "n_errors",
+            "error_rate",
+        )
     )
 
     best: dict[str, float] = {}

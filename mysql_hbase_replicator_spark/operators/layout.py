@@ -136,7 +136,21 @@ def ensure_day_partitioned(
         from pyspark.sql import functions as F
 
         out = df.withColumn(date_col, F.to_date(F.col(ts_col)))
-        write_partitioned_sorted(out, dst, [date_col], sort_cols=list(sort_cols))
+        # Stage-and-swap rather than overwriting dst in place: the fast path
+        # above returns dst WITHOUT the lock, so a peer rebuilding after a
+        # source regeneration must never leave a half-written dst visible to
+        # an unlocked reader. With the rename swap the worst a concurrent
+        # reader sees is a brief dir-not-found between the two atomic
+        # renames (the compact_small_files contract below), never partial
+        # data.
+        staging, retired = dst + ".staging", dst + ".retired"
+        shutil.rmtree(staging, ignore_errors=True)
+        write_partitioned_sorted(out, staging, [date_col], sort_cols=list(sort_cols))
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(dst):
+            os.rename(dst, retired)
+        os.rename(staging, dst)
+        shutil.rmtree(retired, ignore_errors=True)
         with open(marker, "w") as f:
             f.write(want)
         return dst

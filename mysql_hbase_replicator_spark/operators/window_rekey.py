@@ -243,7 +243,11 @@ def adaptive_time_bucket(
         F.approx_count_distinct(F.concat_ws("|", *keys)).alias("k"),
     ).first()
     n, lo, hi, n_keys = row["n"], row["lo"], row["hi"], max(1, row["k"] or 1)
-    if not n:
+    if not n or lo is None or hi is None:
+        # empty input, or rows exist but every ts is NULL (lo/hi aggregate
+        # to NULL): fall back to the minimum width. NULL-ts rows themselves
+        # bucket to NULL (floor(NULL/width)) and group together downstream —
+        # callers that must exclude them filter ts IS NOT NULL first.
         width = min_width_us
     else:
         span = max(1, hi - lo + 1)

@@ -1190,9 +1190,9 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.max("_cand").alias("max_overlap_us"))
     )
-    n_pairs = (F.col("n_iv") * (F.col("n_iv") - 1) / 2).cast("long") - F.col(
-        "n_disjoint"
-    )
+    # integer C(n,2): float division loses exactness once n_iv*(n_iv-1)
+    # exceeds 2^53 (~9.4e7 intervals/day at 100 TB) — DIV stays in longs
+    n_pairs = F.expr("n_iv * (n_iv - 1) DIV 2") - F.col("n_disjoint")
     return (
         disjoint.join(widest, "d")
         .select(
