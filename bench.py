@@ -131,6 +131,8 @@ HEADLINE = [
     "subquery_above_customer_avg",  # subquery family (DataFrame form)
     "embedding_kmeans_clusters",
     "udf_pandas_scalar_slug",   # scalar pandas UDF rep
+    # r7: the pair-free prefix-sum twin of window_range_numeric (verdict #6)
+    "window_range_numeric_sweep",
 ]
 
 

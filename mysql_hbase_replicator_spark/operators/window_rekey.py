@@ -310,3 +310,62 @@ def stitched_range_frame(
         .rangeBetween(-preceding, Window.currentRow)
     )
     return stitched, w
+
+
+def stitched_prefix_sums(
+    df: DataFrame,
+    keys: list[str],
+    pos_col: str,
+    order_cols: list[Column],
+    sums: dict[str, Column],
+    bucket_width: int,
+) -> DataFrame:
+    """Global running SUMs per key — ``SUM(expr) OVER (PARTITION BY keys
+    ORDER BY pos, order_cols ROWS UNBOUNDED PRECEDING..CURRENT ROW)`` —
+    WITHOUT a per-key global sort: local running sums within
+    ``(keys, floor(pos/bucket_width))`` plus broadcast cumulative per-bucket
+    totals (the running-aggregate sibling of stitched_global_rank).
+
+    This is the prefix-sum backbone of the endpoint-sweep rewrites: a
+    growing frame never retracts, so each bucket accumulates locally in one
+    pass and the cross-bucket carry is a scalar per (key, bucket) — O(n log
+    bucket_rows) total, parallelism #keys × #buckets. Unlike a bounded
+    RANGE frame there is no row replication at all.
+
+    ``sums`` maps output-column name → the summed expression (use
+    ``F.lit(1)`` for a running count); each appears as ``_cum_<name>``.
+    Ties in ``(pos, order_cols)`` are safe only if tied rows' contributions
+    are order-independent (e.g. probe rows contributing 0) — the caller
+    owns that invariant, same as any ROWS-frame ordering.
+    """
+    bucket = F.floor(F.col(pos_col) / F.lit(bucket_width)).cast("long")
+    b = df.withColumn(STITCH_BUCKET, bucket)
+    wloc = (
+        Window.partitionBy(*keys, STITCH_BUCKET)
+        .orderBy(F.col(pos_col), *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = b
+    for name, expr in sums.items():
+        loc = loc.withColumn(f"_l_{name}", F.sum(expr).over(wloc))
+    totals = b.groupBy(*keys, STITCH_BUCKET).agg(
+        *[F.sum(expr).alias(f"_t_{name}") for name, expr in sums.items()]
+    )
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy(STITCH_BUCKET)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = totals.select(
+        *keys,
+        STITCH_BUCKET,
+        *[
+            F.coalesce(F.sum(f"_t_{name}").over(wprev), F.lit(0)).alias(f"_p_{name}")
+            for name in sums
+        ],
+    )
+    out = loc.join(F.broadcast(off), [*keys, STITCH_BUCKET])
+    for name in sums:
+        out = out.withColumn(f"_cum_{name}", F.col(f"_l_{name}") + F.col(f"_p_{name}"))
+        out = out.drop(f"_l_{name}", f"_p_{name}")
+    return out.drop(STITCH_BUCKET)
