@@ -242,15 +242,21 @@ def minhash_signatures(hashed: DataFrame) -> DataFrame:
     )
 
 
-def band_hashes(hashed: DataFrame) -> DataFrame:
+def band_hashes(hashed: DataFrame | None = None, sig: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0=hashed shingle) → stacked LSH band table
     (doc_id, band_idx, band_hash): 32 universal-hash minhashes folded into
     N_BANDS band hashes (Horner fold mod P), exploded one row per band.
     Shared by the batch near-dup query, the incremental (streaming) deduper,
     and — term for term — the DuckDB oracle SQL. Band-hash collisions across
     genuinely different signatures (~birthday over 2^31) only add candidate
-    pairs, which the exact-Jaccard re-rank then discards."""
-    sig = minhash_signatures(hashed)
+    pairs, which the exact-Jaccard re-rank then discards.
+
+    Pass ``sig`` (a precomputed minhash_signatures frame) to fold from it
+    directly — a caller that needs both signatures and bands (the estimator
+    -quality audit) should aggregate the big shingle table ONCE and share
+    the result, not pay the 32-min groupBy twice."""
+    if sig is None:
+        sig = minhash_signatures(hashed)
     band_cols = []
     for b in range(N_BANDS):
         acc: Column = F.lit(7)
@@ -375,12 +381,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_lsh_jaccard(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    """The MinHash+LSH verified-pair builder behind dedup_minhash_lsh and
-    dedup_survivors_lsh: band-join candidates re-ranked by exact Jaccard,
-    returned as an eagerly checkpointed (doc_a, doc_b, jaccard) frame with
-    ``jaccard >= threshold``. Checkpointing materializes the small result so
-    the big shared shingle-hash cache can be released before returning."""
+def _minhash_lsh_jaccard(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float,
+    return_signatures: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """The MinHash+LSH verified-pair builder behind dedup_minhash_lsh,
+    dedup_survivors_lsh and the estimator-quality audit: band-join
+    candidates re-ranked by exact Jaccard, returned as an eagerly
+    checkpointed (doc_a, doc_b, jaccard) frame with ``jaccard >=
+    threshold``. Checkpointing materializes the small result so the big
+    shared shingle-hash cache can be released before returning. With
+    ``return_signatures`` also returns the per-doc minhash signature table
+    (checkpointed): the audit reuses the SAME aggregation the banding was
+    folded from rather than re-running the 32-min groupBy (r6 verdict #5).
+    """
     # persist() the shared shingle-hash table for the DURATION OF THE BUILD
     # only: the small final result is eagerly checkpointed below, then the
     # cache is released in the finally — full reuse across the four
@@ -392,19 +408,40 @@ def _minhash_lsh_jaccard(spark: SparkSession, sf_dir: str, threshold: float) -> 
         "doc_id", shingle_h0(F.col("shingle")).alias("h0")
     ).persist()
     try:
-        stacked = band_hashes(hashed)
+        sig = minhash_signatures(hashed)
+        if return_signatures:
+            # one doc-bounded row per doc; materialized so it survives the
+            # cache release AND so the banding below folds from it for free
+            sig = sig.localCheckpoint(eager=True)
+        stacked = band_hashes(sig=sig)
         left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+        # eagerly materialized: the candidate set feeds THREE consumers below
+        # (the broadcast doc-id prune + both sides of the re-rank) — without
+        # the checkpoint each consumer re-executes the band self-join
         candidates = (
             left.join(right, ["band_idx", "band_hash"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .dropDuplicates()
+            .localCheckpoint(eager=True)
         )
-        # exact-Jaccard re-rank on candidates only, joining on the long keys
-        counts = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        a = hashed.select(F.col("doc_id").alias("doc_a"), "h0")
-        b = hashed.select(F.col("doc_id").alias("doc_b"), "h0")
+        # Exact-Jaccard re-rank on candidates only, joining on the long
+        # keys. The shingle table is first pruned to docs that appear in
+        # ANY candidate pair (broadcast semi-join — candidate docs are the
+        # near-dup-involved subset, bounded by the LSH collision load):
+        # without this, both re-rank joins shuffle EVERY doc's shingles
+        # only to drop the non-candidates at the join — at sf≈10 that is
+        # the dominant shuffle of the whole query (r6 verdict #5).
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .dropDuplicates()
+        )
+        sh = hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "h0")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "h0")
         inter = (
             candidates.join(a, "doc_a")
             .join(b, ["doc_b", "h0"])
@@ -425,9 +462,10 @@ def _minhash_lsh_jaccard(spark: SparkSession, sf_dir: str, threshold: float) -> 
                 ).alias("jaccard"),
             )
         )
-        return spark_jaccard.filter(F.col("jaccard") >= threshold).localCheckpoint(
+        pairs = spark_jaccard.filter(F.col("jaccard") >= threshold).localCheckpoint(
             eager=True
         )
+        return (pairs, sig) if return_signatures else pairs
     finally:
         hashed.unpersist()
 
@@ -1052,74 +1090,40 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     the error distribution tells you whether 32 components suffice for the
     corpus' similarity regime (E[err] ~ sqrt(J(1-J)/32) ≈ 0.09 at J=0.5).
 
-    Scale shape: identical to dedup_minhash_lsh (band equi-join candidates,
-    exact re-rank on candidates only) plus one signature self-join on the
-    candidate keys — signatures are one row per doc, so the extra join is
-    doc-bounded, and the component-agreement sum is a codegen'd 32-term
-    expression, not an array loop. All arithmetic is integer/modular with
+    Scale shape (r6 verdict #5 rework): the verified-pair set and the
+    signature table both come from the SHARED builder — one shingle-hash
+    pass, one 32-min signature aggregation (the banding Horner-folds from
+    it), exact Jaccard restricted to candidate docs via broadcast semi-join
+    BEFORE the shingle re-rank joins. On top of that the audit itself adds
+    only two doc-bounded signature joins on the verified pairs and a
+    codegen'd 32-term agreement sum — its marginal cost over
+    dedup_minhash_lsh is pair-set-sized, so the sf≈10 ratio is the pair
+    load's, not a second pipeline's. All arithmetic is integer/modular with
     one exact division, so the oracle matches to the bit."""
-    hashed = shingle_pairs(spark, sf_dir).select(
-        "doc_id", shingle_h0(F.col("shingle")).alias("h0")
-    ).persist()
-    try:
-        sig = minhash_signatures(hashed)
-        stacked = band_hashes(hashed)
-        left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-        right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-        candidates = (
-            left.join(right, ["band_idx", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .dropDuplicates()
-        )
-        counts = hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        a = hashed.select(F.col("doc_id").alias("doc_a"), "h0")
-        b = hashed.select(F.col("doc_id").alias("doc_b"), "h0")
-        inter = (
-            candidates.join(a, "doc_a")
-            .join(b, ["doc_b", "h0"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-        cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-        exact = (
-            inter.join(ca, "doc_a")
-            .join(cb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("n_common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-                ).alias("jaccard"),
-            )
-            .filter(F.col("jaccard") >= 0.3)
-        )
-        sig_a = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
-        )
-        sig_b = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
-        )
-        n_match = sum(
-            [
-                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-                for i in range(N_MINHASHES)
-            ],
-            F.lit(0),
-        )
-        est = exact.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
-            "doc_a",
-            "doc_b",
-            (n_match.cast("double") / float(N_MINHASHES)).alias("est_jaccard"),
-            "jaccard",
-            F.abs(
-                n_match.cast("double") / float(N_MINHASHES) - F.col("jaccard")
-            ).alias("abs_err"),
-        )
-        return est.localCheckpoint(eager=True)
-    finally:
-        hashed.unpersist()
+    pairs, sig = _minhash_lsh_jaccard(
+        spark, sf_dir, threshold=0.3, return_signatures=True
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
+    )
+    n_match = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(N_MINHASHES)
+        ],
+        F.lit(0),
+    )
+    return pairs.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (n_match.cast("double") / float(N_MINHASHES)).alias("est_jaccard"),
+        "jaccard",
+        F.abs(
+            n_match.cast("double") / float(N_MINHASHES) - F.col("jaccard")
+        ).alias("abs_err"),
+    )
