@@ -281,7 +281,7 @@ def bench_streaming(
             }
         )
 
-    def run_source(fmt: str, make_line) -> dict:
+    def run_source(fmt: str, make_line, files_per_trigger: int = 1) -> dict:
         root = tempfile.mkdtemp(prefix=f"stream-bench-{fmt}-")
         try:
             events_dir = os.path.join(root, "events")
@@ -311,7 +311,7 @@ def bench_streaming(
                 mappings={"db.t": mapping},
                 checkpoint_dir=os.path.join(root, "ckpt"),
                 source_format=fmt,
-                max_files_per_trigger=1,
+                max_files_per_trigger=files_per_trigger,
             )
             srv = StatusServer(pipe, port=0).start()
             try:
@@ -350,10 +350,17 @@ def bench_streaming(
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
-    return {
+    out = {
         "jsonl": run_source("jsonl", jsonl_line),
         "debezium": run_source("debezium", debezium_line),
     }
+    # throughput mode: same 40k events, ONE availableNow trigger admitting
+    # all files — the production regime where the ~1.7 s per-trigger fixed
+    # cost (PLANS.md streaming-floor table) amortizes over 8x the rows.
+    # batch p50 is the single batch's duration there; sustained ev/s is the
+    # number, set against the per-batch-latency rows above.
+    out["jsonl_throughput"] = run_source("jsonl", jsonl_line, files_per_trigger=16)
+    return out
 
 
 def bench_partition_pruning(spark, sf_dir: str) -> dict:
