@@ -436,10 +436,15 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
             shutil.rmtree(staging, ignore_errors=True)
             # materialize the new base OUTSIDE the live dir, then swap via
             # two renames (each atomic; _maybe_recover finishes a crash
-            # between them from the staged _SUCCESS marker)
+            # between them from the staged _SUCCESS marker). The partition
+            # count is pinned to n_buckets explicitly: compaction often
+            # fires from inside the kernel's small-batch regime (4 shuffle
+            # partitions, AQE off) and must not inherit that sizing for a
+            # full-table rewrite — one task per bucket, whatever the
+            # session conf says.
             (
                 state.withColumn(BUCKET_COL, self._bucket(pk_cols))
-                .repartition(BUCKET_COL)
+                .repartition(self.n_buckets, BUCKET_COL)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(staging)
