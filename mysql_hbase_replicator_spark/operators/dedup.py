@@ -407,6 +407,7 @@ def _minhash_lsh_jaccard(
     hashed = shingle_pairs(spark, sf_dir).select(
         "doc_id", shingle_h0(F.col("shingle")).alias("h0")
     ).persist()
+    candidates = None
     try:
         sig = minhash_signatures(hashed)
         if return_signatures:
@@ -416,15 +417,17 @@ def _minhash_lsh_jaccard(
         stacked = band_hashes(sig=sig)
         left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
         right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-        # eagerly materialized: the candidate set feeds THREE consumers below
-        # (the broadcast doc-id prune + both sides of the re-rank) — without
-        # the checkpoint each consumer re-executes the band self-join
+        # cached: the candidate set feeds THREE consumers below (the
+        # broadcast doc-id prune + both sides of the re-rank) — without the
+        # cache each consumer re-executes the band self-join. persist (not
+        # localCheckpoint): released in the finally, so repeated invocations
+        # don't accumulate block-manager residue
         candidates = (
             left.join(right, ["band_idx", "band_hash"])
             .filter(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .dropDuplicates()
-            .localCheckpoint(eager=True)
+            .persist()
         )
         # Exact-Jaccard re-rank on candidates only, joining on the long
         # keys. The shingle table is first pruned to docs that appear in
@@ -467,6 +470,8 @@ def _minhash_lsh_jaccard(
         )
         return (pairs, sig) if return_signatures else pairs
     finally:
+        if candidates is not None:
+            candidates.unpersist()
         hashed.unpersist()
 
 

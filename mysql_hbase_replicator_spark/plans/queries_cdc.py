@@ -360,3 +360,62 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "after_type",
         "after_value",
     )
+
+
+@query(
+    "cdc_lsm_merge_on_read",
+    oracle="""
+    SELECT user_id, value AS current_value, event_id AS applied_event_id,
+           STRFTIME(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')
+             AS applied_day
+    FROM (
+        SELECT user_id, event_type, value, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_lsm_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LogStructuredKeyedStore read invariant (operators/merge.py, r7),
+    stated declaratively: folding the stream as per-batch K5 collapses and
+    then collapsing the batch results by append order must equal one flat
+    last-image-per-key fold — fold(fold(batches)) == fold(stream). That
+    associativity is exactly what makes delta appends + last-wins
+    reconstruction equivalent to the rewrite store's eager MERGE (and what
+    makes replayed batches idempotent: a duplicate delta loses to itself).
+
+    Engine side computes the TWO-LEVEL path the LSM store executes — events
+    batched by day (monotone in stream order, like delta seq numbers),
+    last action per (key, batch), then last batch's action per key, deletes
+    ('error' events) dropped; the oracle computes the flat single-level
+    fold. Matching value hashes prove the composition law on real data.
+    Scale shape: both windows are WindowGroupLimit top-1 per key — the
+    inner one partitioned (key, day) so no day ever sorts another day's
+    rows, the outer over one row per (key, day)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "_day", F.to_date("ts")
+    )
+    w_batch = Window.partitionBy("user_id", "_day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    per_batch = (
+        e.withColumn("_rn", F.row_number().over(w_batch))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    w_read = Window.partitionBy("user_id").orderBy(
+        F.desc("_day"), F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        per_batch.withColumn("_rn", F.row_number().over(w_read))
+        .filter((F.col("_rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("value").alias("current_value"),
+            F.col("event_id").alias("applied_event_id"),
+            F.date_format("_day", "yyyy-MM-dd").alias("applied_day"),
+        )
+    )
