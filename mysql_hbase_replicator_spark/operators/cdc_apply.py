@@ -283,6 +283,7 @@ def apply_cdc_batch(
         mapped = set(mappings)
         tables_in_batch = set()
         dead_counts: dict[str, int] = {}
+        row_counts: dict[str, int] = {}
         n_row_events = 0
         for r in stats:
             if r["op"] not in ROW_OPS:
@@ -293,6 +294,9 @@ def apply_cdc_batch(
                 tables_in_batch.add(r["_full_name"])
                 dead_counts[r["_full_name"]] = (
                     dead_counts.get(r["_full_name"], 0) + r["n_dead"]
+                )
+                row_counts[r["_full_name"]] = (
+                    row_counts.get(r["_full_name"], 0) + r["n"]
                 )
             else:
                 result.skipped_unmapped += r["n"]
@@ -320,6 +324,8 @@ def apply_cdc_batch(
                     result,
                     n_dead=dead_counts.get(full_name, 0),
                     small=small,
+                    n_valid=row_counts.get(full_name, 0)
+                    - dead_counts.get(full_name, 0),
                 )
                 result.apply_latency_s[f"apply:{full_name}"] = _time.perf_counter() - t0
         finally:
@@ -372,6 +378,7 @@ def _apply_table(
     result: CdcBatchResult,
     n_dead: int = -1,
     small: bool = False,
+    n_valid: int = -1,
 ) -> None:
     # Small-batch regime: the action-expansion union below reads this frame
     # once per branch (3 branches), so a 32-partition micro-batch cache turns
@@ -424,6 +431,12 @@ def _apply_table(
             F.col("filename"),
         ).write.mode("append").parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
     ev = ev.filter(F.col("_valid"))
+    if n_valid == 0:
+        # every event for this table was dead-lettered: there is nothing to
+        # merge, and the count is already known from the batch-stats pass —
+        # skip the collapse + store write (the LSM store would otherwise
+        # append an empty delta per all-dead batch)
+        return
 
     # --- expand events into keyed actions ----------------------------------
     def upsert_from_after(src: DataFrame) -> DataFrame:
