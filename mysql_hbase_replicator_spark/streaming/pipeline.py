@@ -135,20 +135,37 @@ class CdcStreamPipeline:
                 parse_envelopes,
             )
 
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as F
+
             # parse ONCE and persist the parsed frame: the dead-letter count,
             # the dead-letter write (rare path), and the event conversion are
             # all projections of the same parse — caching post-parse instead
             # of the raw text means the envelope JSON is decoded once per
-            # batch, not once per downstream action (r6 verdict #3: this plus
-            # the kernel's action cuts closes the Debezium-vs-jsonl gap).
-            parsed = parse_envelopes(batch_df).persist()
+            # batch, not once per downstream action. The corrupt-envelope
+            # COUNT rides the cache materialization itself as an observed
+            # metric (fires when the kernel's first action pulls the cache),
+            # so the happy path pays ZERO dedicated ingest actions — the
+            # dead-letter write+overflow check run after the kernel, only
+            # when the metric is non-zero; a replay after the resulting
+            # query kill re-applies idempotently (r6 verdict #3).
+            obs = Observation()
+            bad = F.col("value").isNotNull() & F.col("_op").isNull()
+            parsed = (
+                parse_envelopes(batch_df)
+                .observe(obs, F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"))
+                .persist()
+            )
             try:
-                dead = debezium_dead_letters(parsed=parsed)
-                n_ingest_dead = dead.count()
+                # inside foreachBatch the frame is a plain batch, so the
+                # order-preserving rank seq applies per micro-batch
+                batch_df = debezium_to_cdc_events(parsed=parsed)
+                result = self._apply_kernel(batch_df)
+                n_ingest_dead = int(obs.get["n_bad"] or 0)
                 if n_ingest_dead:
-                    dead.write.mode("append").parquet(
-                        os.path.join(self.store.base_dir, DEAD_LETTER_TABLE)
-                    )
+                    debezium_dead_letters(parsed=parsed).write.mode(
+                        "append"
+                    ).parquet(os.path.join(self.store.base_dir, DEAD_LETTER_TABLE))
                 if (
                     self.max_dead_letter is not None
                     and n_ingest_dead > self.max_dead_letter
@@ -157,10 +174,6 @@ class CdcStreamPipeline:
                         f"ingest dead-letter count {n_ingest_dead} exceeds "
                         f"max_dead_letter={self.max_dead_letter}"
                     )
-                # inside foreachBatch the frame is a plain batch, so the
-                # order-preserving rank seq applies per micro-batch
-                batch_df = debezium_to_cdc_events(parsed=parsed)
-                result = self._apply_kernel(batch_df)
             finally:
                 parsed.unpersist()
         else:
