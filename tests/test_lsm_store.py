@@ -270,3 +270,33 @@ def test_lsm_streaming_pipeline_end_to_end(
         "mixfs.student.insert": 1,
         "mixfs.student.update": 1,
     }
+
+
+def test_lsm_concurrent_compaction_serializes(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """Two simultaneous compact() calls (each with its own lock fd, as two
+    processes would hold) must serialize on the flock: one folds the
+    deltas, the other sees none left and no-ops — state intact either way."""
+    import threading
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2])
+    want = state(spark, lsm)
+    results, errors = [], []
+
+    def run():
+        try:
+            results.append(lsm.compact(spark, TABLE))
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors
+    assert sorted(results) == [False, True]  # exactly one did the work
+    assert lsm._delta_seqs(TABLE) == []
+    assert state(spark, lsm) == want
