@@ -1328,3 +1328,91 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gram_jaccard"), "source_a", "source_b")
         .limit(50)
     )
+
+
+# Heavy hitters: share threshold 1/K_THRESH of all token occurrences; the
+# per-partition Misra-Gries summary keeps K_CAP counters. K_CAP >= K_THRESH
+# guarantees the candidate union is a SUPERSET of the true heavy hitters:
+# pigeonhole says a term with global count > N/K_THRESH exceeds
+# N_p/K_THRESH in at least one partition p, and a capacity-K_CAP summary
+# retains every term with local count > N_p/(K_CAP+1) <= N_p/K_THRESH.
+# The 2x margin costs only candidate-set size, never correctness — the
+# exact recount filters.
+HH_K_THRESH = 200
+HH_K_CAP = 400
+
+
+@query(
+    "corpus_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+        SELECT u.term
+        FROM (SELECT STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(t) AS u(term)
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM toks
+    GROUP BY term
+    HAVING COUNT(*) * {HH_K_THRESH} > (SELECT n FROM tot)
+    """,
+)
+def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-token heavy hitters (count > N/HH_K_THRESH) by the classic
+    two-phase sketch-then-verify pattern — the shape that survives a 100 TB
+    corpus where the naive plan shuffles every (term, count) pair:
+
+    1. SKETCH: one Arrow `mapInPandas` pass runs a mergeable Misra-Gries
+       summary (Agarwal et al., "Mergeable Summaries") of K_CAP counters
+       PER INPUT PARTITION — vectorized (value_counts per batch, merge,
+       subtract the (K_CAP+1)-th largest, drop <=0), state held across the
+       partition's batch iterator, output <= K_CAP candidate terms per
+       partition. No shuffle at all in this phase.
+    2. VERIFY: the candidate union (bounded by K_CAP x partitions —
+       broadcastable at any scale) left-semi prunes the token stream, and
+       only candidate terms are exactly recounted; the threshold compare is
+       integer-exact (count*K > N, bigints on both engines).
+
+    Because the sketch union provably contains every true heavy hitter
+    (K_CAP >= K_THRESH, see constants above), the verified output is
+    EXACTLY the brute-force answer — which is what the DuckDB oracle
+    computes, so the approximate path is value-hash-checked, not trusted.
+    The only Python is the per-partition counter dict, behind Arrow; the
+    token stream itself is never collected or globally shuffled by term
+    except for the candidate-pruned recount."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("term"))
+
+    def mg_partition(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            counts = pdf["term"].value_counts()
+            counters = counters.add(counts, fill_value=0)
+            if len(counters) > HH_K_CAP:
+                cut = counters.nlargest(HH_K_CAP + 1).iloc[-1]
+                counters = counters - cut
+                counters = counters[counters > 0]
+        yield pd.DataFrame({"term": counters.index.astype(str)})
+
+    candidates = toks.mapInPandas(mg_partition, "term string").dropDuplicates()
+    n = d.select(F.explode(F.split(F.col("text"), " ")).alias("t")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    recount = (
+        toks.join(F.broadcast(candidates), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        recount.crossJoin(F.broadcast(n))
+        .filter(F.col("n_occurrences") * HH_K_THRESH > F.col("n_total"))
+        .select(
+            "term",
+            "n_occurrences",
+            (F.col("n_occurrences").cast("double") / F.col("n_total")).alias("share"),
+        )
+    )
