@@ -61,10 +61,36 @@ def _last_verified_round() -> dict[str, int]:
     return last
 
 
+def _touched_this_round() -> set[str]:
+    """Query names listed in REVERIFY.txt — queries whose IMPLEMENTATION
+    changed since their latest driver-green record (the builder maintains
+    the file each round; '#' comments allowed). They sort immediately after
+    never-verified queries so a rewrite is always re-validated by the next
+    driver sample instead of coasting on a stale green row."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "REVERIFY.txt")
+    try:
+        with open(path) as f:
+            return {
+                line.strip()
+                for line in f
+                if line.strip() and not line.startswith("#")
+            }
+    except OSError:
+        return set()
+
+
 def _staleness_ordered(names) -> list[str]:
     last = _last_verified_round()
+    touched = _touched_this_round()
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (last.get(n, 0), order[n]))
+
+    def rank(n: str) -> float:
+        r = last.get(n, 0)
+        if r and n in touched:
+            return 0.5  # rewritten since its green row: right after never-verified
+        return r
+
+    return sorted(names, key=lambda n: (rank(n), order[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
