@@ -74,7 +74,8 @@ def main() -> None:
             i += 1
     if not pairs:
         pairs = [("~1", "/tmp/sf1"), ("~10", "/tmp/sf10")]
-    names = [n for n in QUERIES if only is None or n in only]
+    # --only accepts ANY registered query name, not just the default set
+    names = list(QUERIES) if only is None else sorted(only)
 
     local_dir = "/tmp/spark-local-reprobe"
     os.makedirs(local_dir, exist_ok=True)
