@@ -300,3 +300,49 @@ def test_lsm_concurrent_compaction_serializes(
     assert sorted(results) == [False, True]  # exactly one did the work
     assert lsm._delta_seqs(TABLE) == []
     assert state(spark, lsm) == want
+
+
+def test_lsm_kernel_schema_evolution(spark, tmp_path, student_struct, student_mapping):
+    """Additive schema evolution THROUGH the CDC kernel on the LSM store: a
+    mapping that grows a column mid-stream backfills null for rows written
+    before it existed — the rewrite store's test_cdc_apply contract,
+    reconstructed on read here."""
+    from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
+    from pyspark.sql import types as T
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
+
+    wide_mapping = HbaseTableInfo(
+        dbName="mixfs", dbTableName="student", hbaseTableName="mixfs:student2",
+        hbaseNameSpace="mixfs", sparkTableName="student2", bytesUtils="Binary",
+        cols=[*student_mapping.cols,
+              HbaseCollInfo("extra", "int(11)", "extra", "IntegerType", False)],
+    )
+    wide_struct = T.StructType(
+        [*student_struct.fields, T.StructField("extra", T.IntegerType())]
+    )
+    ev = {**row(7, 7, 50, "new", "n"), "extra": 42}
+    apply_cdc_batch(
+        spark,
+        events_from_rows(
+            spark,
+            [{"position": 99, "op": "insert", "db": "mixfs", "table": "student",
+              "before": None, "after": ev}],
+            wide_struct,
+        ),
+        lsm,
+        {"mixfs.student": wide_mapping},
+    )
+    got = {
+        (r["sn"], r["id"]): r["extra"]
+        for r in lsm.read(spark, TABLE).collect()
+    }
+    assert got[(7, 7)] == 42
+    assert got[(1, 1)] is None  # pre-evolution rows backfill null
+    # compaction bakes the widened schema in without losing the value
+    lsm.compact(spark, TABLE)
+    got2 = {
+        (r["sn"], r["id"]): r["extra"] for r in lsm.read(spark, TABLE).collect()
+    }
+    assert got2 == got
