@@ -61,7 +61,13 @@ CHECKPOINT_FILE = "_checkpoint.json"
 # this many row events the batch's plans are TINY (a few thousand rows per
 # shuffle), and the per-action fixed costs — AQE's per-stage re-optimization
 # rounds, 32-partition shuffles, the collapse-cache materialization — cost
-# more wall-clock than they save. Small batches therefore run with AQE off,
+# more wall-clock than they save. The switch SETS SESSION CONF for the
+# duration of the per-table applies (restored in a finally): callers running
+# UNRELATED queries concurrently on the same SparkSession may plan under the
+# small-batch conf — harmless for correctness, suboptimal for a large
+# concurrent query. A pipeline owns its session in every supported
+# deployment shape; give concurrent heterogeneous workloads their own
+# session (getOrCreate().newSession()) if that ever changes. Small batches therefore run with AQE off,
 # a handful of shuffle partitions, and no collapse persist (recomputing a
 # 5k-row window inside the merge's two actions is cheaper than a dedicated
 # materialization action). Large batches (backfills, the 200k-event kernel
