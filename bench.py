@@ -572,22 +572,29 @@ def bench_cdc_throughput(spark, n_events: int = 200_000, reps: int = 2) -> dict:
             F.lit(None).cast("array<string>").alias("included_after"),
         )
 
-    def run_once(n: int) -> float:
+    from mysql_hbase_replicator_spark.operators.merge import LogStructuredKeyedStore
+
+    def run_once(n: int, store_cls) -> float:
         tmp = tempfile.mkdtemp(prefix="cdc-bench-")
         try:
-            store = ParquetKeyedStore(tmp, n_buckets=32)
+            store = store_cls(tmp, n_buckets=32)
             t0 = time.time()
             apply_cdc_batch(spark, make_events(n), store, {"db.t": mapping})
             return time.time() - t0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
-    run_once(1000)  # warmup: compile the kernel's codegen stages once
-    dt = min(run_once(n_events) for _ in range(reps))
+    run_once(1000, ParquetKeyedStore)  # warmup: compile the codegen stages once
+    dt = min(run_once(n_events, ParquetKeyedStore) for _ in range(reps))
+    # same kernel through the LSM store: the merge becomes one delta append
+    # (the write path the streaming pipeline runs)
+    dt_lsm = min(run_once(n_events, LogStructuredKeyedStore) for _ in range(reps))
     return {
         "events": n_events,
         "sec": round(dt, 3),
         "events_per_sec": int(n_events / dt),
+        "lsm_sec": round(dt_lsm, 3),
+        "lsm_events_per_sec": int(n_events / dt_lsm),
     }
 
 
