@@ -1416,3 +1416,75 @@ def corpus_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_occurrences").cast("double") / F.col("n_total")).alias("share"),
         )
     )
+
+
+# Weight-proportional sampling: tickets per doc = clamp(ceil(n_chars/100),
+# 1, 64); every ticket draws an md5 60-bit key and the doc keeps its MIN —
+# a doc with twice the tickets has twice the chances at any low key, so
+# bottom-K docs by min-ticket-key is a deterministic weighted sample
+# (min-wise/ticketed sampling, the integer-exact cousin of the A-ES
+# exponential race: no ln()/pow(), whose last-ulp differences across
+# engines could flip a boundary selection — the same exactness rule that
+# keeps tf-idf log-free).
+SAMPLE_WEIGHTED_K = 300
+_SW_TICKET_DIV = 100
+_SW_MAX_TICKETS = 64
+
+
+@query(
+    "sample_weighted_length",
+    oracle=f"""
+    WITH ticks AS (
+        SELECT doc_id, lang, n_chars,
+               LEAST(GREATEST(CAST(CEIL(n_chars / {_SW_TICKET_DIV}.0) AS BIGINT),
+                              1), {_SW_MAX_TICKETS}) AS w
+        FROM documents
+    ),
+    exploded AS (
+        SELECT doc_id, lang, n_chars, u.t
+        FROM ticks, UNNEST(RANGE(0, w)) AS u(t)
+    ),
+    keyed AS (
+        SELECT doc_id, lang, n_chars,
+               MIN({_sql_hash60("wsamp:", "doc_id || ':' || t")}) AS sample_key
+        FROM exploded GROUP BY doc_id, lang, n_chars
+    )
+    SELECT doc_id, lang, CAST(n_chars AS INT) AS n_chars, sample_key
+    FROM keyed ORDER BY sample_key, doc_id LIMIT {SAMPLE_WEIGHTED_K}
+    """,
+)
+def sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted corpus subsample (inclusion chance ∝ document size,
+    the shape quality- or token-budget-weighted selection takes when a
+    mixture recipe says 'sample N docs, prefer substantial ones').
+
+    Scale shape: the ticket explode is bounded ×64 per doc, the min-key
+    collapse combines map-side, and the final bottom-K is orderBy+limit —
+    TakeOrderedAndProject, a per-partition heap + driver merge of K rows,
+    never a global sort. Every term is md5/integer arithmetic, so the
+    DuckDB oracle replicates the draw bit for bit (a float exponential
+    race would be 1-ulp-portable at best)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = F.least(
+        F.greatest(F.ceil(F.col("n_chars") / _SW_TICKET_DIV), F.lit(1)),
+        F.lit(_SW_MAX_TICKETS),
+    ).cast("int")
+    tick = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), w - 1)).alias("t"),
+    )
+    key = hash60("wsamp:", F.concat_ws(":", F.col("doc_id"), F.col("t")))
+    return (
+        tick.groupBy("doc_id", "lang", "n_chars")
+        .agg(F.min(key).alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(SAMPLE_WEIGHTED_K)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_chars").cast("int").alias("n_chars"),
+            "sample_key",
+        )
+    )

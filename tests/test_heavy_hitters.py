@@ -83,3 +83,21 @@ def test_heavy_hitters_query_equals_brute_force(spark):
         .collect()
     }
     assert got == want and got
+
+
+def test_weighted_sample_prefers_long_docs(spark):
+    """sample_weighted_length's inclusion chance must actually track length:
+    the selected docs' mean n_chars exceeds the corpus mean (deterministic
+    on the fixed test corpus)."""
+    from mysql_hbase_replicator_spark.plans.queries_corpus import (
+        sample_weighted_length,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    sel = sample_weighted_length(spark, sf)
+    m_sel = sel.agg(F.avg("n_chars")).first()[0]
+    m_all = (
+        load_table(spark, sf, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert m_sel > m_all, (m_sel, m_all)
