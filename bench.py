@@ -22,6 +22,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The 24-query set shared with BENCH_r01 (the de-facto baseline): the
+# compact stdout line reports exactly these so every round's driver record
+# stays directly comparable to r1's 24.74 s total.
+BASELINE24 = [
+    "flagship_shipping_priority", "agg_pricing_summary", "agg_rollup",
+    "agg_count_distinct", "agg_percentiles", "join_broadcast_dim",
+    "join_left_outer_histogram", "join_asof", "join_skew_salted",
+    "window_row_number_topn", "cdc_last_image_per_key", "sort_topk",
+    "dedup_exact", "dedup_minhash_lsh", "similarity_topk_cosine",
+    "similarity_ann_ivf", "multimodal_decode_stats",
+    "multimodal_frame_sample", "text_fingerprint", "text_token_count",
+    "events_tumbling_window", "events_session_window",
+    "udtf_apply_in_pandas_gaps", "pipeline_training_prep",
+]
+
 HEADLINE = [
     "flagship_shipping_priority",
     "agg_pricing_summary",
@@ -184,7 +199,7 @@ def main() -> None:
     skew = bench_skew_salting(spark) if "--skew" in sys.argv[1:] else None
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    out = {
+    full = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
@@ -195,8 +210,36 @@ def main() -> None:
         "streaming": streaming,
     }
     if skew is not None:
-        out["skew_smj"] = skew
-    print(json.dumps(out))
+        full["skew_smj"] = skew
+    # Full detail goes to a file: the driver records only the LAST ~2000
+    # chars of stdout, and the 92-query timings dict alone exceeds that
+    # (BENCH_r06/r07 both recorded parsed:null for this exact reason). The
+    # single stdout JSON line below is the driver contract — kept compact:
+    # the 24 queries shared with the r1 de-facto baseline (value = their
+    # total, directly comparable to r1's 24.74 s) plus summary scalars for
+    # everything else; BENCH_FULL.json carries all per-query timings.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+    base24 = {n: timings[n] for n in BASELINE24 if n in timings}
+    compact = {
+        "metric": "baseline24_total",
+        "value": round(sum(base24.values()), 3),
+        "unit": "sec",
+        "queries": base24,
+        "sf": full["sf"],
+        "all_queries_total_sec": full["value"],
+        "n_queries": len(timings),
+        "cdc_ev_s": cdc["events_per_sec"],
+        "cdc_lsm_ev_s": cdc["lsm_events_per_sec"],
+        "stream_jsonl_ev_s": streaming["jsonl"]["events_per_sec"],
+        "stream_debezium_ev_s": streaming["debezium"]["events_per_sec"],
+        "stream_throughput_ev_s": streaming["jsonl_throughput"]["events_per_sec"],
+        "detail": "BENCH_FULL.json",
+    }
+    line = json.dumps(compact)
+    assert len(line) < 1900, f"compact bench line too long ({len(line)} chars)"
+    print(line)
 
 
 def _bench_mapping():

@@ -312,7 +312,22 @@ def apply_cdc_batch(
         )
 
         small = n_row_events < SMALL_BATCH_ROWS
-        prev_conf = {k: spark.conf.get(k, None) for k in SMALL_BATCH_CONF}
+        # snapshot only EXPLICITLY-set conf values: spark.conf.get(k, None)
+        # returns the effective value (Spark's own default when unset), so
+        # restoring from it would pin defaults as explicit session confs
+        # after the first small batch and mask later spark-defaults changes
+        # (ADVICE r7). SQLConf.contains distinguishes set-vs-default; if the
+        # private accessor ever disappears, fall back to the old
+        # pin-the-default behavior (harmless, just sticky).
+        def _explicit(k: str):
+            try:
+                if spark._jsparkSession.sessionState().conf().contains(k):
+                    return spark.conf.get(k)
+                return None
+            except Exception:
+                return spark.conf.get(k, None)
+
+        prev_conf = {k: _explicit(k) for k in SMALL_BATCH_CONF}
         try:
             if small:
                 for k, v in SMALL_BATCH_CONF.items():

@@ -305,10 +305,39 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
     def _old_path(self, name: str) -> str:
         return self.table_path(name) + ".pre-compact"
 
+    def _lock_path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f".{name.replace(':', '_')}.compact.lock")
+
     def _maybe_recover(self, name: str) -> None:
-        """Finish a compaction swap interrupted between renames: a completed
-        staging dir (has _SUCCESS) with no live table dir is the new truth;
-        a leftover .pre-compact dir is garbage either way."""
+        """Finish a compaction swap interrupted between renames — but ONLY
+        under the same per-table flock ``compact()`` holds. A lock-free
+        recovery racing a live compaction could rmtree the compactor's
+        completed staging dir, or worse destroy ``.pre-compact`` while it is
+        the only surviving copy of the table (ADVICE r7). The probe is
+        non-blocking: if another process holds the lock, a compaction is in
+        flight and its swap protocol owns staging/.pre-compact — skip."""
+        import fcntl
+
+        if not (
+            os.path.isdir(self._staging_path(name)) or os.path.isdir(self._old_path(name))
+        ):
+            return  # nothing to recover; skip the lock syscall on the hot path
+        os.makedirs(self.base_dir, exist_ok=True)
+        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return  # compactor active (any process, incl. this one)
+            self._recover_locked(name)
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _recover_locked(self, name: str) -> None:
+        """The actual recovery protocol; caller must hold the compact flock.
+        A completed staging dir (has _SUCCESS) with no live table dir is the
+        new truth; a leftover .pre-compact dir is garbage either way."""
         staging, live, old = (
             self._staging_path(name),
             self.table_path(name),
@@ -342,8 +371,23 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         actions.write.mode("overwrite").parquet(out)
         # registry schema = the SINK schema (no _kind: that column exists
         # only inside delta files; leaking it into the registry would make
-        # base reads surface a phantom null column)
-        self._write_schema(name, actions.drop(KIND_COL).schema, pk_cols)
+        # base reads surface a phantom null column) UNIONED with whatever
+        # the registry already recorded: if a source stops sending a column,
+        # overwriting with only the current batch's (narrower) schema would
+        # silently null that column on base reads and the next compact()
+        # would drop it permanently — the rewrite store preserves dropped
+        # columns via unionByName(allowMissingColumns=True), and this is the
+        # LSM analog (ADVICE r7)
+        new_schema = actions.drop(KIND_COL).schema
+        prev = self._read_schema(name)
+        if prev is not None:
+            new_names = set(new_schema.names)
+            merged = list(new_schema.fields) + [
+                f for f in prev.fields
+                if f.name not in new_names and f.name not in (BUCKET_COL, KIND_COL)
+            ]
+            new_schema = T.StructType(merged)
+        self._write_schema(name, new_schema, pk_cols)
         if len(seqs) + 1 >= self.compact_every:
             self.compact(spark, name)
 
@@ -419,11 +463,13 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         import fcntl
 
         os.makedirs(self.base_dir, exist_ok=True)
-        lock_path = os.path.join(self.base_dir, f".{name.replace(':', '_')}.compact.lock")
-        fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
-            self._maybe_recover(name)
+            # already under the flock: run the recovery protocol directly
+            # (_maybe_recover's non-blocking probe would see the lock held
+            # and skip)
+            self._recover_locked(name)
             if not self._delta_seqs(name) or not self._has_delta_files(name):
                 return False
             pk_cols = self._read_pk_cols(name)

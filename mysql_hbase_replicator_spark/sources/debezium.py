@@ -108,6 +108,8 @@ def debezium_to_cdc_events(
       arrival ties are NOT broken — pass the source's offset instead).
     """
     if parsed is None:
+        if raw is None:
+            raise ValueError("debezium_to_cdc_events: pass raw or parsed")
         parsed = _parsed(raw, value_col)
     env = parsed.filter(F.col("_op").isNotNull())
     if seq_col is not None:
@@ -147,6 +149,8 @@ def debezium_dead_letters(
     Tombstones (null payloads) are NOT dead letters: they are a documented
     part of the protocol and carry no information to replay."""
     if parsed is None:
+        if raw is None:
+            raise ValueError("debezium_dead_letters: pass raw or parsed")
         parsed = _parsed(raw, value_col)
     bad = parsed.filter(F.col(value_col).isNotNull() & F.col("_op").isNull())
     return bad.select(

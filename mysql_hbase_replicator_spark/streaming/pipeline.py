@@ -156,24 +156,40 @@ class CdcStreamPipeline:
                 .observe(obs, F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"))
                 .persist()
             )
+
+            def write_dead_letters() -> None:
+                debezium_dead_letters(parsed=parsed).write.mode("append").parquet(
+                    os.path.join(self.store.base_dir, DEAD_LETTER_TABLE)
+                )
+
             try:
+                if self.max_dead_letter is not None:
+                    # pre-apply containment (K6, ADVICE r7): when a cap is
+                    # configured, count corrupt envelopes BEFORE the kernel
+                    # runs so a poisoned batch is rejected before any store
+                    # mutation or checkpoint commit — otherwise the batch
+                    # commits, the stream dies, and every restart replays +
+                    # re-commits + re-raises with the bad data already
+                    # applied. The count is the one extra action the cap
+                    # costs (it also materializes the cache the kernel
+                    # reuses); pipelines without a cap keep the zero-action
+                    # path below where the count rides the kernel's action.
+                    n_ingest_dead = parsed.filter(bad).count()
+                    if n_ingest_dead:
+                        write_dead_letters()  # queue first, then maybe kill
+                    if n_ingest_dead > self.max_dead_letter:
+                        raise DeadLetterOverflowError(
+                            f"ingest dead-letter count {n_ingest_dead} exceeds "
+                            f"max_dead_letter={self.max_dead_letter}"
+                        )
                 # inside foreachBatch the frame is a plain batch, so the
                 # order-preserving rank seq applies per micro-batch
                 batch_df = debezium_to_cdc_events(parsed=parsed)
                 result = self._apply_kernel(batch_df)
-                n_ingest_dead = int(obs.get["n_bad"] or 0)
-                if n_ingest_dead:
-                    debezium_dead_letters(parsed=parsed).write.mode(
-                        "append"
-                    ).parquet(os.path.join(self.store.base_dir, DEAD_LETTER_TABLE))
-                if (
-                    self.max_dead_letter is not None
-                    and n_ingest_dead > self.max_dead_letter
-                ):
-                    raise DeadLetterOverflowError(
-                        f"ingest dead-letter count {n_ingest_dead} exceeds "
-                        f"max_dead_letter={self.max_dead_letter}"
-                    )
+                if self.max_dead_letter is None:
+                    n_ingest_dead = int(obs.get["n_bad"] or 0)
+                    if n_ingest_dead:
+                        write_dead_letters()
             finally:
                 parsed.unpersist()
         else:

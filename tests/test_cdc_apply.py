@@ -542,3 +542,39 @@ def test_snapshot_diff_roundtrip(spark):
     got = {tuple(r) for r in applied.collect()}
     want = {tuple(r) for r in snap(SNAP_T2).collect()}
     assert got == want
+
+
+def test_small_batch_conf_not_pinned(spark, tmp_path, student_struct, student_mapping):
+    """ADVICE r7 (cdc_apply): the small-batch conf scope must restore
+    UNSET confs to unset — snapshotting the effective value (which includes
+    Spark's own default) would pin e.g. spark.sql.adaptive.enabled as an
+    explicit session conf after the first small batch, masking later
+    spark-defaults changes."""
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+    from mysql_hbase_replicator_spark.sources.cdc_events import events_from_rows
+
+    key = "spark.sql.adaptive.enabled"
+    jconf = spark._jsparkSession.sessionState().conf()
+    was_set = jconf.contains(key)
+    if was_set:  # make the assertion meaningful on any session
+        spark.conf.unset(key)
+    try:
+        store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=2)
+        events = [{
+            "position": 1, "op": "insert", "db": "mixfs", "table": "student",
+            "before": None,
+            "after": {"sn": 1, "id": 1, "score": 5, "name": "a", "rem": "r"},
+        }]
+        apply_cdc_batch(
+            spark,
+            events_from_rows(spark, events, student_struct),
+            store,
+            {"mixfs.student": student_mapping},
+        )
+        assert not jconf.contains(key), (
+            "small-batch conf scope pinned a Spark default as an explicit "
+            "session conf"
+        )
+    finally:
+        if was_set:
+            spark.conf.set(key, "true")

@@ -6,6 +6,9 @@ is drivable on fixtures without a broker."""
 from __future__ import annotations
 
 import json
+import os
+
+import pytest
 
 from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
 from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
@@ -148,3 +151,58 @@ def test_corrupt_envelopes_route_to_dead_letter_not_dropped(spark, tmp_path):
     )
     back = spark.read.parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
     assert back.count() == 2 and "payload" in back.columns
+
+
+def test_converters_require_raw_or_parsed():
+    """ADVICE r7: calling either converter with neither input must raise a
+    clear ValueError, not an opaque AttributeError inside parse_envelopes."""
+    from mysql_hbase_replicator_spark.sources.debezium import debezium_dead_letters
+
+    with pytest.raises(ValueError, match="raw or parsed"):
+        debezium_to_cdc_events()
+    with pytest.raises(ValueError, match="raw or parsed"):
+        debezium_dead_letters()
+
+
+def test_ingest_overflow_contains_batch_before_apply(spark, tmp_path, student_mapping):
+    """ADVICE r7 (pipeline.py): with max_dead_letter configured, a poisoned
+    Debezium batch must be rejected BEFORE the kernel mutates the store or
+    the checkpoint commits — otherwise every restart replays, re-commits,
+    and re-raises with the bad data already applied. The dead letters ARE
+    still queued (K6: failures never vanish)."""
+    import json as _json
+
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        DEAD_LETTER_TABLE,
+        DeadLetterOverflowError,
+    )
+    from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+
+    events_dir = str(tmp_path / "envelopes")
+    os.makedirs(events_dir)
+    good = envelope("c", after={"sn": 1, "id": 1, "score": 10}, pos=11)
+    with open(os.path.join(events_dir, "b1.json"), "w") as f:
+        f.write(good + "\n" + '{"op": "c", "bro' + "\n")  # 1 good + 1 corrupt
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=2)
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=events_dir,
+        row_struct=None,
+        store=store,
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="debezium",
+        max_dead_letter=0,
+    )
+    q = pipe.start(available_now=True)
+    with pytest.raises(Exception) as exc_info:
+        q.awaitTermination(120)
+    assert "DeadLetterOverflowError" in str(exc_info.value) or isinstance(
+        exc_info.value, DeadLetterOverflowError
+    )
+    # containment: the batch's VALID row was never applied to the store
+    assert store.read(spark, "mixfs:student2") is None
+    # the corrupt envelope is queued for fix-and-replay
+    dl = spark.read.parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
+    assert dl.filter(dl.reason == "unparseable debezium envelope").count() >= 1

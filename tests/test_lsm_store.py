@@ -346,3 +346,63 @@ def test_lsm_kernel_schema_evolution(spark, tmp_path, student_struct, student_ma
         (r["sn"], r["id"]): r["extra"] for r in lsm.read(spark, TABLE).collect()
     }
     assert got2 == got
+
+
+def test_lsm_registry_preserves_dropped_columns(spark, tmp_path):
+    """ADVICE r7 (merge.py): when a later batch's sink schema is NARROWER
+    (a source stopped sending a column), the schema registry must keep the
+    union — otherwise base reads silently null the dropped column and the
+    next compact() deletes it permanently. Mirrors the rewrite store's
+    allowMissingColumns additive-evolution semantics."""
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    lsm.overwrite(
+        spark,
+        "t",
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k int, v string, w double"),
+        ["k"],
+    )
+    # narrower batch: w absent from the mapping now
+    ups = spark.createDataFrame([(2, "b2"), (3, "c")], "k int, v string")
+    lsm.merge(spark, "t", ups, spark.createDataFrame([], "k int"), ["k"])
+    got = {r["k"]: (r["v"], r["w"]) for r in lsm.read(spark, "t").collect()}
+    # kept row keeps its w VALUE; rows from the narrow batch backfill null
+    assert got == {1: ("a", 10.0), 2: ("b2", None), 3: ("c", None)}
+    # and compaction does not drop the column
+    assert lsm.compact(spark, "t") is True
+    got2 = {r["k"]: (r["v"], r["w"]) for r in lsm.read(spark, "t").collect()}
+    assert got2 == got
+
+
+def test_lsm_recover_skips_while_compaction_lock_held(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """ADVICE r7 (merge.py): _maybe_recover must not act on staging or
+    .pre-compact dirs while another process holds the per-table compaction
+    flock — a lock-free recovery could rmtree the compactor's completed
+    staging dir, or destroy .pre-compact while it is the only copy of the
+    table. Hold the flock from an independent fd (what a second process
+    holds) and check recovery is a no-op until it is released."""
+    import fcntl
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
+    want = state(spark, lsm)
+    # fake an in-flight compaction: completed staging next to a live dir
+    staging = lsm._staging_path(TABLE)
+    os.makedirs(staging)
+    with open(os.path.join(staging, "_SUCCESS"), "w"):
+        pass
+
+    fd = os.open(lsm._lock_path(TABLE), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        lsm._maybe_recover(TABLE)
+        assert os.path.isdir(staging)  # untouched: compactor owns it
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    # lock released (compactor gone): recovery now discards the stale
+    # staging dir because the live dir is authoritative
+    lsm._maybe_recover(TABLE)
+    assert not os.path.isdir(staging)
+    assert state(spark, lsm) == want
