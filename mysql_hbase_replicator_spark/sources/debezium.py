@@ -92,10 +92,15 @@ def debezium_to_cdc_events(
     `seq` (globally monotonic arrival order; the kernel's K5 collapse and
     rotate-aware checkpoint order by it):
 
-    - ``seq_col`` given: used verbatim. This is the production path — the
-      Kafka partition offset (``read_debezium_stream`` passes it), which is
-      the true arrival order; Debezium keys records by PK, so a per-
-      partition offset totally orders each key's history.
+    - ``seq_col`` given: used verbatim, caller-owned TYPE included — the
+      kernel only needs ``seq`` to be orderable (max-struct + window
+      orderBy), so a caller may pass the Kafka partition offset (a long;
+      ``read_debezium_stream`` does — Debezium keys records by PK, so a
+      per-partition offset totally orders each key's history) or an
+      order-preserving STRUCT like ``(ts_ms, file, pos)`` — the
+      window-free form ``CdcStreamPipeline`` passes per micro-batch (the
+      rank window below costs ~0.25 s of per-batch fixed time, measured
+      r8; the struct encodes the identical lexicographic order for free).
     - batch frames: ``ts_ms * 1e6 + rank(pos) within ts_ms`` — Debezium
       stamps ts_ms per transaction (monotonic across binlog files), and the
       dense per-millisecond rank (ordered by file, pos) is order-preserving
@@ -113,7 +118,7 @@ def debezium_to_cdc_events(
         parsed = _parsed(raw, value_col)
     env = parsed.filter(F.col("_op").isNotNull())
     if seq_col is not None:
-        seq = seq_col
+        seq = seq_col  # verbatim: caller owns the type (long offset or struct)
     else:
         coarse = F.col("_env.source.ts_ms") * F.lit(1_000_000)
         if parsed.isStreaming:
@@ -122,7 +127,7 @@ def debezium_to_cdc_events(
             wr = Window.partitionBy(F.col("_env.source.ts_ms")).orderBy(
                 F.col("_env.source.file"), F.col("_env.source.pos")
             )
-            seq = coarse + F.row_number().over(wr) - F.lit(1)
+            seq = (coarse + F.row_number().over(wr) - F.lit(1)).cast("long")
     return env.select(
         F.col("_env.source.pos").alias("position"),
         F.col("_op").alias("op"),
@@ -133,7 +138,7 @@ def debezium_to_cdc_events(
         F.lit(None).cast("array<string>").alias("included_before"),
         F.lit(None).cast("array<string>").alias("included_after"),
         F.col("_env.source.file").alias("filename"),
-        seq.cast("long").alias("seq"),
+        seq.alias("seq"),
     )
 
 

@@ -138,24 +138,29 @@ class CdcStreamPipeline:
             from pyspark.sql import Observation
             from pyspark.sql import functions as F
 
-            # parse ONCE and persist the parsed frame: the dead-letter count,
-            # the dead-letter write (rare path), and the event conversion are
-            # all projections of the same parse — caching post-parse instead
-            # of the raw text means the envelope JSON is decoded once per
-            # batch, not once per downstream action. The corrupt-envelope
-            # COUNT rides the cache materialization itself as an observed
-            # metric (fires when the kernel's first action pulls the cache),
-            # so the happy path pays ZERO dedicated ingest actions — the
-            # dead-letter write+overflow check run after the kernel, only
-            # when the metric is non-zero; a replay after the resulting
-            # query kill re-applies idempotently (r6 verdict #3).
+            # parse ONCE: the dead-letter count, the dead-letter write (rare
+            # path), and the event conversion are all projections of the same
+            # parse. In the uncapped happy path the corrupt-envelope COUNT
+            # rides the kernel's own action as an observed metric, so ingest
+            # costs ZERO dedicated actions per batch; the dead-letter
+            # write+overflow check run after the kernel only when the metric
+            # is non-zero, and a replay after a resulting query kill
+            # re-applies idempotently (r6 verdict #3).
             obs = Observation()
             bad = F.col("value").isNotNull() & F.col("_op").isNull()
-            parsed = (
-                parse_envelopes(batch_df)
-                .observe(obs, F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad"))
-                .persist()
+            parsed = parse_envelopes(batch_df).observe(
+                obs, F.sum(F.when(bad, 1).otherwise(0)).alias("n_bad")
             )
+            capped = self.max_dead_letter is not None
+            if capped:
+                # the cap path runs a dedicated pre-apply count action plus
+                # (maybe) a dead-letter write on the same parse — cache it.
+                # The no-cap path runs exactly ONE action through this frame
+                # (the kernel's, which persists its own converted events),
+                # so caching there would only add a ~0.1 s materialization
+                # cycle per batch (profiled r8); dead letters re-derive the
+                # parse in their rare (n_bad > 0) branch instead.
+                parsed = parsed.persist()
 
             def write_dead_letters() -> None:
                 debezium_dead_letters(parsed=parsed).write.mode("append").parquet(
@@ -163,7 +168,7 @@ class CdcStreamPipeline:
                 )
 
             try:
-                if self.max_dead_letter is not None:
+                if capped:
                     # pre-apply containment (K6, ADVICE r7): when a cap is
                     # configured, count corrupt envelopes BEFORE the kernel
                     # runs so a poisoned batch is rejected before any store
@@ -182,16 +187,26 @@ class CdcStreamPipeline:
                             f"ingest dead-letter count {n_ingest_dead} exceeds "
                             f"max_dead_letter={self.max_dead_letter}"
                         )
-                # inside foreachBatch the frame is a plain batch, so the
-                # order-preserving rank seq applies per micro-batch
-                batch_df = debezium_to_cdc_events(parsed=parsed)
+                # window-free order-preserving seq: the kernel only needs
+                # seq ORDERABLE, and struct(ts_ms, file, pos) encodes the
+                # exact lexicographic arrival order the batch-mode rank
+                # derives — minus the rank window's ~0.25 s of per-batch
+                # fixed cost (profiled r8; the dominant term of the
+                # Debezium-vs-jsonl p50 gap, r6 verdict #3)
+                seq = F.struct(
+                    F.col("_env.source.ts_ms"),
+                    F.col("_env.source.file"),
+                    F.col("_env.source.pos"),
+                )
+                batch_df = debezium_to_cdc_events(parsed=parsed, seq_col=seq)
                 result = self._apply_kernel(batch_df)
-                if self.max_dead_letter is None:
+                if not capped:
                     n_ingest_dead = int(obs.get["n_bad"] or 0)
                     if n_ingest_dead:
                         write_dead_letters()
             finally:
-                parsed.unpersist()
+                if capped:
+                    parsed.unpersist()
         else:
             result = self._apply_kernel(batch_df)
         result.dead_letter_count += n_ingest_dead
