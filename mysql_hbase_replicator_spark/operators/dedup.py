@@ -1132,3 +1132,142 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
             n_match.cast("double") / float(N_MINHASHES) - F.col("jaccard")
         ).alias("abs_err"),
     )
+
+
+def _containment_sql_base(max_doc_id: int | None = None) -> str:
+    """Shingle-containment CTE chain — same sh/counts/inter skeleton as
+    `_jaccard_sql_base`, but the final measure divides the intersection by
+    the SMALLER shingle set: C(a,b) = |Sa ∩ Sb| / min(|Sa|, |Sb|)."""
+    cap = f"AND doc_id < {max_doc_id}" if max_doc_id is not None else ""
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, u.shingle
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+              WHERE TRUE {cap}),
+             UNNEST(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS u(shingle)
+        WHERE LEN(t) >= 3
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST(i.n_common AS DOUBLE)
+             / CAST(LEAST(ca.n, cb.n) AS DOUBLE) AS containment
+    FROM inter i
+    JOIN counts ca ON i.doc_a = ca.doc_id
+    JOIN counts cb ON i.doc_b = cb.doc_id
+"""
+
+
+@query(
+    "dedup_containment_pairs",
+    oracle=f"""
+    {_containment_sql_base(EXACT_BASELINE_MAX_DOCS)}
+    ORDER BY containment DESC, i.doc_a, i.doc_b
+    LIMIT 100
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT, top-100 pairs: |Sa ∩ Sb| divided by
+    the smaller set — the quote/subset detector Jaccard misses. A short
+    document fully embedded in a long one (a quoted paragraph, a
+    boilerplate header, a chunk re-packed into a larger page) scores
+    containment ≈ 1 while its Jaccard stays near |small|/|large| ≈ 0, so
+    symmetric near-dup passes never surface it; containment is the measure
+    curation uses for partial-duplication and quote-chain screening
+    (Broder's original resemblance/containment pair).
+
+    Same quadratic-by-nature shape as dedup_ngram_jaccard, so the
+    registered form carries the identical EXACT_BASELINE_MAX_DOCS input cap
+    (see that constant's note); the production path at scale is this same
+    measure computed per LSH candidate pair (swap the numerator join onto
+    band candidates exactly as _jaccard_pairs(candidates=...) does)."""
+    sh = shingle_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), "doc_a", "doc_b")
+        .limit(100)
+    )
+
+
+CROSS_CORPUS_TAU = 0.5  # exact-Jaccard admission threshold for the screen
+
+
+@query(
+    "dedup_cross_corpus_lsh",
+    oracle=f"""
+    WITH pairs AS ({_jaccard_sql_base(None)}),
+    cross_pairs AS (
+        SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS new_doc_id,
+               CASE WHEN doc_a % 5 = 4 THEN doc_b ELSE doc_a END AS base_doc_id,
+               jaccard
+        FROM pairs
+        WHERE (doc_a % 5 = 4) <> (doc_b % 5 = 4) AND jaccard >= {CROSS_CORPUS_TAU}
+    )
+    SELECT new_doc_id, base_doc_id, jaccard
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY new_doc_id ORDER BY jaccard DESC, base_doc_id
+               ) AS rn
+        FROM cross_pairs
+    ) WHERE rn = 1
+    """,
+)
+def dedup_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup screen: which INCOMING documents (every fifth
+    doc_id — the stand-in for a new crawl shard) near-duplicate something
+    already in the BASE corpus, and against what. This is the admission
+    gate every continuously-fed training pipeline runs before adding a
+    shard: within-corpus dedup (dedup_survivors_lsh) keeps the existing
+    set clean; THIS pass keeps new data from re-introducing what the base
+    already contains, without ever comparing base docs to each other.
+
+    Scale path: the shared MinHash-LSH builder (band equi-join + exact
+    Jaccard re-rank on candidates only, never all-pairs), then the pair
+    set is restricted to edges CROSSING the base/new split and collapsed
+    to each new doc's best match (row_number over (jaccard, base_id) —
+    deterministic). The oracle materializes the full exact cross join as
+    ground truth, so this row also re-proves LSH recall at tau=0.5 on the
+    registered corpus — same contract as dedup_survivors_lsh."""
+    from pyspark.sql.window import Window
+
+    pairs = _minhash_lsh_jaccard(spark, sf_dir, threshold=CROSS_CORPUS_TAU)
+    a_new = (F.col("doc_a") % 5) == 4
+    b_new = (F.col("doc_b") % 5) == 4
+    cross = pairs.filter(a_new != b_new).select(
+        F.when(a_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_doc_id"),
+        F.when(a_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("base_doc_id"),
+        "jaccard",
+    )
+    w = Window.partitionBy("new_doc_id").orderBy(F.desc("jaccard"), "base_doc_id")
+    return (
+        cross.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

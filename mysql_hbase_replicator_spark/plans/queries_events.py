@@ -1130,3 +1130,82 @@ def events_pruned_week_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame
             "error_rate",
         )
     )
+
+
+@query(
+    "events_resample_ffill",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT user_id,
+               DATE_TRUNC('hour', MIN(CAST(ts AS TIMESTAMP))) AS h0,
+               DATE_TRUNC('hour', MAX(CAST(ts AS TIMESTAMP))) AS h1
+        FROM events GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR)) AS gts
+        FROM bounds
+    ),
+    ranked AS (
+        SELECT user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS gts, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC
+               ) AS rn
+        FROM events
+    ),
+    hourly AS (SELECT user_id, gts, value FROM ranked WHERE rn = 1),
+    joined AS (
+        SELECT g.user_id, g.gts, h.value,
+               COUNT(h.value) OVER (
+                   PARTITION BY g.user_id ORDER BY g.gts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS grp
+        FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.gts = h.gts
+    )
+    SELECT user_id, {SQL_TS("gts")} AS grid_ts,
+           MAX(value) OVER (PARTITION BY user_id, grp) AS value_ffill,
+           CASE WHEN value IS NULL THEN 1 ELSE 0 END AS is_filled
+    FROM joined
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user resample onto a regular hourly grid with forward fill — the
+    time-series regularization step that turns an irregular event stream
+    into model-ready fixed-step sequences (gap-aware feature tables,
+    downsampled monitoring rollups). Each user's grid spans their own
+    [first, last] event hour; the carried value is the LAST event in or
+    before each grid hour (ties broken by event_id, the ingest order).
+
+    Scale shape: the grid is ``sequence()`` per key — O(keys x span) rows,
+    generated distributed, never on the driver; the hour-collapse is one
+    map-side-combined groupBy; the fill is a per-key ``last(ignorenulls)``
+    running window, O(n log n) within each key's partition. Nothing is
+    quadratic and no global sort exists; at 100 TB the shuffles are keyed
+    by user_id (the natural partitioning of every other events query).
+    The oracle reproduces the fill with the count-over/max-over-group
+    trick since DuckDB's LAST_VALUE lacks IGNORE NULLS."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("gts"),
+    )
+    hourly = (
+        e.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("gts"))
+        .agg(F.max_by("value", F.struct(F.col("ts"), F.col("event_id"))).alias("value"))
+    )
+    joined = grid.join(hourly, ["user_id", "gts"], "left")
+    w = Window.partitionBy("user_id").orderBy("gts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return joined.select(
+        "user_id",
+        ts_str(F.col("gts")).alias("grid_ts"),
+        F.last("value", ignorenulls=True).over(w).alias("value_ffill"),
+        F.when(F.col("value").isNull(), 1).otherwise(0).alias("is_filled"),
+    )

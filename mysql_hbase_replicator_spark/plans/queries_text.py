@@ -694,3 +694,102 @@ def text_bigram_coherence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored
+
+
+@query(
+    "text_perplexity_bucket",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(c) AS total FROM cnt),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS INT) AS n_tokens,
+               ROUND(LN((SELECT total FROM tot)) - SUM(LN(c.c)) / COUNT(*), 6)
+                 AS xent
+        FROM tok t JOIN cnt c USING (tok)
+        GROUP BY t.doc_id
+    ),
+    h AS (SELECT xent, COUNT(*) AS hc FROM scored GROUP BY xent),
+    cum AS (
+        SELECT xent,
+               SUM(hc) OVER (ORDER BY xent
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cf
+        FROM h
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM scored),
+    t1 AS (SELECT MIN(xent) AS t1 FROM cum, n WHERE cf >= n_docs / 3.0),
+    t2 AS (SELECT MIN(xent) AS t2 FROM cum, n WHERE cf >= 2.0 * n_docs / 3.0)
+    SELECT s.doc_id, s.n_tokens, s.xent,
+           CASE WHEN s.xent <= t1.t1 THEN 'head'
+                WHEN s.xent <= t2.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s, t1, t2
+    """,
+)
+def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy scoring + head/middle/tail bucketing — the
+    CCNet-style quality gate: score each document by the mean negative log
+    probability of its tokens under a unigram LM trained on the corpus
+    itself (xent = ln(total_tokens) - mean ln(token_count), in nats), then
+    split the corpus into thirds by score. 'head' (lowest cross-entropy)
+    is the fluent-register slice pretraining mixes upweight; 'tail' is the
+    boilerplate/noise slice they drop or downweight.
+
+    Scale shape: the LM is one map-side-combined groupBy over tokens (its
+    size is the vocabulary, not the corpus); scoring is an equi-join of
+    exploded tokens against it plus a per-doc rollup; the thirds come from
+    the quantile-by-histogram pattern (corpus_len_percentile_filter) on
+    the ROUNDED score — order-statistic thresholds over a bounded
+    histogram, no global sort of 100 TB of scores. Rounding to 1e-6 before
+    thresholding keeps the histogram domain and the bucket boundaries
+    bit-identical across engines despite float-sum ordering."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    scored = (
+        tok.join(cnt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.log("c")).alias("slog"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.log("total") - F.col("slog") / F.col("n_tokens"), 6
+            ).alias("xent"),
+        )
+    )
+    h = scored.groupBy("xent").agg(F.count(F.lit(1)).alias("hc"))
+    wc = Window.orderBy("xent").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = h.select("xent", F.sum("hc").over(wc).alias("cf"))
+    n = scored.agg(F.count(F.lit(1)).alias("n_docs"))
+    cum_n = cum.crossJoin(F.broadcast(n))
+    t1 = cum_n.filter(F.col("cf") >= F.col("n_docs") / 3.0).agg(
+        F.min("xent").alias("t1")
+    )
+    t2 = cum_n.filter(F.col("cf") >= 2.0 * F.col("n_docs") / 3.0).agg(
+        F.min("xent").alias("t2")
+    )
+    return (
+        scored.crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "xent",
+            F.when(F.col("xent") <= F.col("t1"), "head")
+            .when(F.col("xent") <= F.col("t2"), "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
+    )

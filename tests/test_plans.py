@@ -706,3 +706,65 @@ def test_lsh_rerank_prunes_to_candidate_docs(spark):
     plan = simple_plan(pruned)
     assert "LeftSemi" in plan and "Broadcast" in plan, plan[:1500]
     assert df.count() >= 0  # builder executes end to end
+
+
+def test_resample_ffill_keyed_by_user_no_cartesian(spark):
+    """events_resample_ffill (r8): the grid explode, hour collapse, grid
+    join, and fill window are all keyed by user_id — no cartesian product,
+    no single-partition exchange anywhere (each user's grid and fill stay
+    inside that user's partition)."""
+    plan = simple_plan(QUERY_REGISTRY["events_resample_ffill"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_perplexity_bucket_histogram_above_aggregates(spark):
+    """text_perplexity_bucket (r8): the quantile-by-histogram contract —
+    every single-partition exchange feeds from the per-xent histogram
+    aggregate (a bounded frame), never from raw corpus/token rows, and the
+    thresholds plus the LM total reach the scorer as broadcast 1-row
+    frames."""
+    plan = simple_plan(QUERY_REGISTRY["text_perplexity_bucket"](spark, SF))
+    idx = 0
+    n_single = 0
+    while True:
+        i = plan.find("Exchange SinglePartition", idx)
+        if i < 0:
+            break
+        n_single += 1
+        # the exchange's subtree must start with a bounded aggregate —
+        # the xent-keyed histogram or the LM-total global sum (which reads
+        # the already-aggregated vocabulary): corpus rows never pass
+        # through one partition
+        tail = plan[i : i + 600]
+        # keys=[] is a global scalar aggregate: each partition reduces to
+        # <= 1 row before the exchange, so it is bounded by partition
+        # count, never by corpus size
+        assert (
+            "HashAggregate(keys=[xent" in tail
+            or "HashAggregate(keys=[]" in tail
+        ), tail
+        idx = i + 1
+    assert n_single >= 1
+    assert plan.count("BroadcastExchange") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_pairs_input_cap_pushed(spark):
+    """dedup_containment_pairs (r8): the EXACT_BASELINE_MAX_DOCS input cap
+    must reach the parquet scan as a pushed filter (the registered
+    quadratic baseline only ever reads the capped prefix)."""
+    df = QUERY_REGISTRY["dedup_containment_pairs"](spark, SF)
+    plan = formatted_plan(df)
+    assert "LessThan(doc_id,10000)" in plan
+    assert "CartesianProduct" not in simple_plan(df)
+
+
+def test_cross_corpus_screen_is_equi_join(spark):
+    """dedup_cross_corpus_lsh (r8): the screen rides the shared LSH builder
+    — band-hash equi-joins and the candidate re-rank only; no cartesian
+    product and no Python stage appear in the post-builder collapse."""
+    plan = simple_plan(QUERY_REGISTRY["dedup_cross_corpus_lsh"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
