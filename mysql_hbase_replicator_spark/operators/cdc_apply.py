@@ -29,7 +29,9 @@ evident intent: always delete the before-key, upsert the after-image.
 upsert of the after-image at its own key; full-row replace already clears
 stale columns in a columnar store).
 
-K6: dead-lettered events are appended to a ``_dead_letter`` table; exceeding
+K6: dead-lettered events are queued in a ``_dead_letter`` table — one
+``batch=<token>`` subdirectory per write, overwritten on micro-batch replay
+so the queue stays exactly-once under at-least-once delivery; exceeding
 ``max_dead_letter`` raises, the analog of the failed-event-queue overflow
 exit (Rep.scala:86-92).
 """
@@ -38,6 +40,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -56,6 +59,22 @@ from mysql_hbase_replicator_spark.sources.cdc_events import (
 
 DEAD_LETTER_TABLE = "_dead_letter"
 CHECKPOINT_FILE = "_checkpoint.json"
+
+
+def dead_letter_batch_path(store: ParquetKeyedStore, token: str) -> str:
+    """Target subpath for ONE dead-letter write: every write lands in its
+    own ``batch=<token>`` partition directory with mode=overwrite. A
+    replayed micro-batch re-derives the same token and OVERWRITES its own
+    previous write instead of appending duplicates — the store merge was
+    replay-idempotent but an appending dead-letter table silently was not
+    (ADVICE r8; K6's reference contract is queue-drained-exactly-once,
+    Rep.scala:67-97). Plain ``spark.read.parquet(<base>/_dead_letter)``
+    keeps working via partition discovery (the token surfaces as a
+    ``batch`` string column). Root-level files must never be mixed into
+    this layout: Spark silently drops one side of a mixed root-file /
+    partition-dir directory, so ALL writers go through this helper."""
+    safe = "".join(ch if (ch.isalnum() or ch in "._-") else "_" for ch in token)
+    return os.path.join(store.base_dir, DEAD_LETTER_TABLE, f"batch={safe}")
 
 # Micro-batch regime switch (r6 verdict #2 — streaming fixed cost): below
 # this many row events the batch's plans are TINY (a few thousand rows per
@@ -195,12 +214,20 @@ def apply_cdc_batch(
     k3_mode: str = "intended",
     max_dead_letter: int | None = None,
     advance_checkpoint: bool = True,
+    batch_token: str | None = None,
 ) -> CdcBatchResult:
     """Apply one micro-batch of CDC events to the keyed store.
 
     ``advance_checkpoint=False`` applies without touching ``_checkpoint.json``
     — used by the dead-letter drain, whose replayed positions are historical
-    (advancing from them would REGRESS the live watermark)."""
+    (advancing from them would REGRESS the live watermark).
+
+    ``batch_token``: stable identity of this micro-batch (the streaming
+    pipeline passes ``b{batch_id}``). Dead-letter writes key their
+    ``batch=`` subdirectory on it, so an at-least-once replay of the same
+    batch overwrites its own prior dead letters instead of duplicating
+    them. Callers outside a replayable stream may omit it (each write then
+    gets a unique token — plain append semantics)."""
     if k3_mode not in ("intended", "faithful"):
         raise ValueError(f"unknown k3_mode: {k3_mode}")
     import time as _time
@@ -347,6 +374,7 @@ def apply_cdc_batch(
                     small=small,
                     n_valid=row_counts.get(full_name, 0)
                     - dead_counts.get(full_name, 0),
+                    batch_token=batch_token,
                 )
                 result.apply_latency_s[f"apply:{full_name}"] = _time.perf_counter() - t0
         finally:
@@ -400,6 +428,7 @@ def _apply_table(
     n_dead: int = -1,
     small: bool = False,
     n_valid: int = -1,
+    batch_token: str | None = None,
 ) -> None:
     # Small-batch regime: the action-expansion union below reads this frame
     # once per branch (3 branches), so a 32-partition micro-batch cache turns
@@ -450,7 +479,15 @@ def _apply_table(
             F.col("included_before"),
             F.col("included_after"),
             F.col("filename"),
-        ).write.mode("append").parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
+        ).write.mode("overwrite").parquet(
+            # per-(batch, table) subdir: a replayed batch overwrites its own
+            # prior write (idempotent); without a token the write gets a
+            # unique subdir — append semantics in the uniform layout
+            dead_letter_batch_path(
+                store,
+                f"{batch_token or 'adhoc-' + uuid.uuid4().hex[:12]}-{info.full_name}",
+            )
+        )
     ev = ev.filter(F.col("_valid"))
     if n_valid == 0:
         # every event for this table was dead-lettered: there is nothing to
@@ -556,6 +593,12 @@ def replay_dead_letters(
     if not drain_dirs:
         return None
     dl = spark.read.option("mergeSchema", "true").parquet(*drain_dirs)
+    if "batch" in dl.columns:
+        # the per-write subdir token surfaces as a partition column on read;
+        # it is layout bookkeeping, not event payload — drop it so replays
+        # and re-queues never carry it into data files (a data column named
+        # like the partition key would corrupt later partition discovery)
+        dl = dl.drop("batch")
     for c, t in (
         ("included_before", "array<string>"),  # legacy pre-upgrade queues
         ("included_after", "array<string>"),
@@ -584,7 +627,9 @@ def replay_dead_letters(
     uninterpretable = dl.filter(~F.col("op").isin(*ROW_OPS))
     n_uninterp = uninterpretable.count()
     if n_uninterp:
-        uninterpretable.write.mode("append").parquet(path)
+        uninterpretable.write.mode("overwrite").parquet(
+            dead_letter_batch_path(store, f"requeue-{uuid.uuid4().hex[:12]}")
+        )
         ev_df = ev_df.filter(F.col("op").isin(*ROW_OPS))
     if ev_df.isEmpty():
         for d in drain_dirs:

@@ -313,9 +313,22 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         under the same per-table flock ``compact()`` holds. A lock-free
         recovery racing a live compaction could rmtree the compactor's
         completed staging dir, or worse destroy ``.pre-compact`` while it is
-        the only surviving copy of the table (ADVICE r7). The probe is
-        non-blocking: if another process holds the lock, a compaction is in
-        flight and its swap protocol owns staging/.pre-compact — skip."""
+        the only surviving copy of the table (ADVICE r7).
+
+        The lock is taken BLOCKING (ADVICE r8): the old non-blocking probe
+        treated *any* lock holder as an active compactor, so two readers
+        racing to recover a crashed-mid-swap table meant the loser skipped
+        recovery and could transiently read a missing live dir — and the
+        same transient existed against a live compactor caught between its
+        two swap renames. Waiting closes both windows: recovery itself is
+        two renames, and a live compaction already serializes writers on
+        this flock, so a reader waiting out the swap is the correct price.
+        staging/.pre-compact are RE-CHECKED after acquisition via
+        ``_recover_locked``'s own isdir guards (the usual outcome of the
+        wait is that the previous holder finished and there is nothing left
+        to do). Deadlock safety: nothing calls this while holding the
+        compact flock — ``compact()`` runs ``_recover_locked`` /
+        ``_read_state`` directly, never ``read``/``exists``."""
         import fcntl
 
         if not (
@@ -325,10 +338,7 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         os.makedirs(self.base_dir, exist_ok=True)
         fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
         try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
-                return  # compactor active (any process, incl. this one)
+            fcntl.flock(fd, fcntl.LOCK_EX)
             self._recover_locked(name)
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
@@ -429,8 +439,17 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
         self._maybe_recover(name)
+        return self._read_state(spark, name)
+
+    def _read_state(self, spark: SparkSession, name: str) -> DataFrame | None:
+        """State reconstruction WITHOUT the recovery probe — ``compact()``
+        calls this while already holding the compact flock (a ``read()``
+        there would block on our own lock). Inlines the base-class read so
+        no dynamically-dispatched ``exists`` re-enters ``_maybe_recover``."""
         seqs = self._delta_seqs(name)
-        base = super().read(spark, name)
+        base = None
+        if os.path.isdir(self.table_path(name)) and self._has_data_files(name):
+            base = self._read_current(spark, name).drop(BUCKET_COL)
         if not seqs or not self._has_delta_files(name):
             return base
         pk_cols = self._read_pk_cols(name)
@@ -467,13 +486,15 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             # already under the flock: run the recovery protocol directly
-            # (_maybe_recover's non-blocking probe would see the lock held
-            # and skip)
+            # (_maybe_recover's blocking acquire would deadlock against the
+            # lock this frame holds)
             self._recover_locked(name)
             if not self._delta_seqs(name) or not self._has_delta_files(name):
                 return False
             pk_cols = self._read_pk_cols(name)
-            state = self.read(spark, name)
+            # _read_state, not read(): read()'s recovery probe would block
+            # on the flock this frame already holds
+            state = self._read_state(spark, name)
             staging, live, old = (
                 self._staging_path(name),
                 self.table_path(name),

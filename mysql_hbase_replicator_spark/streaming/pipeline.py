@@ -81,7 +81,7 @@ class CdcStreamPipeline:
     # "jsonl" = engine-native CDC event lines (read_event_stream_json);
     # "debezium" = raw Debezium envelope lines: each micro-batch is split —
     # convertible envelopes through debezium_to_cdc_events (batch-mode seq:
-    # ts_ms rank, order-preserving), corrupt/unknown ones appended to the
+    # ts_ms rank, order-preserving), corrupt/unknown ones queued to the
     # store's _dead_letter table (K6 at ingest) — the same composition a
     # Kafka readStream gets, minus the broker.
     source_format: str = "jsonl"
@@ -109,7 +109,7 @@ class CdcStreamPipeline:
             if fresh is not None:
                 declared.check_key_unchanged(fresh)
 
-    def _apply_kernel(self, events: DataFrame) -> CdcBatchResult:
+    def _apply_kernel(self, events: DataFrame, batch_id: int) -> CdcBatchResult:
         return apply_cdc_batch(
             self.spark,
             events,
@@ -117,17 +117,18 @@ class CdcStreamPipeline:
             self.mappings,
             k3_mode=self.k3_mode,
             max_dead_letter=self.max_dead_letter,
+            # stable per-batch token: a replayed micro-batch overwrites its
+            # own dead-letter subdirs instead of appending duplicates
+            batch_token=f"b{batch_id}",
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._check_schemas()
         n_ingest_dead = 0
         if self.source_format == "debezium":
-            import os
-
             from mysql_hbase_replicator_spark.operators.cdc_apply import (
-                DEAD_LETTER_TABLE,
                 DeadLetterOverflowError,
+                dead_letter_batch_path,
             )
             from mysql_hbase_replicator_spark.sources.debezium import (
                 debezium_dead_letters,
@@ -163,8 +164,12 @@ class CdcStreamPipeline:
                 parsed = parsed.persist()
 
             def write_dead_letters() -> None:
-                debezium_dead_letters(parsed=parsed).write.mode("append").parquet(
-                    os.path.join(self.store.base_dir, DEAD_LETTER_TABLE)
+                # batch-id-keyed subdir + overwrite = replay-idempotent
+                # (ADVICE r8): on the capped path this runs BEFORE the
+                # kernel, so the overflow raise itself forces a replay that
+                # would otherwise duplicate every queued dead letter
+                debezium_dead_letters(parsed=parsed).write.mode("overwrite").parquet(
+                    dead_letter_batch_path(self.store, f"ingest-{batch_id}")
                 )
 
             try:
@@ -199,7 +204,7 @@ class CdcStreamPipeline:
                     F.col("_env.source.pos"),
                 )
                 batch_df = debezium_to_cdc_events(parsed=parsed, seq_col=seq)
-                result = self._apply_kernel(batch_df)
+                result = self._apply_kernel(batch_df, batch_id)
                 if not capped:
                     n_ingest_dead = int(obs.get["n_bad"] or 0)
                     if n_ingest_dead:
@@ -208,8 +213,27 @@ class CdcStreamPipeline:
                 if capped:
                     parsed.unpersist()
         else:
-            result = self._apply_kernel(batch_df)
+            result = self._apply_kernel(batch_df, batch_id)
         result.dead_letter_count += n_ingest_dead
+        if (
+            self.max_dead_letter is not None
+            and result.dead_letter_count > self.max_dead_letter
+        ):
+            # combined cap (ADVICE r8): ingest and kernel dead letters were
+            # each checked against max_dead_letter separately, so a batch at
+            # cap on BOTH sides slipped through at 2x the configured limit.
+            # The raise lands after the (idempotent) store merge but before
+            # the streaming checkpoint commits, so the batch replays and
+            # re-raises — the same kill semantics as the kernel's own check.
+            from mysql_hbase_replicator_spark.operators.cdc_apply import (
+                DeadLetterOverflowError,
+            )
+
+            raise DeadLetterOverflowError(
+                f"combined dead-letter count {result.dead_letter_count} "
+                f"(ingest {n_ingest_dead}) exceeds "
+                f"max_dead_letter={self.max_dead_letter}"
+            )
         with self._lock:
             self.results.append(result)
             for key, seconds in result.apply_latency_s.items():

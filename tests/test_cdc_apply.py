@@ -224,6 +224,32 @@ def test_dead_letter_overflow_raises(spark, tmp_path, student_struct, student_ma
         )
 
 
+def test_dead_letter_replay_overwrites_with_batch_token(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """ADVICE r8 (K6): with a stable ``batch_token`` an at-least-once replay
+    of the same micro-batch must OVERWRITE its own dead letters — the store
+    merge was already replay-idempotent, an appending dead-letter table was
+    not. EXACT counts asserted (a >=1 assert masked the duplication)."""
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "insert", after=row(2, None, 50, "eve", "e")),  # missing PK
+    ]
+    ev_df = events_from_rows(spark, events, student_struct)
+    for _replay in range(2):  # same batch delivered twice
+        res = apply_cdc_batch(
+            spark, ev_df, store, {"mixfs.student": student_mapping}, batch_token="b7"
+        )
+        assert res.dead_letter_count == 1
+    dead = spark.read.parquet(str(tmp_path / "store" / "_dead_letter"))
+    assert dead.count() == 1  # exactly once, not once per delivery
+    assert spark_final_state(spark, store) == [(1, 1, 90, "ann", "a")]
+    # without a token each apply is its own write (append semantics)
+    apply_cdc_batch(spark, ev_df, store, {"mixfs.student": student_mapping})
+    assert spark.read.parquet(str(tmp_path / "store" / "_dead_letter")).count() == 2
+
+
 # --- multi-batch incremental merge -----------------------------------------
 def test_two_batches_incremental(spark, tmp_path, student_struct, student_mapping):
     store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)

@@ -203,6 +203,89 @@ def test_ingest_overflow_contains_batch_before_apply(spark, tmp_path, student_ma
     )
     # containment: the batch's VALID row was never applied to the store
     assert store.read(spark, "mixfs:student2") is None
-    # the corrupt envelope is queued for fix-and-replay
+    # the corrupt envelope is queued for fix-and-replay — EXACTLY once, even
+    # though supervised restarts would replay this batch (ADVICE r8)
     dl = spark.read.parquet(os.path.join(store.base_dir, DEAD_LETTER_TABLE))
-    assert dl.filter(dl.reason == "unparseable debezium envelope").count() >= 1
+    assert dl.filter(dl.reason == "unparseable debezium envelope").count() == 1
+
+
+def test_dead_letter_replay_idempotent_exact_count(spark, tmp_path, student_mapping):
+    """ADVICE r8 (K6 exactly-once queue, Rep.scala:67-97): the capped path
+    writes dead letters BEFORE the kernel, so the overflow raise itself
+    forces a replay of the same micro-batch. The replay must OVERWRITE the
+    batch's own dead letters (batch-id-keyed subdir), not append duplicates.
+    Scenario: cap=0 kills the query after queueing; the operator raises the
+    cap and restarts from the same checkpoint; the replayed batch applies
+    and the dead-letter table holds the corrupt envelope EXACTLY once."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import DEAD_LETTER_TABLE
+    from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+
+    events_dir = str(tmp_path / "envelopes")
+    os.makedirs(events_dir)
+    good = envelope("c", after={"sn": 1, "id": 1, "score": 10}, pos=11)
+    with open(os.path.join(events_dir, "b1.json"), "w") as f:
+        f.write(good + "\n" + '{"op": "c", "bro' + "\n")  # 1 good + 1 corrupt
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=2)
+
+    def pipe(cap):
+        return CdcStreamPipeline(
+            spark=spark,
+            events_path=events_dir,
+            row_struct=None,
+            store=store,
+            mappings={"mixfs.student": student_mapping},
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            source_format="debezium",
+            max_dead_letter=cap,
+        )
+
+    q = pipe(cap=0).start(available_now=True)
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+    dl_path = os.path.join(store.base_dir, DEAD_LETTER_TABLE)
+    assert spark.read.parquet(dl_path).count() == 1
+
+    # cap raised, same checkpoint: batch 0 replays end-to-end
+    q2 = pipe(cap=5).start(available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(dl_path).count() == 1  # overwritten, not doubled
+    rows = store.read(spark, "mixfs:student2").collect()
+    assert len(rows) == 1 and rows[0].score == 10
+
+
+def test_combined_dead_letter_cap_enforced(spark, tmp_path, student_mapping):
+    """ADVICE r8: ingest (corrupt envelope) and kernel (missing-PK) dead
+    letters were each checked against max_dead_letter independently, so a
+    batch at cap on BOTH sides passed at 2x the limit. With cap=1, one of
+    each must now kill the query via the combined re-check."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        DeadLetterOverflowError,
+    )
+    from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+
+    events_dir = str(tmp_path / "envelopes")
+    os.makedirs(events_dir)
+    good = envelope("c", after={"sn": 1, "id": 1, "score": 10}, pos=11)
+    no_pk = envelope("c", after={"score": 5}, pos=12)  # kernel-side dead letter
+    with open(os.path.join(events_dir, "b1.json"), "w") as f:
+        f.write(good + "\n" + no_pk + "\n" + '{"op": "c", "bro' + "\n")
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=2)
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=events_dir,
+        row_struct=None,
+        store=store,
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="debezium",
+        max_dead_letter=1,  # each side alone is AT cap; combined total is 2
+    )
+    q = pipe.start(available_now=True)
+    with pytest.raises(Exception) as exc_info:
+        q.awaitTermination(120)
+    assert "DeadLetterOverflowError" in str(exc_info.value) or isinstance(
+        exc_info.value, DeadLetterOverflowError
+    )
+    assert "combined" in str(exc_info.value)

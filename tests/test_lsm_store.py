@@ -373,16 +373,22 @@ def test_lsm_registry_preserves_dropped_columns(spark, tmp_path):
     assert got2 == got
 
 
-def test_lsm_recover_skips_while_compaction_lock_held(
+def test_lsm_recover_waits_while_compaction_lock_held(
     spark, tmp_path, student_struct, student_mapping
 ):
-    """ADVICE r7 (merge.py): _maybe_recover must not act on staging or
+    """ADVICE r7+r8 (merge.py): _maybe_recover must not act on staging or
     .pre-compact dirs while another process holds the per-table compaction
     flock — a lock-free recovery could rmtree the compactor's completed
     staging dir, or destroy .pre-compact while it is the only copy of the
-    table. Hold the flock from an independent fd (what a second process
-    holds) and check recovery is a no-op until it is released."""
+    table. The r8 refinement: instead of SKIPPING (which let a reader racing
+    a crashed-table recovery proceed against a missing live dir), recovery
+    now BLOCKS until the lock frees and then re-checks. Hold the flock from
+    an independent fd (what a second process holds), run recovery in a
+    thread, and check it neither touches the compactor's dirs nor returns
+    until the lock is released."""
     import fcntl
+    import threading
+    import time
 
     lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
     apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
@@ -394,15 +400,62 @@ def test_lsm_recover_skips_while_compaction_lock_held(
         pass
 
     fd = os.open(lsm._lock_path(TABLE), os.O_CREAT | os.O_RDWR)
+    t = threading.Thread(target=lsm._maybe_recover, args=(TABLE,), daemon=True)
     try:
         fcntl.flock(fd, fcntl.LOCK_EX)
-        lsm._maybe_recover(TABLE)
-        assert os.path.isdir(staging)  # untouched: compactor owns it
+        t.start()
+        time.sleep(0.5)
+        # still waiting on the flock: compactor owns staging, untouched
+        assert t.is_alive() and os.path.isdir(staging)
     finally:
         fcntl.flock(fd, fcntl.LOCK_UN)
         os.close(fd)
-    # lock released (compactor gone): recovery now discards the stale
-    # staging dir because the live dir is authoritative
-    lsm._maybe_recover(TABLE)
+    # lock released (compactor gone): the blocked recovery proceeds and
+    # discards the stale staging dir because the live dir is authoritative
+    t.join(timeout=30)
+    assert not t.is_alive()
     assert not os.path.isdir(staging)
     assert state(spark, lsm) == want
+
+
+def test_lsm_two_readers_race_crashed_swap_recovery(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """ADVICE r8 (merge.py): two readers racing to recover a table crashed
+    mid-swap (live dir renamed aside, completed staging present). With the
+    old non-blocking probe the flock loser skipped recovery and could read a
+    missing live dir; with the blocking acquire the loser waits, re-checks,
+    and both readers see the full recovered state."""
+    import shutil
+    import threading
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2])
+    lsm.compact(spark, TABLE)
+    want = state(spark, lsm)
+    live, staging, old = (
+        lsm.table_path(TABLE),
+        lsm._staging_path(TABLE),
+        lsm._old_path(TABLE),
+    )
+    # crash between the two swap renames: staging complete (_SUCCESS from
+    # the real compacted write), live moved aside
+    shutil.copytree(live, staging)
+    os.rename(live, old)
+    assert not os.path.isdir(live)
+
+    results: dict[int, list | BaseException] = {}
+
+    def reader(i: int) -> None:
+        try:
+            results[i] = state(spark, lsm)
+        except BaseException as e:  # surface failures to the main thread
+            results[i] = e
+
+    threads = [threading.Thread(target=reader, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results[0] == want and results[1] == want, results
+    assert os.path.isdir(live) and not os.path.isdir(staging) and not os.path.isdir(old)
