@@ -441,9 +441,30 @@ def bench_streaming(
         finally:
             shutil.rmtree(root, ignore_errors=True)
 
+    # Median-of-N for the latency-mode rows (r9 verdict #6: Debezium p95
+    # spiked to 2.5x p50 under background load in one session — the
+    # per-batch latency numbers are the noise-sensitive ones). Default 1
+    # keeps the driver's routine run time unchanged; set
+    # SPARK_GRAFT_STREAM_REPS=3 for a variance-controlled record. The
+    # median is taken PER METRIC over the runs (p50, p95, events_per_sec),
+    # with the non-numeric fields from the median-p50 run.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "1")))
+
+    def run_latency(fmt: str, make_line) -> dict:
+        runs = [run_source(fmt, make_line) for _ in range(reps)]
+        if reps == 1:
+            return runs[0]
+        mid = sorted(runs, key=lambda r: r["batch_ms_p50"])[len(runs) // 2]
+        out = dict(mid)
+        for k in ("batch_ms_p50", "batch_ms_p95", "events_per_sec", "wall_sec"):
+            vals = sorted(r[k] for r in runs)
+            out[k] = vals[len(vals) // 2]
+        out["reps"] = reps
+        return out
+
     out = {
-        "jsonl": run_source("jsonl", jsonl_line),
-        "debezium": run_source("debezium", debezium_line),
+        "jsonl": run_latency("jsonl", jsonl_line),
+        "debezium": run_latency("debezium", debezium_line),
     }
     # throughput mode: same 40k events, ONE availableNow trigger admitting
     # all files — the production regime where the ~1.7 s per-trigger fixed

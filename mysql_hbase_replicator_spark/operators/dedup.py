@@ -1271,3 +1271,78 @@ def dedup_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+PREFIX_W = 6  # tokens in the prefix fingerprint
+
+
+@query(
+    "dedup_doc_prefix",
+    oracle=f"""
+    WITH pref AS (
+        SELECT doc_id, n_chars,
+               ARRAY_TO_STRING(STRING_SPLIT(text, ' ')[1:{PREFIX_W}], ' ')
+                   AS prefix
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, prefix,
+               ROW_NUMBER() OVER (PARTITION BY prefix
+                                  ORDER BY n_chars DESC, doc_id) AS rn,
+               FIRST_VALUE(doc_id) OVER (PARTITION BY prefix
+                                         ORDER BY n_chars DESC, doc_id) AS keeper,
+               COUNT(*) OVER (PARTITION BY prefix) AS group_size
+        FROM pref
+    )
+    SELECT doc_id AS removed_doc_id,
+           keeper AS kept_doc_id,
+           CAST(group_size AS BIGINT) AS group_size
+    FROM ranked
+    WHERE rn > 1
+    ORDER BY removed_doc_id
+    """,
+)
+def dedup_doc_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-duplicate detection: documents whose first {PREFIX_W} tokens
+    are identical are treated as truncation variants of one underlying
+    document (the crawl-dump pathology where the same page is captured at
+    different cutoffs — exact dedup misses it because the tails differ,
+    MinHash under-scores it when the truncation is aggressive). Policy:
+    keep the LONGEST variant (n_chars DESC, doc_id tiebreak), emit one row
+    per removed doc with its keeper and the group size.
+
+    Scale shape: the prefix is fingerprinted as two independently-seeded
+    xxhash64s (same 128-bit narrowing as corpus_chunk_dedup — the shuffle
+    row carries 16 bytes + ids, never prefix text); one window keyed by
+    the fingerprint does rank+keeper+size in a single shuffle. The oracle
+    groups by the prefix STRING itself — output equality is the
+    no-collision proof."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.array_join(
+        F.slice(F.split(F.col("text"), " "), 1, PREFIX_W), " "
+    )
+    pref = d.select(
+        "doc_id",
+        "n_chars",
+        F.xxhash64(prefix).alias("_h1"),
+        F.xxhash64(F.lit(1), prefix).alias("_h2"),
+    )
+    from pyspark.sql.window import Window
+
+    wp = Window.partitionBy("_h1", "_h2")
+    wo = wp.orderBy(F.desc("n_chars"), "doc_id")
+    ranked = pref.select(
+        "doc_id",
+        F.row_number().over(wo).alias("rn"),
+        F.first("doc_id").over(wo).alias("keeper"),
+        F.count(F.lit(1)).over(wp).alias("group_size"),
+    )
+    return (
+        ranked.where(F.col("rn") > 1)
+        .select(
+            F.col("doc_id").alias("removed_doc_id"),
+            F.col("keeper").alias("kept_doc_id"),
+            F.col("group_size"),
+        )
+        .orderBy("removed_doc_id")
+    )

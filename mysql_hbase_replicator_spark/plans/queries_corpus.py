@@ -1488,3 +1488,117 @@ def sample_weighted_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_key",
         )
     )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6)
+               AS token_share,
+           ROUND(CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                 / (COUNT(*) OVER () * n_tokens), 6) AS uniform_weight
+    FROM per_source
+    ORDER BY source
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting table: for each source, its realized
+    token share and the per-document sampling weight that would flatten
+    the mixture to uniform-across-sources (weight = target_share /
+    realized_share = total/(n_sources * n_tokens)). This is the artifact a
+    training-data loader consumes to hit a prescribed domain mixture
+    without materializing a resampled corpus — the DoReMi-style knob in
+    its simplest (uniform-target) form; corpus_domain_mixture samples,
+    this WEIGHTS.
+
+    Determinism: all aggregates are BIGINT token counts; each ratio is one
+    double division of exact integers, then a 1e-6 ROUND. Scale: the token
+    count collapses map-side (partial sum per file split), the global
+    total is a 20-row unbounded window AFTER the per-source rollup — the
+    window never sees document rows, so the single-partition stage is
+    O(#sources), not O(corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    total = F.sum("n_tokens").over(w)
+    n_sources = F.count(F.lit(1)).over(w)
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / total, 6).alias("token_share"),
+        F.round(
+            total.cast("double") / (n_sources * F.col("n_tokens")), 6
+        ).alias("uniform_weight"),
+    ).orderBy("source")
+
+
+@query(
+    "corpus_length_gini",
+    oracle="""
+    WITH ranked AS (
+        SELECT source,
+               CAST(n_chars AS BIGINT) AS x,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY n_chars, doc_id) AS BIGINT) AS i
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_chars,
+           ROUND(CAST(2 * SUM(i * x) AS DOUBLE) / (COUNT(*) * SUM(x))
+                 - CAST(COUNT(*) + 1 AS DOUBLE) / COUNT(*), 6) AS gini
+    FROM ranked
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def corpus_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length inequality (Gini coefficient) per source — the
+    quick skew diagnostic for a corpus slice: ~0 means uniform lengths,
+    →1 means a few giant documents carry all the tokens (a red flag for
+    both dedup candidate generation and packing efficiency, and the
+    statistic behind 'this crawl slice is 90% boilerplate stubs').
+
+    Computed by the exact rank formula G = 2·Σi·x_i/(n·Σx) − (n+1)/n with
+    ranks ordered (n_chars, doc_id) — the tiebreak makes Σi·x invariant
+    between engines even though ranks of equal lengths are arbitrary.
+    Every sum is BIGINT-exact; the closed form is evaluated once in
+    double, then ROUNDed to the 1e-6 grid. Scale: the rank window
+    partitions by source (parallel across sources; within a source the
+    sort is the cost — at 100 TB swap ROW_NUMBER for a histogram-CDF
+    approximation over n_chars buckets, same shape as the length-
+    percentile filter's quantile-by-histogram)."""
+    d = load_table(spark, sf_dir, "documents")
+    wr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "source",
+        F.col("n_chars").cast("long").alias("x"),
+        F.row_number().over(wr).cast("long").alias("i"),
+    )
+    n = F.count(F.lit(1))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            n.alias("n_docs"),
+            F.sum("x").alias("total_chars"),
+            F.round(
+                (2 * F.sum(F.col("i") * F.col("x"))).cast("double")
+                / (n * F.sum("x"))
+                - (n + 1).cast("double") / n,
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("source")
+    )

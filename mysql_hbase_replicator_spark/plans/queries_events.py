@@ -1209,3 +1209,61 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w).alias("value_ffill"),
         F.when(F.col("value").isNull(), 1).otherwise(0).alias("is_filled"),
     )
+
+
+@query(
+    "events_hourly_p95_exact",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
+               value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)))
+                   AS n
+        FROM events
+    )
+    SELECT {SQL_TS("h")} AS window_start,
+           CAST(n AS BIGINT) AS n_events,
+           value AS p95_value
+    FROM ranked
+    WHERE rn = CAST(CEIL(0.95 * n) AS BIGINT)
+    ORDER BY h
+    """,
+)
+def events_hourly_p95_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-hour p95 latency by rank selection: within each hour the
+    p95 is THE stored value at row ⌈0.95·n⌉ under a (value, event_id)
+    total order — selection, not interpolation, so the output is a
+    bit-identical scan value on any engine (percentile_cont/approx differ
+    in interpolation and sketch semantics across engines; rank selection
+    sidesteps both). The event_id tiebreak makes the picked row unique
+    even under duplicate values.
+
+    The monitoring twin of events_hourly_error_rate (reference parity: the
+    reference's latency rings keep p50/p95/p99 ring-buffer samples,
+    Metrics.scala via SURVEY §2.8 — this is the event-time exact batch
+    form). Scale: one shuffle on the hour key; within a partition the sort
+    is hour-local. At 100 TB the same shape runs per (hour, shard) with a
+    final merge, or swaps to approx_percentile once cross-engine equality
+    stops being the contract."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    wh = Window.partitionBy(h).orderBy("value", "event_id")
+    ranked = e.select(
+        h.alias("h"),
+        "value",
+        F.row_number().over(wh).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(h)).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.ceil(0.95 * F.col("n")))
+        .select(
+            ts_str(F.col("h")).alias("window_start"),
+            F.col("n").alias("n_events"),
+            F.col("value").alias("p95_value"),
+        )
+        .orderBy("window_start")
+    )

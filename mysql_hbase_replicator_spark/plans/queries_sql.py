@@ -672,3 +672,269 @@ def sql_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer2=load_table(spark, sf_dir, "customer"),
         orders=load_table(spark, sf_dir, "orders"),
     )
+
+
+@query(
+    "sql_revenue_forecast",
+    oracle=f"""
+    SELECT {_MSUM.format(e="l_extendedprice * l_discount")} AS forecast_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def sql_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped forecasting-revenue-change scan: the canonical
+    single-table predicate+aggregate with NO join and NO grouping — the
+    purest pushdown probe in the suite. All three predicates (shipdate
+    range, discount band, quantity cap) must reach the parquet scan as
+    PushedFilters, and the plan is one WholeStageCodegen span over a
+    2-column read (extendedprice, discount survive pruning; the filter
+    columns are consumed by the scan). At 100 TB this is the query whose
+    entire cost IS the scan — a shipdate-partitioned layout (operators/
+    layout.py) turns the date range into partition pruning and reads one
+    year of files."""
+    return spark.sql(
+        f"""
+        SELECT {_MSUM.format(e="l_extendedprice * l_discount")} AS forecast_revenue,
+               COUNT(*) AS n_lineitems
+        FROM {{lineitem}}
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "sql_national_market_share",
+    oracle=f"""
+    SELECT CAST(o_year AS INT) AS o_year,
+           {_MSUM.format(e="CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END")}
+           / {_MSUM.format(e="volume")} AS mkt_share,
+           COUNT(*) AS n_lineitems
+    FROM (
+        SELECT YEAR(o.o_orderdate) AS o_year,
+               l.l_extendedprice * (1 - l.l_discount) AS volume,
+               ns.n_name AS supp_nation
+        FROM part p
+        JOIN lineitem l ON l.l_partkey = p.p_partkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+        JOIN region r   ON r.r_regionkey = nc.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+        WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def sql_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: NATION_7's share of
+    ASIA-region customers' STANDARD-part order volume, per order year.
+    Eight-table join where every dimension (part after the p_type filter,
+    customer→nation→region after the region filter, supplier→nation) is
+    broadcast-able and only lineitem⋈orders shuffles — the conditional
+    share numerator rides the same aggregate as the denominator, so the
+    market-share division touches one row per year. Both sides compute the
+    share as a ratio of two decimal-exact sums evaluated once in double
+    (no ROUND needed: identical operands, identical division).
+
+    Reference parity: the reference exposes replicated tables to Spark SQL
+    precisely for this class of analyst query (Hbase2CataLog.scala:14-23);
+    the engine's job is that the SQL text means the same thing here."""
+    return spark.sql(
+        f"""
+        SELECT o_year,
+               {_MSUM.format(e="CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END")}
+               / {_MSUM.format(e="volume")} AS mkt_share,
+               COUNT(*) AS n_lineitems
+        FROM (
+            SELECT YEAR(o.o_orderdate) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   ns.n_name AS supp_nation
+            FROM {{part}} p
+            JOIN {{lineitem}} l ON l.l_partkey = p.p_partkey
+            JOIN {{orders}} o   ON o.o_orderkey = l.l_orderkey
+            JOIN {{customer}} c ON c.c_custkey = o.o_custkey
+            JOIN {{nation}} nc  ON nc.n_nationkey = c.c_nationkey
+            JOIN {{region}} r   ON r.r_regionkey = nc.n_regionkey
+            JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
+            JOIN {{nation2}} ns ON ns.n_nationkey = s.s_nationkey
+            WHERE r.r_name = 'ASIA' AND p.p_type = 'STANDARD'
+              AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+        ) all_nations
+        GROUP BY o_year
+        """,
+        part=load_table(spark, sf_dir, "part"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        orders=load_table(spark, sf_dir, "orders"),
+        customer=load_table(spark, sf_dir, "customer"),
+        nation=load_table(spark, sf_dir, "nation"),
+        region=load_table(spark, sf_dir, "region"),
+        supplier=load_table(spark, sf_dir, "supplier"),
+        nation2=load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "sql_product_type_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           {_MSUM.format(
+               e="l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.1 * p.p_retailprice * l.l_quantity"
+           )} AS sum_profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    """,
+)
+def sql_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: per supplier-nation, per order
+    year, the profit on every '%widget%' part — revenue minus a carrying
+    cost modeled as 10% of retail price per unit (the test schema has no
+    partsupp/ps_supplycost table, so the cost term is drawn from part,
+    keeping Q9's join/aggregation shape intact). The LIKE filter prunes
+    part before the fact join; nation and supplier broadcast; the only
+    shuffle is lineitem⋈orders on orderkey, then the two-key aggregate.
+    The infix LIKE stays JVM-side (contains → no regex compilation)."""
+    return spark.sql(
+        f"""
+        SELECT n.n_name AS nation,
+               CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+               {_MSUM.format(
+                   e="l.l_extendedprice * (1 - l.l_discount)"
+                   " - 0.1 * p.p_retailprice * l.l_quantity"
+               )} AS sum_profit
+        FROM {{part}} p
+        JOIN {{lineitem}} l ON l.l_partkey = p.p_partkey
+        JOIN {{supplier}} s ON s.s_suppkey = l.l_suppkey
+        JOIN {{orders}} o   ON o.o_orderkey = l.l_orderkey
+        JOIN {{nation}} n   ON n.n_nationkey = s.s_nationkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY n.n_name, YEAR(o.o_orderdate)
+        """,
+        part=load_table(spark, sf_dir, "part"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        supplier=load_table(spark, sf_dir, "supplier"),
+        orders=load_table(spark, sf_dir, "orders"),
+        nation=load_table(spark, sf_dir, "nation"),
+    )
+
+
+@query(
+    "sql_avg_yearly_small_qty",
+    oracle=f"""
+    SELECT {_MSUM.format(e="l.l_extendedprice")} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#9'
+      AND l.l_quantity < (
+          SELECT 0.2 * (SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) / COUNT(*))
+          FROM lineitem l2
+          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def sql_avg_yearly_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: average yearly
+    revenue lost if Brand#9 orders below 20% of that part's average
+    quantity were no longer taken. The correlated scalar subquery over the
+    SAME fact table is the stress: Catalyst decorrelates it into a
+    per-partkey aggregate joined back to the filtered scan — i.e. ONE
+    extra pass over lineitem grouped by partkey, not a per-row re-scan
+    (which at 100 TB is the difference between a join and a quadratic
+    disaster). The threshold is a decimal-exact average scaled by 0.2, so
+    both engines compare against bit-identical thresholds; the brand
+    filter prunes part before the join and broadcasts."""
+    return spark.sql(
+        f"""
+        SELECT {_MSUM.format(e="l.l_extendedprice")} / 7.0 AS avg_yearly,
+               COUNT(*) AS n_lineitems
+        FROM {{lineitem}} l
+        JOIN {{part}} p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#9'
+          AND l.l_quantity < (
+              SELECT 0.2 * (SUM(CAST(l2.l_quantity AS DECIMAL(25,6))) / COUNT(*))
+              FROM {{lineitem2}} l2
+              WHERE l2.l_partkey = l.l_partkey)
+        """,
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        part=load_table(spark, sf_dir, "part"),
+        lineitem2=load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+@query(
+    "sql_sole_failed_supplier",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_returnflag = 'R'
+      AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def sql_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped sole-failing-supplier query: in finished
+    multi-supplier orders, suppliers whose line came back returned ('R')
+    while NO other supplier's line in the same order did — Q21's
+    exists/not-exists pair re-keyed to the returnflag (the test lineitem
+    has no commit/receipt dates, so 'kept waiting' becomes 'sole return';
+    the correlated-subquery shape — same fact table probed twice with a
+    <>-correlated predicate — is preserved verbatim). Catalyst plans the
+    pair as a semi join then an anti join on l_orderkey, each with the
+    suppkey-inequality as a join residual: two orderkey-shuffles of a
+    2-column projection of lineitem, no per-row re-scan. Top-20 with
+    (numwait DESC, s_name) total-order tiebreak."""
+    return spark.sql(
+        """
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM {supplier} s
+        JOIN {lineitem} l1 ON l1.l_suppkey = s.s_suppkey
+        JOIN {orders} o    ON o.o_orderkey = l1.l_orderkey
+        WHERE l1.l_returnflag = 'R'
+          AND o.o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM {lineitem2} l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM {lineitem3} l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 20
+        """,
+        supplier=load_table(spark, sf_dir, "supplier"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem2=load_table(spark, sf_dir, "lineitem"),
+        lineitem3=load_table(spark, sf_dir, "lineitem"),
+    )

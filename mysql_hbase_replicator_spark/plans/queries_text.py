@@ -793,3 +793,63 @@ def text_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+@query(
+    "text_ttr_lexical_diversity",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+                   AS n_types
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_types) AS BIGINT) AS total_types,
+           ROUND(CAST(SUM(n_types) AS DOUBLE) / SUM(n_tokens), 6)
+               AS pooled_ttr,
+           ROUND(MIN(CAST(n_types AS DOUBLE) / n_tokens), 6) AS min_doc_ttr,
+           ROUND(MAX(CAST(n_types AS DOUBLE) / n_tokens), 6) AS max_doc_ttr
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_ttr_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (lexical diversity) profiled per source — the
+    classic 'is this corpus slice repetitive boilerplate or varied prose'
+    quality gate that sits beside the Gopher ratios in a pre-training
+    filter stack. Per doc: types = distinct whitespace tokens, TTR =
+    types/tokens; per source we report the POOLED ratio (sum of integer
+    type/token counts, divided once) plus the doc-level min/max — pooling
+    keeps the aggregate decimal-exact (BIGINT sums, a single double
+    division), where an avg-of-doubles would be shuffle-order-dependent.
+
+    Scale: array_distinct runs inside codegen per row (no explode, no
+    shuffle of token rows); the only shuffle is the per-source rollup of
+    4 integers. min/max of per-row doubles are order-insensitive."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    per_doc = d.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+    )
+    ttr = F.col("n_types").cast("double") / F.col("n_tokens")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("n_types").alias("total_types"),
+            F.round(
+                F.sum("n_types").cast("double") / F.sum("n_tokens"), 6
+            ).alias("pooled_ttr"),
+            F.round(F.min(ttr), 6).alias("min_doc_ttr"),
+            F.round(F.max(ttr), 6).alias("max_doc_ttr"),
+        )
+        .orderBy("source")
+    )

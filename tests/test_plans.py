@@ -768,3 +768,88 @@ def test_cross_corpus_screen_is_equi_join(spark):
     plan = simple_plan(QUERY_REGISTRY["dedup_cross_corpus_lsh"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """The r10 co-located join: with broadcast disabled, orders ⋈ lineitem
+    over the bucketed layout must SortMergeJoin straight off the bucketed
+    scans — zero Exchange anywhere in the join-only plan (the whole point
+    of paying the one-time bucketed write)."""
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        materialize_bucketed_facts,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, li = materialize_bucketed_facts(spark, SF)
+        joined = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+            o["o_orderpriority"], li["l_extendedprice"]
+        )
+        plan = simple_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # bucket pruning metadata visible on both scans
+        assert plan.count("Bucketed: true") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_q6_scan_gets_all_three_filters(spark):
+    """sql_revenue_forecast (Q6): the pure-pushdown probe — shipdate
+    range, discount band, and quantity cap must all reach the parquet
+    scan, and the read schema must exclude unreferenced wide columns."""
+    df = QUERY_REGISTRY["sql_revenue_forecast"](spark, SF)
+    plan = formatted_plan(df)
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({f})" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24" in plan
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert reads and all("l_returnflag" not in ln for ln in reads)
+
+
+def test_q17_decorrelates_without_nested_loop(spark):
+    """sql_avg_yearly_small_qty (Q17): Catalyst must decorrelate the
+    scalar subquery into a per-partkey aggregate + join — never a
+    per-row nested-loop re-scan of lineitem."""
+    df = QUERY_REGISTRY["sql_avg_yearly_small_qty"](spark, SF)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sole_failed_supplier_plans_semi_and_anti(spark):
+    """sql_sole_failed_supplier (Q21-shape): EXISTS → LeftSemi and
+    NOT EXISTS → LeftAnti on l_orderkey, with the <>-correlation as a
+    join residual (no nested-loop over the fact)."""
+    df = QUERY_REGISTRY["sql_sole_failed_supplier"](spark, SF)
+    plan = simple_plan(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hourly_p95_single_hash_shuffle(spark):
+    """events_hourly_p95_exact: rank + count windows over the same hour
+    key must share ONE hash shuffle (the trailing sort is a range
+    exchange, not a second hash repartition)."""
+    df = QUERY_REGISTRY["events_hourly_p95_exact"](spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_r10_text_corpus_dedup_stay_jvm_side(spark):
+    """r10 EXT additions keep Python off the hot path and shuffle only
+    fingerprints/aggregates, never token arrays."""
+    for name in (
+        "text_ttr_lexical_diversity",
+        "corpus_mixture_weights",
+        "corpus_length_gini",
+        "dedup_doc_prefix",
+    ):
+        df = QUERY_REGISTRY[name](spark, SF)
+        plan = simple_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "PythonUDF" not in plan, name
