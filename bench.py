@@ -152,6 +152,12 @@ HEADLINE = [
     "window_range_numeric_sweep",
     "corpus_heavy_hitters",
     "cdc_lsm_merge_on_read",
+    # r10: the co-located-layout join (one-time bucketed write + exchange-
+    # free SMJ — the number to quote against the shuffled twin), the
+    # widest SQL join chain (Q8 shape), and the rank-selection p95
+    "join_bucketed_colocated",
+    "sql_national_market_share",
+    "events_hourly_p95_exact",
 ]
 
 
