@@ -853,3 +853,18 @@ def test_r10_text_corpus_dedup_stay_jvm_side(spark):
         plan = simple_plan(df)
         assert "BatchEvalPython" not in plan, name
         assert "PythonUDF" not in plan, name
+
+
+def test_bucketed_materialize_is_idempotent(spark):
+    """Calling the layout job twice (the driver replays queries) must
+    overwrite, not duplicate: same row counts, same join result, no stale
+    second copy under the scratch path."""
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        materialize_bucketed_facts,
+    )
+
+    o1, l1 = materialize_bucketed_facts(spark, SF)
+    n_o, n_l = o1.count(), l1.count()
+    o2, l2 = materialize_bucketed_facts(spark, SF)
+    assert (o2.count(), l2.count()) == (n_o, n_l)
+    assert o2.join(l2, o2["o_orderkey"] == l2["l_orderkey"]).count() == n_l
