@@ -938,3 +938,62 @@ def sql_sole_failed_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem2=load_table(spark, sf_dir, "lineitem"),
         lineitem3=load_table(spark, sf_dir, "lineitem"),
     )
+
+@query(
+    "sql_shipmode_priority",
+    oracle="""
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped shipping-mode priority query, completing the
+    classics to 19 of the 19 expressible without partsupp: count urgent
+    vs non-urgent order lines among LATE lines in two shipping classes
+    over one receipt year. Re-keyed to this schema exactly like Q21 was:
+    shipmode IN ('MAIL','SHIP') becomes returnflag IN ('A','R'),
+    and Q12's lateness predicate l_commitdate < l_receiptdate (the test
+    lineitem has no commit/receipt dates) becomes shipped ≥60 days after
+    the order date — preserving the operative shape: a fact-fact equi
+    join on orderkey whose cross-table inequality is a post-join
+    residual, under a CASE-conditional dual count riding ONE aggregate.
+
+    Scale: the single-table predicates (returnflag IN-list, shipdate
+    year range) are plan-gated onto the lineitem scan as PushedFilters,
+    so at 100 TB the join probes one year of two ship classes, not all
+    history; both counts share the same shuffle on returnflag. Counts
+    are integers, so the oracle comparison is exact by construction.
+
+    Reference parity: analyst SQL over the replicated tables
+    (Hbase2CataLog.scala:14-23) — the engine's job is that the same
+    ANSI text means the same thing on both engines."""
+    return spark.sql(
+        """
+        SELECT l.l_returnflag AS ship_class,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM {orders} o
+        JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_returnflag IN ('A', 'R')
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+        """,
+        orders=load_table(spark, sf_dir, "orders"),
+        lineitem=load_table(spark, sf_dir, "lineitem"),
+    )

@@ -868,3 +868,22 @@ def test_bucketed_materialize_is_idempotent(spark):
     o2, l2 = materialize_bucketed_facts(spark, SF)
     assert (o2.count(), l2.count()) == (n_o, n_l)
     assert o2.join(l2, o2["o_orderkey"] == l2["l_orderkey"]).count() == n_l
+
+
+def test_q12_pushdown_and_residual_date_arith(spark):
+    """sql_shipmode_priority (Q12): the single-table predicates (returnflag
+    IN-list, shipdate year range) must reach the lineitem scan as
+    PushedFilters; the cross-table lateness inequality stays a join
+    residual (never a cartesian); both CASE counts ride one aggregate."""
+    df = QUERY_REGISTRY["sql_shipmode_priority"](spark, SF)
+    plan = formatted_plan(df)
+    assert "In(l_returnflag, [A,R])" in plan
+    assert "GreaterThanOrEqual(l_shipdate,1996-01-01" in plan
+    assert "LessThan(l_shipdate,1997-01-01" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # lineitem read schema pruned to the 3 referenced columns
+    reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert reads and all("l_extendedprice" not in ln for ln in reads)
+    # dual conditional count shares ONE hash aggregate pair (no second shuffle)
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 1, plan
