@@ -158,6 +158,9 @@ HEADLINE = [
     "join_bucketed_colocated",
     "sql_national_market_share",
     "events_hourly_p95_exact",
+    # r10 continuation: Q12 completes the TPC-H classics (fact-fact join
+    # with a cross-table date-arith residual under a dual CASE count)
+    "sql_shipmode_priority",
 ]
 
 
