@@ -28,7 +28,7 @@ token); across families, every token is rewritten with a family tag
 So 100 copies at family_size=10 means 10x the sf~1 corpus at the SAME
 ~10-near-dup duplication factor — the realistic constant-dup regime.
 
-Usage: python scripts/make_scaled_sf.py [src_sf_dir] [dst_dir] [n_copies] [family_size]
+Usage: python scripts/make_scaled_sf.py [src_sf_dir] [dst_dir] [n_copies] [family_size] [stride_mult]
 """
 
 from __future__ import annotations
@@ -61,6 +61,11 @@ def main() -> None:
     dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
     n_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     family_size = int(sys.argv[4]) if len(sys.argv) > 4 else n_copies
+    # Stride multiplier for SECOND-stage scale-ups (src is itself a scaled
+    # dir): the base strides clear sf0.1's key ranges but not a 100-copy
+    # dir's shifted keys, so e.g. sf10 -> sf100 passes 1000 (strides then
+    # clear the ~1e9 custkey / ~1e10 orderkey ranges; int64 holds to 9.2e18).
+    stride_mult = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     from pyspark.sql import functions as F
 
@@ -82,7 +87,9 @@ def main() -> None:
         for i in range(n_copies):
             c = base
             for col, stride in strides.items():
-                c = c.withColumn(col, (F.col(col) + F.lit(i * stride)).cast("long"))
+                c = c.withColumn(
+                    col, (F.col(col) + F.lit(i * stride * stride_mult)).cast("long")
+                )
             if t == "documents" and i > 0:
                 fam = i // family_size
                 if fam > 0:
