@@ -38,6 +38,7 @@ exit (Rep.scala:86-92).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -71,10 +72,21 @@ def dead_letter_batch_path(store: ParquetKeyedStore, token: str) -> str:
     Rep.scala:67-97). Plain ``spark.read.parquet(<base>/_dead_letter)``
     keeps working via partition discovery (the token surfaces as a
     ``batch`` string column). Root-level files must never be mixed into
-    this layout: Spark silently drops one side of a mixed root-file /
-    partition-dir directory, so ALL writers go through this helper."""
+    this layout: Spark refuses a mixed root-file / partition-dir
+    directory, so ALL writers go through this helper (and the drain path
+    migrates pre-upgrade root files into a ``batch=legacy-migrated``
+    subdir before reading).
+
+    The directory name carries BOTH the sanitized token (human-readable)
+    and an md5 prefix of the RAW token: two distinct raw tokens that
+    sanitize to the same string (e.g. table names differing only in a
+    non-alnum character) must never share a directory — with
+    mode=overwrite a collision would silently delete the other writer's
+    queue, not merely co-mingle rows as append did. Same raw token →
+    same path, so replay idempotence is unaffected."""
     safe = "".join(ch if (ch.isalnum() or ch in "._-") else "_" for ch in token)
-    return os.path.join(store.base_dir, DEAD_LETTER_TABLE, f"batch={safe}")
+    digest = hashlib.md5(token.encode("utf-8")).hexdigest()[:8]
+    return os.path.join(store.base_dir, DEAD_LETTER_TABLE, f"batch={safe}.{digest}")
 
 # Micro-batch regime switch (r6 verdict #2 — streaming fixed cost): below
 # this many row events the batch's plans are TINY (a few thousand rows per
@@ -592,6 +604,24 @@ def replay_dead_letters(
         drain_dirs.append(dst)
     if not drain_dirs:
         return None
+    # Layout shim for pre-upgrade queues: the old writers appended parquet
+    # files at the TABLE ROOT, the current layout is batch=<token> partition
+    # subdirs, and Spark's partition discovery refuses a directory mixing
+    # the two. Move any visible root-level files into their own batch=
+    # subdir before reading (idempotent and crash-safe: the drain dir is
+    # already renamed aside, and a re-run just moves whatever files remain;
+    # underscore/dot files like _SUCCESS are invisible to discovery).
+    for d in drain_dirs:
+        root_files = [
+            f
+            for f in os.listdir(d)
+            if os.path.isfile(os.path.join(d, f)) and not f.startswith(("_", "."))
+        ]
+        if root_files:
+            legacy = os.path.join(d, "batch=legacy-migrated")
+            os.makedirs(legacy, exist_ok=True)
+            for f in root_files:
+                shutil.move(os.path.join(d, f), os.path.join(legacy, f))
     dl = spark.read.option("mergeSchema", "true").parquet(*drain_dirs)
     if "batch" in dl.columns:
         # the per-write subdir token surfaces as a partition column on read;

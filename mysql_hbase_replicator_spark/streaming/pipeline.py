@@ -21,6 +21,7 @@ replication loop of the reference (Rep.scala:21-65) re-expressed as
 
 from __future__ import annotations
 
+import os
 import threading
 from collections import deque
 from dataclasses import dataclass, field
@@ -109,6 +110,40 @@ class CdcStreamPipeline:
             if fresh is not None:
                 declared.check_key_unchanged(fresh)
 
+    def _lineage_token(self) -> str:
+        """Stable id of this CHECKPOINT LINEAGE, prefixed onto every
+        dead-letter batch token. Batch ids restart at 0 for a fresh
+        checkpoint (and for a second pipeline sharing the store), so a
+        bare ``b{batch_id}`` token under mode=overwrite would let a new
+        lineage's batch 0 DELETE an old lineage's undrained batch-0 dead
+        letters — K6's failures-never-vanish contract broken exactly
+        where it matters (the operator wiped the checkpoint because the
+        stream wedged). Structured Streaming already persists the right
+        scope: ``<checkpointLocation>/metadata`` holds the query id,
+        minted once per checkpoint lineage and stable across restarts —
+        same checkpoint → same token (replays still overwrite their own
+        subdir), new checkpoint or other pipeline → disjoint subdirs.
+        Falls back to a path hash before the first trigger commits the
+        metadata file (same stability, weaker against dir reuse)."""
+        cached = getattr(self, "_lineage", None)
+        if cached is not None:
+            return cached
+        import hashlib
+        import json as _json
+
+        token: str | None = None
+        try:
+            with open(os.path.join(self.checkpoint_dir, "metadata")) as f:
+                token = _json.load(f)["id"].split("-")[0]
+        except (OSError, ValueError, KeyError):
+            digest = hashlib.md5(
+                os.path.abspath(self.checkpoint_dir).encode("utf-8")
+            ).hexdigest()[:8]
+            token = f"p{digest}"
+            return token  # not cached: prefer the metadata id once it exists
+        self._lineage = token
+        return token
+
     def _apply_kernel(self, events: DataFrame, batch_id: int) -> CdcBatchResult:
         return apply_cdc_batch(
             self.spark,
@@ -117,9 +152,11 @@ class CdcStreamPipeline:
             self.mappings,
             k3_mode=self.k3_mode,
             max_dead_letter=self.max_dead_letter,
-            # stable per-batch token: a replayed micro-batch overwrites its
-            # own dead-letter subdirs instead of appending duplicates
-            batch_token=f"b{batch_id}",
+            # lineage-scoped stable per-batch token: a replayed micro-batch
+            # overwrites its own dead-letter subdirs instead of appending
+            # duplicates, while batches of a DIFFERENT checkpoint lineage
+            # land in disjoint subdirs instead of overwriting these
+            batch_token=f"{self._lineage_token()}-b{batch_id}",
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -169,7 +206,9 @@ class CdcStreamPipeline:
                 # kernel, so the overflow raise itself forces a replay that
                 # would otherwise duplicate every queued dead letter
                 debezium_dead_letters(parsed=parsed).write.mode("overwrite").parquet(
-                    dead_letter_batch_path(self.store, f"ingest-{batch_id}")
+                    dead_letter_batch_path(
+                        self.store, f"{self._lineage_token()}-ingest-{batch_id}"
+                    )
                 )
 
             try:

@@ -604,3 +604,99 @@ def test_small_batch_conf_not_pinned(spark, tmp_path, student_struct, student_ma
     finally:
         if was_set:
             spark.conf.set(key, "true")
+
+
+# --- dead-letter layout robustness (r10 review findings) --------------------
+def test_dead_letter_path_distinct_for_sanitize_colliding_tokens(tmp_path):
+    """Two RAW tokens that sanitize to the same string must get disjoint
+    batch= dirs: under mode=overwrite a shared dir would DELETE the other
+    writer's queue (append only co-mingled). Same raw token → same path,
+    so replay idempotence is unaffected."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        dead_letter_batch_path,
+    )
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    a = dead_letter_batch_path(store, "b0-mixfs:student")
+    b = dead_letter_batch_path(store, "b0-mixfs_student")
+    assert a != b
+    assert a == dead_letter_batch_path(store, "b0-mixfs:student")
+
+
+def test_dead_letter_drain_migrates_legacy_root_files(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """A pre-upgrade queue has parquet files at the _dead_letter ROOT; the
+    current writers use batch= partition subdirs, and Spark refuses a mixed
+    layout. The drain must migrate root files aside and replay BOTH the
+    legacy and the new-style events (K6: failures never vanish across an
+    upgrade)."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        replay_dead_letters,
+    )
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    # new-style dead letter (missing PK) via the kernel
+    ev_df = events_from_rows(
+        spark, [ev(2, "insert", after=row(2, None, 50, "eve", "e"))], student_struct
+    )
+    apply_cdc_batch(spark, ev_df, store, mappings, batch_token="b0")
+    dl_dir = tmp_path / "store" / "_dead_letter"
+    assert any(p.name.startswith("batch=") for p in dl_dir.iterdir())
+    # legacy root-level file: same schema the old append writer produced
+    legacy = spark.createDataFrame(
+        [(9, "insert", "mixfs.student", "legacy reason",
+          '{"before": null, "after": {"sn": 3, "id": null}}', None, None, None)],
+        "position long, op string, table_name string, reason string, "
+        "payload string, included_before array<string>, "
+        "included_after array<string>, filename string",
+    )
+    legacy.coalesce(1).write.mode("append").parquet(str(tmp_path / "legacy_tmp"))
+    import shutil as _sh
+
+    for f in (tmp_path / "legacy_tmp").iterdir():
+        if f.name.endswith(".parquet"):
+            _sh.move(str(f), str(dl_dir / f.name))
+    # drain: both events still fail validation (missing PK) and are
+    # re-queued — but the read must succeed and see BOTH
+    res = replay_dead_letters(spark, store, mappings)
+    assert res is not None and res.dead_letter_count == 2
+    requeued = spark.read.parquet(str(dl_dir))
+    assert requeued.count() == 2
+    assert sorted(r.position for r in requeued.collect()) == [2, 9]
+
+
+def test_pipeline_lineage_token_scopes_dead_letter_batches(tmp_path):
+    """Batch ids restart at 0 for a fresh checkpoint, so kernel batch
+    tokens must carry a checkpoint-lineage component: same checkpoint →
+    same token (replay overwrites itself), different checkpoint (operator
+    wiped it / second pipeline on the store) → disjoint tokens, so batch 0
+    of the new lineage cannot delete the old lineage's undrained queue."""
+    import json as _json
+
+    from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+
+    def mk(cp_dir):
+        return CdcStreamPipeline(
+            spark=None, events_path="", row_struct=None, store=None,
+            mappings={}, checkpoint_dir=str(cp_dir),
+        )
+
+    cp1, cp2 = tmp_path / "cp1", tmp_path / "cp2"
+    cp1.mkdir(), cp2.mkdir()
+    # metadata file present (normal case): token is the persisted query id
+    (cp1 / "metadata").write_text(_json.dumps({"id": "11111111-aaaa-bbbb-cccc-0123"}))
+    (cp2 / "metadata").write_text(_json.dumps({"id": "22222222-aaaa-bbbb-cccc-0123"}))
+    p1, p1b, p2 = mk(cp1), mk(cp1), mk(cp2)
+    assert p1._lineage_token() == p1b._lineage_token() == "11111111"
+    assert p2._lineage_token() == "22222222"
+    # pre-metadata fallback: stable per checkpoint path, still disjoint
+    cp3, cp4 = tmp_path / "cp3", tmp_path / "cp4"
+    cp3.mkdir(), cp4.mkdir()
+    p3, p4 = mk(cp3), mk(cp4)
+    t3 = p3._lineage_token()
+    assert t3 == mk(cp3)._lineage_token() != p4._lineage_token()
+    # fallback is not cached: once metadata appears it wins
+    (cp3 / "metadata").write_text(_json.dumps({"id": "33333333-aaaa"}))
+    assert p3._lineage_token() == "33333333"
