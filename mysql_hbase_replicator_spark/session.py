@@ -51,6 +51,22 @@ def get_spark(
         # --- shuffle sizing ----------------------------------------------
         .config("spark.sql.shuffle.partitions", str(n))
         .config("spark.default.parallelism", str(n))
+        # AQE picks ACTUAL reduce counts by coalescing DOWN from
+        # initialPartitionNum, so the initial value bounds how widely the
+        # largest shuffle of a stage can spread. Size it to (largest
+        # shuffle bytes / ~128 MB) for the deployment: the sf≈100 probe
+        # (SCALING.md r10) measured the 9 GB Q21 semi+anti shuffle at
+        # cores(=32) spilling 6.4 GB/run and 256 eliminating the spill
+        # (40.1 → 32.3 s); on a 1000-executor cluster this is thousands.
+        # The DEFAULT stays cores: at test SFs (≤0.1) a large initial
+        # count costs real wall-clock on multi-stage plans (the LSH
+        # family ran 1.3-1.4× slower at sf0.1 under 8×cores) for spill
+        # that never materializes — partition sizing follows data volume,
+        # so the knob is an env for big-SF runs, not a fixed constant.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get("SPARK_GRAFT_INIT_PARTITIONS", str(n)),
+        )
         # --- python/JVM transport ----------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
