@@ -200,6 +200,10 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     cdc = bench_cdc_throughput(spark)
+    # 10× batch: the 200k batch is fixed-floor-dominated (~3 s of plan/
+    # action cost); at 2M events the same kernel amortizes to ~1 µs/row —
+    # the number that scales to backfills (r10: 780k/902k ev/s vs 66k/120k)
+    cdc_10x = bench_cdc_throughput(spark, n_events=2_000_000)
     pruning = bench_partition_pruning(spark, sf_dir)
     streaming = bench_streaming(spark)
     # the 8M-row plain-vs-salted SMJ pair materially lengthens the run and
@@ -215,6 +219,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cdc": cdc,
+        "cdc_2m": cdc_10x,
         "partition_pruning": pruning,
         "streaming": streaming,
     }
@@ -250,6 +255,8 @@ def main() -> None:
         "n_queries": len(timings),
         "cdc_ev_s": cdc["events_per_sec"],
         "cdc_lsm_ev_s": cdc["lsm_events_per_sec"],
+        "cdc_2m_ev_s": cdc_10x["events_per_sec"],
+        "cdc_2m_lsm_ev_s": cdc_10x["lsm_events_per_sec"],
         "stream_jsonl_ev_s": streaming["jsonl"]["events_per_sec"],
         "stream_debezium_ev_s": streaming["debezium"]["events_per_sec"],
         "stream_throughput_ev_s": streaming["jsonl_throughput"]["events_per_sec"],
