@@ -629,6 +629,17 @@ def replay_dead_letters(
         # and re-queues never carry it into data files (a data column named
         # like the partition key would corrupt later partition discovery)
         dl = dl.drop("batch")
+    # Exact-duplicate queue rows are replay ARTIFACTS by construction (an
+    # event is dead-lettered once per delivery; identical payload+position
+    # rows can only come from a replayed batch that landed under two
+    # different batch tokens — e.g. a replay straddling the token-scheme
+    # upgrade, where the old write used `b7-...` and the re-delivery wrote
+    # `<lineage>-b7-...`, so overwrite couldn't collapse them). Dedupe
+    # before applying: otherwise the drain double-applies and still-invalid
+    # events re-queue in duplicate, permanently. Distinct FAILURES are
+    # never collapsed — two different events can't be byte-identical in
+    # (position, op, table, payload, gates, filename).
+    dl = dl.dropDuplicates()
     for c, t in (
         ("included_before", "array<string>"),  # legacy pre-upgrade queues
         ("included_after", "array<string>"),

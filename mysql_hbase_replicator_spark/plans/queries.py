@@ -54,8 +54,13 @@ def mavg(c: Column) -> Column:
 def _scaled_long(c: Column) -> Column:
     # per-row exact scale-6 fixed-point: floor(x*1e6 + 0.5) == the integer
     # k with x == k/1e6 whenever x is (the nearest double to) an exactly-
-    # 6-decimal quantity — the double product's error is ~1e-15 relative,
-    # orders of magnitude inside the ±0.5 rounding slack. floor() keeps
+    # 6-decimal quantity AND |x| ≤ 1e9. The bound is where the slack
+    # argument actually holds: at |x| ≤ 1e9 the product x*1e6 ≤ 1e15 sits
+    # inside double's exact-integer range (2^52 ≈ 4.5e15) with product-
+    # rounding error ≤ ~0.25, inside the ±0.5 slack. NEAR the exact-
+    # integer ceiling the argument FAILS — at |x| ≈ 9e9 the product's ulp
+    # is 2 and ~62% of exact-6-decimal values mis-round (measured), so
+    # the previously documented 9e9 domain was unsound. floor() keeps
     # the whole row JVM-side (no per-row BigDecimal allocation, which is
     # what makes the decimal cast ~6x slower).
     return F.floor(c * 1e6 + F.lit(0.5)).cast("long")
@@ -72,11 +77,15 @@ def msum_fast(c: Column) -> Column:
 
     Preconditions (assert-by-construction where used): inputs are exactly-
     6-decimal quantities (2-decimal money columns and products of up to
-    three of them), per-row |x| < 9e9 (so x*1e6 stays in double's exact-
-    integer range), and the group's Σ|x| < 9.2e12 (int64 headroom at
-    scale 6 — comfortably true through sf≈100 lineitem sums; beyond that,
-    or for unvetted inputs, use msum: exactness there does not depend on
-    magnitude)."""
+    three of them), per-row |x| ≤ 1e9 (see _scaled_long — the old 9e9
+    bound mis-rounds near double's exact-integer ceiling), and EVERY
+    group's Σ|x| < 9.2e12 (int64 headroom at scale 6). The group bound is
+    per GROUP, so rollup/cube/grand-total shapes that sum the whole table
+    exhaust it far earlier than their leaf groups (lineitem money sums
+    blow it by ~sf29) — those shapes must use msum, whose exactness does
+    not depend on magnitude. Q1's leaf groups were A/B-proven exact at
+    sf≈100 (PLANS.md); re-verify the bound per column before any new use
+    or scale step — a non-ANSI long SUM wraps SILENTLY on overflow."""
     k = F.sum(_scaled_long(c))
     return (k.cast("decimal(25,0)") / F.lit(1000000).cast("decimal(7,0)")).cast(
         "double"
@@ -244,7 +253,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return l.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        msum_fast(F.col("l_extendedprice")).alias("sum_price"),
+        # msum, NOT msum_fast: rollup's subtotal and grand-total groups sum
+        # the WHOLE table, so the fast path's int64 headroom (group
+        # Σ|x|·1e6 < 9.2e18) is gone by ~sf29 on l_extendedprice — and a
+        # non-ANSI long SUM wraps silently. The leaf-group-only shapes
+        # (Q1) keep the fast path; totals-over-everything shapes pay the
+        # decimal accumulation for unconditional exactness.
+        msum(F.col("l_extendedprice")).alias("sum_price"),
         F.count(F.lit(1)).alias("n"),
     )
 

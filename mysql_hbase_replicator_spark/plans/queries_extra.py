@@ -1629,16 +1629,26 @@ def scalar_pad_translate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
     """Write orders + lineitem bucketed(8) and sorted by orderkey into a
-    scratch warehouse keyed by sf_dir, register them in the session
-    catalog, and return the two bucketed reads. Idempotent per
+    scratch warehouse keyed by (application, sf_dir), register them in the
+    session catalog, and return the two bucketed reads. Idempotent per
     (session, sf_dir): DROP + overwrite replaces both the metastore entry
     and the files, so a replayed call never reads a stale or half-written
-    layout. This is the one-time layout job; every orderkey join on the
+    layout. The applicationId in the key keeps CONCURRENT sessions (two
+    bench runs, pytest workers, two users on one box) from overwriting
+    each other's live layout mid-scan — a second process with the same
+    sf_dir previously deleted the files under the first one's registered
+    table. Scratch lives for the app's lifetime, like any Spark scratch
+    dir; a production deployment writes the bucketed layout to a REAL
+    warehouse path once, not per session (that is the whole point of the
+    trade). This is the one-time layout job; every orderkey join on the
     returned frames is exchange-free."""
     import hashlib
     import os
 
-    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    key = hashlib.md5(
+        f"{app}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
     root = f"/tmp/spark_graft_bucketed_{key}"
     names = {}
     for tbl, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):

@@ -700,3 +700,29 @@ def test_pipeline_lineage_token_scopes_dead_letter_batches(tmp_path):
     # fallback is not cached: once metadata appears it wins
     (cp3 / "metadata").write_text(_json.dumps({"id": "33333333-aaaa"}))
     assert p3._lineage_token() == "33333333"
+
+
+def test_drain_collapses_cross_token_replay_duplicates(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """Upgrade-boundary replay: the same micro-batch delivered once under
+    the old bare token scheme and once under the new lineage-scoped one
+    lands in TWO batch= subdirs, so overwrite can't collapse them. The
+    drain must treat byte-identical queue rows as one failure — exactly
+    one replay apply, exactly one re-queue row for a still-invalid event."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import (
+        replay_dead_letters,
+    )
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    bad = [ev(2, "insert", after=row(2, None, 50, "eve", "e"))]  # missing PK
+    ev_df = events_from_rows(spark, bad, student_struct)
+    # same batch, two token schemes (pre- and post-upgrade identities)
+    apply_cdc_batch(spark, ev_df, store, mappings, batch_token="b7")
+    apply_cdc_batch(spark, ev_df, store, mappings, batch_token="1111aaaa-b7")
+    dl_dir = tmp_path / "store" / "_dead_letter"
+    assert spark.read.parquet(str(dl_dir)).count() == 2  # two dirs pre-drain
+    res = replay_dead_letters(spark, store, mappings)
+    assert res is not None and res.dead_letter_count == 1  # one failure
+    assert spark.read.parquet(str(dl_dir)).count() == 1  # re-queued ONCE

@@ -54,3 +54,36 @@ def test_msum_fast_bit_identical_on_products(spark, pairs):
         msum(prod).alias("x"), msum_fast(prod).alias("y")
     ).collect()[0]
     assert got["x"] == got["y"]
+
+
+# large-magnitude regime: the domain boundary the r10 review tightened.
+# |x| <= 1e9 must stay bit-identical; the OLD documented bound (9e9) is
+# demonstrably outside the slack argument and must stay out of the domain.
+money_large = st.decimals(
+    min_value=Decimal("-999999999.99"),
+    max_value=Decimal("999999999.99"),
+    places=2,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(money_large, min_size=1, max_size=8))
+def test_msum_fast_bit_identical_up_to_1e9(spark, xs):
+    df = spark.createDataFrame([(float(x),) for x in xs], "x double").coalesce(1)
+    got = df.agg(msum(F.col("x")).alias("a"), msum_fast(F.col("x")).alias("b")).collect()[0]
+    assert got["a"] == got["b"]
+
+
+def test_scaled_long_misrounds_beyond_domain():
+    """Documents WHY the per-row bound is 1e9, not the old 9e9: near
+    double's exact-integer ceiling the x*1e6 product's ulp exceeds the
+    ±0.5 rounding slack, so scale-6 longs mis-round. If this ever starts
+    passing for the 9e9 regime, the domain comment can be revisited."""
+    import math
+
+    x = 8999999123.456789  # exactly-6-decimal value inside the OLD domain
+    exact = Decimal(repr(x)).scaleb(6).to_integral_value()
+    fast = math.floor(x * 1e6 + 0.5)
+    assert fast != int(exact)  # the old 9e9 bound really was unsound
+    y = 999999999.99  # inside the new 1e9 domain
+    assert math.floor(y * 1e6 + 0.5) == int(Decimal(repr(y)).scaleb(6))
