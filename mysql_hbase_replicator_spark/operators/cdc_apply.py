@@ -629,16 +629,19 @@ def replay_dead_letters(
         # and re-queues never carry it into data files (a data column named
         # like the partition key would corrupt later partition discovery)
         dl = dl.drop("batch")
-    # Exact-duplicate queue rows are replay ARTIFACTS by construction (an
-    # event is dead-lettered once per delivery; identical payload+position
-    # rows can only come from a replayed batch that landed under two
-    # different batch tokens — e.g. a replay straddling the token-scheme
-    # upgrade, where the old write used `b7-...` and the re-delivery wrote
-    # `<lineage>-b7-...`, so overwrite couldn't collapse them). Dedupe
-    # before applying: otherwise the drain double-applies and still-invalid
-    # events re-queue in duplicate, permanently. Distinct FAILURES are
-    # never collapsed — two different events can't be byte-identical in
-    # (position, op, table, payload, gates, filename).
+    # Exact-duplicate queue rows are replay ARTIFACTS (an event is
+    # dead-lettered once per delivery; identical payload+position rows come
+    # from a replayed batch that landed under two different batch tokens —
+    # e.g. a replay straddling the token-scheme upgrade, where the old
+    # write used `b7-...` and the re-delivery wrote `<lineage>-b7-...`, so
+    # overwrite couldn't collapse them). Dedupe before applying: otherwise
+    # the drain double-applies and still-invalid events re-queue in
+    # duplicate, permanently. This byte-level pass is NOT sufficient on its
+    # own (ADVICE r10): the same failure re-queued by a crashed earlier
+    # drain re-serializes its payload (to_json of the re-extracted images),
+    # which may differ from the original delivery in whitespace/wrapper
+    # formatting — those duplicates are collapsed by the post-extraction
+    # dedupe on ev_df below, after get_json_object has re-minified both.
     dl = dl.dropDuplicates()
     for c, t in (
         ("included_before", "array<string>"),  # legacy pre-upgrade queues
@@ -661,6 +664,17 @@ def replay_dead_letters(
         F.col("included_after"),
         F.col("filename"),
     )
+    # Semantic dedupe (ADVICE r10): get_json_object re-emits the extracted
+    # before/after subtrees Jackson-minified, so two queue rows describing
+    # the SAME failed event that differ only in payload formatting (the
+    # original delivery vs a crashed drain's to_json re-queue) collapse
+    # here even though the byte-level pass above missed them. Distinct
+    # failures survive: two different events can't agree on every one of
+    # (position, op, db, table, minified images, gates, filename) — the
+    # only theoretical collision is two identical PK-less rows inside one
+    # multi-row event, which the byte-level dropDuplicates above already
+    # collapsed under the old scheme too.
+    ev_df = ev_df.dropDuplicates()
     # ingest-level dead letters (e.g. corrupt Debezium envelopes queued by
     # debezium_dead_letters) carry a non-row op ("?"/unknown) and a raw
     # payload the row path can't interpret — re-queue them verbatim instead

@@ -1641,7 +1641,13 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
     dir; a production deployment writes the bucketed layout to a REAL
     warehouse path once, not per session (that is the whole point of the
     trade). This is the one-time layout job; every orderkey join on the
-    returned frames is exchange-free."""
+    returned frames is exchange-free.
+
+    Lifecycle (ADVICE r10): per-app scratch is reclaimed, not leaked — an
+    atexit hook removes this process's root on exit, each root carries an
+    ``_owner.pid`` marker, and every call reaps sibling roots whose owning
+    process is gone (crashed sessions' multi-GB layouts would otherwise
+    accumulate under /tmp forever)."""
     import hashlib
     import os
 
@@ -1650,6 +1656,8 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
         f"{app}:{os.path.abspath(sf_dir)}".encode()
     ).hexdigest()[:10]
     root = f"/tmp/spark_graft_bucketed_{key}"
+    _register_scratch_cleanup(root)
+    _reap_dead_scratch_roots(keep=root)
     names = {}
     for tbl, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"spark_graft_bkt_{tbl}_{key}"
@@ -1665,7 +1673,60 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
             .saveAsTable(name)
         )
         names[tbl] = name
+    with open(os.path.join(root, "_owner.pid"), "w") as f:
+        f.write(str(os.getpid()))
     return spark.table(names["orders"]), spark.table(names["lineitem"])
+
+
+_SCRATCH_ROOTS_REGISTERED: set[str] = set()
+
+
+def _register_scratch_cleanup(root: str) -> None:
+    """Remove this process's bucketed scratch root at interpreter exit
+    (once per root). atexit rather than a SparkSession-stop listener: the
+    layout must survive session restarts WITHIN a process (tests rebuild
+    sessions), and the files are useless once the process is gone."""
+    import atexit
+    import shutil
+
+    if root in _SCRATCH_ROOTS_REGISTERED:
+        return
+    _SCRATCH_ROOTS_REGISTERED.add(root)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+
+
+def _reap_dead_scratch_roots(keep: str) -> None:
+    """Delete sibling spark_graft_bucketed_* roots whose owning process no
+    longer exists (crash leftovers the owner's atexit never ran for). Roots
+    without an ``_owner.pid`` marker are pre-upgrade leaks: reaped only
+    once they are an hour old, so a concurrent old-code session mid-write
+    is never yanked. Best-effort — a reap race with a dying owner just
+    double-deletes."""
+    import glob
+    import shutil
+    import time
+
+    for root in glob.glob("/tmp/spark_graft_bucketed_*"):
+        if root == keep or not os.path.isdir(root):
+            continue
+        marker = os.path.join(root, "_owner.pid")
+        try:
+            with open(marker) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            try:  # unmarked: old-code root (or one mid-materialize pre-marker)
+                if time.time() - os.path.getmtime(root) < 3600:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(root, ignore_errors=True)
+            continue
+        try:
+            os.kill(pid, 0)  # signal 0: existence probe only
+        except ProcessLookupError:
+            shutil.rmtree(root, ignore_errors=True)
+        except (PermissionError, OSError):
+            continue  # alive (owned by another user) or unknowable: keep
 
 
 @query(

@@ -123,24 +123,54 @@ class CdcStreamPipeline:
         minted once per checkpoint lineage and stable across restarts —
         same checkpoint → same token (replays still overwrite their own
         subdir), new checkpoint or other pipeline → disjoint subdirs.
-        Falls back to a path hash before the first trigger commits the
-        metadata file (same stability, weaker against dir reuse)."""
+
+        Minted ONCE per lineage (ADVICE r10): the first resolved token is
+        persisted to ``<checkpoint>/graft_lineage`` and every later call —
+        this process or a restart — reads it back, so the token can never
+        flip mid-lineage (the old uncached path-hash fallback flipped to
+        the metadata id once Spark wrote it, stranding a replayed batch's
+        pre-flip dead-letter subdir for a later drain to double-apply).
+        When the metadata file is not there yet, the mint is a RANDOM
+        suffix (persisted, hence still stable) rather than a path hash, so
+        a wiped-and-recreated checkpoint dir also gets a disjoint token."""
         cached = getattr(self, "_lineage", None)
         if cached is not None:
             return cached
         import hashlib
         import json as _json
+        import uuid
 
+        marker = os.path.join(self.checkpoint_dir, "graft_lineage")
         token: str | None = None
         try:
-            with open(os.path.join(self.checkpoint_dir, "metadata")) as f:
-                token = _json.load(f)["id"].split("-")[0]
-        except (OSError, ValueError, KeyError):
-            digest = hashlib.md5(
-                os.path.abspath(self.checkpoint_dir).encode("utf-8")
-            ).hexdigest()[:8]
-            token = f"p{digest}"
-            return token  # not cached: prefer the metadata id once it exists
+            with open(marker) as f:
+                token = f.read().strip() or None
+        except OSError:
+            token = None
+        if token is None:
+            try:
+                with open(os.path.join(self.checkpoint_dir, "metadata")) as f:
+                    token = str(_json.load(f)["id"]).split("-")[0] or None
+            except Exception:
+                # metadata missing OR malformed (non-dict JSON, non-string
+                # id, …): fall through to minting. ADVICE r10 — the old
+                # narrow except let a parseable-but-wrong metadata file
+                # raise TypeError/AttributeError and kill the micro-batch.
+                token = None
+            if token is None:
+                token = f"p{uuid.uuid4().hex[:8]}"
+            try:
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                tmp = f"{marker}.tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(token)
+                os.replace(tmp, marker)
+            except OSError:
+                # unpersistable checkpoint dir: a random token would change
+                # on restart — degrade to the stable path hash instead
+                token = "p" + hashlib.md5(
+                    os.path.abspath(self.checkpoint_dir).encode("utf-8")
+                ).hexdigest()[:8]
         self._lineage = token
         return token
 

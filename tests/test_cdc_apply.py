@@ -691,15 +691,33 @@ def test_pipeline_lineage_token_scopes_dead_letter_batches(tmp_path):
     p1, p1b, p2 = mk(cp1), mk(cp1), mk(cp2)
     assert p1._lineage_token() == p1b._lineage_token() == "11111111"
     assert p2._lineage_token() == "22222222"
-    # pre-metadata fallback: stable per checkpoint path, still disjoint
+    # pre-metadata fallback: minted once, persisted, stable across
+    # restarts (a new pipeline object on the same checkpoint reads it
+    # back), disjoint across checkpoints
     cp3, cp4 = tmp_path / "cp3", tmp_path / "cp4"
     cp3.mkdir(), cp4.mkdir()
     p3, p4 = mk(cp3), mk(cp4)
     t3 = p3._lineage_token()
     assert t3 == mk(cp3)._lineage_token() != p4._lineage_token()
-    # fallback is not cached: once metadata appears it wins
+    # mint-once (ADVICE r10): the token never flips mid-lineage — metadata
+    # appearing later does NOT override the already-persisted mint, so a
+    # pre-metadata dead-letter subdir stays overwritable by its replay
     (cp3 / "metadata").write_text(_json.dumps({"id": "33333333-aaaa"}))
-    assert p3._lineage_token() == "33333333"
+    assert mk(cp3)._lineage_token() == t3
+    # wiped-and-recreated checkpoint dir = NEW lineage: the random mint
+    # makes the new token disjoint even though the path is identical
+    import shutil as _sh
+
+    _sh.rmtree(cp3)
+    cp3.mkdir()
+    assert mk(cp3)._lineage_token() != t3
+    # malformed metadata (non-dict JSON / non-string id) must not crash —
+    # it falls through to the persisted mint (ADVICE r10)
+    cp5 = tmp_path / "cp5"
+    cp5.mkdir()
+    (cp5 / "metadata").write_text('["not", "a", "dict"]')
+    t5 = mk(cp5)._lineage_token()
+    assert t5 and mk(cp5)._lineage_token() == t5
 
 
 def test_drain_collapses_cross_token_replay_duplicates(

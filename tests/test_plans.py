@@ -884,6 +884,10 @@ def test_q12_pushdown_and_residual_date_arith(spark):
     # lineitem read schema pruned to the 3 referenced columns
     reads = [ln for ln in plan.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln]
     assert reads and all("l_extendedprice" not in ln for ln in reads)
-    # dual conditional count shares ONE hash aggregate pair (no second shuffle)
-    n_hash_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_hash_exchanges <= 1, plan
+    # dual conditional count shares ONE hash aggregate pair (no second
+    # shuffle) — but only when the orderkey join broadcasts (ADVICE r10:
+    # under different stats/AQE the optimizer may legitimately pick a
+    # shuffle join, adding its two exchanges without any product
+    # regression, so the count is gated on the broadcast choice)
+    if "BroadcastHashJoin" in plan:
+        assert plan.count("Exchange hashpartitioning") <= 1, plan
