@@ -170,11 +170,15 @@ def main() -> None:
         QUERY_REGISTRY,
         load_all_queries,
     )
-    from mysql_hbase_replicator_spark.session import get_spark
+    from mysql_hbase_replicator_spark.session import apply_volume_tuning, get_spark
 
     load_all_queries()
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # self-tuning shuffle sizing (r11): initialPartitionNum follows the
+    # measured SF's input volume — cores at test SFs (unchanged numbers),
+    # 256-ish at the sf≈100 probe regime, no env knob required
+    apply_volume_tuning(spark, sf_dir)
 
     # JVM/codegen warmup: run every headline query once at the smallest SF so
     # whole-stage-codegen classes are compiled (codegen cache keys on the

@@ -22,17 +22,81 @@ Local testing runs on ``local[N]`` but every setting here is chosen for the
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
+# Volume-derived shuffle-partition sizing (r10 SCALING.md sf≈100 probe,
+# made self-tuning in r11). The measured rule is initialPartitionNum ≈
+# largest-shuffle-bytes / 128 MB; the largest shuffle any registered query
+# produces tracks the parquet INPUT volume with a worst-family
+# amplification of ~2.5× compressed input (dedup_minhash_lsh's re-rank:
+# 44 GB shuffle over ~17.5 GB input at sf≈100; the Q21 semi+anti pair is
+# 9.3 GB ≈ 0.5×). AMP=2.0 reproduces the probe's measured optimum (256-ish
+# at sf≈100 — spill 6.4 GB → zero on Q21, the hourly-p95 18-89 s variance
+# collapsed) while keeping cores as the floor through sf≈10, where the
+# larger initial count cost the multi-stage LSH family 1.3-1.4× wall for
+# spill that never materializes.
+SHUFFLE_AMPLIFICATION = 2.0
+TARGET_SHUFFLE_PARTITION_BYTES = 128 << 20
+
+
+def dir_input_bytes(sf_dir: str) -> int:
+    """Total on-disk parquet bytes under ``sf_dir`` (single-file tables and
+    partitioned directories alike)."""
+    total = 0
+    for root, _dirs, files in os.walk(sf_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def volume_tuned_partitions(
+    sf_dir: str | None = None,
+    cpus: int | None = None,
+    input_bytes: int | None = None,
+) -> int:
+    """initialPartitionNum for a dataset: max(cores, input×AMP / 128 MB).
+    Deterministic from input volume, so the same rule sizes a 1000-executor
+    run — there, input_bytes is the table-scan estimate and cores is the
+    fleet's total."""
+    n = cpus or DEFAULT_CPUS
+    if input_bytes is None:
+        if sf_dir is None or not os.path.isdir(sf_dir):
+            return n
+        input_bytes = dir_input_bytes(sf_dir)
+    return max(
+        n,
+        math.ceil(input_bytes * SHUFFLE_AMPLIFICATION / TARGET_SHUFFLE_PARTITION_BYTES),
+    )
+
+
+def apply_volume_tuning(spark: SparkSession, sf_dir: str, cpus: int | None = None) -> int:
+    """Size initialPartitionNum to ``sf_dir``'s volume on a LIVE session
+    (it is a runtime AQE conf) — bench.py and scale_probe call this per
+    measured SF, so the sf≈100 regime gets its 256-ish initial count with
+    no env knob. ``SPARK_GRAFT_INIT_PARTITIONS`` still overrides for A/B
+    probes."""
+    env = os.environ.get("SPARK_GRAFT_INIT_PARTITIONS")
+    val = int(env) if env else volume_tuned_partitions(sf_dir, cpus)
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum", str(val)
+    )
+    return val
+
 
 def get_spark(
     app_name: str = "mysql-hbase-replicator-spark",
     cpus: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    sf_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
@@ -61,11 +125,17 @@ def get_spark(
         # The DEFAULT stays cores: at test SFs (≤0.1) a large initial
         # count costs real wall-clock on multi-stage plans (the LSH
         # family ran 1.3-1.4× slower at sf0.1 under 8×cores) for spill
-        # that never materializes — partition sizing follows data volume,
-        # so the knob is an env for big-SF runs, not a fixed constant.
+        # that never materializes — partition sizing follows data volume.
+        # r11: self-tuning — pass sf_dir (or call apply_volume_tuning on
+        # the live session) and the initial count is derived from input
+        # volume by the measured rule; the env knob remains an override
+        # for A/B probes.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get("SPARK_GRAFT_INIT_PARTITIONS", str(n)),
+            os.environ.get(
+                "SPARK_GRAFT_INIT_PARTITIONS",
+                str(volume_tuned_partitions(sf_dir, n) if sf_dir else n),
+            ),
         )
         # --- python/JVM transport ----------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
