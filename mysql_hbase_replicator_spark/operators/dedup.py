@@ -31,6 +31,25 @@ N_MINHASHES = 32
 N_BANDS = 8  # 8 bands × 4 rows: catches jaccard ≳ 0.5 with high prob
 ROWS_PER_BAND = N_MINHASHES // N_BANDS
 
+# Signature-agreement gates for the pre-filtered LSH variant (r11; the
+# sf≈100 escape hatch PLANS.md documents). Matching-component counts out
+# of N_MINHASHES, evaluated per band-join candidate from the ALREADY
+# materialized signatures (pair-sized work, no shingle join):
+#   n_match >= ACCEPT (16/32 = est 0.5): accept on the estimate alone —
+#     at true J < 0.3 that is a >2.3σ upward error (σ≈0.081), so estimate
+#     -accepted false positives are ~1%;
+#   n_match < PREFILTER (7/32 ≈ est 0.22): reject without the exact
+#     re-rank — a true J=0.30 pair lands here with P(Bin(32,0.3) ≤ 6)
+#     ≈ 11% (J=0.35: ≈3%), the recall the variant knowingly trades;
+#   in between: the gray zone that still pays the exact-Jaccard re-rank.
+# The re-rank intermediate therefore shrinks from EVERY candidate × its
+# shingles to gray-zone candidates × shingles — at sf≈100 the J≈0.9
+# family pairs (the 22M-pair bulk) are all estimate-accepted and the
+# J≈0 band collisions are all rejected, leaving only the borderline
+# sliver (SCALING.md r11 A/B).
+PREFILTER_MIN_MATCH = 7
+ACCEPT_MIN_MATCH = 16
+
 # Universal-hash family over the Mersenne prime 2^31-1: h_i = (a_i*h0 + b_i)
 # mod P, with h0 = the first 60 bits of md5(shingle). Everything fits a
 # signed 64-bit product (31-bit × 31-bit), so BOTH Spark (ANSI mode, no
@@ -286,14 +305,14 @@ def hashed_shingles(docs: DataFrame, normalize: bool = False) -> DataFrame:
     ).select("doc_id", shingle_h0(F.col("shingle")).alias("h0"))
 
 
-def _minhash_scored_cte() -> str:
-    """The ENTIRE MinHash+LSH pipeline as a DuckDB CTE chain ending in
-    ``scored(doc_a, doc_b, jaccard)`` — possible because every hash is
-    md5-or-modular-arithmetic (see MINHASH_AB), so the oracle replicates
-    Spark term for term: shingle → h0 → 32 minhash mins → Horner band fold
-    → band-join candidates → exact h0-intersection Jaccard. Shared by the
-    pair oracle (threshold 0.3) and the LSH survivors oracle (strong edges
-    at 0.5 + recursive component closure)."""
+def _minhash_cand_ctes() -> str:
+    """The MinHash+LSH pipeline THROUGH candidate generation as a DuckDB
+    CTE chain: sh → hashed → sig → bands → cand(doc_a, doc_b). Possible
+    because every hash is md5-or-modular-arithmetic (see MINHASH_AB), so
+    the oracle replicates Spark term for term. Shared by the exact-re-rank
+    chain (`_minhash_scored_cte`) and the signature-agreement pre-filtered
+    variant (which inserts its estimate gate between cand and the
+    re-rank)."""
     P = MINHASH_P
     mins = ",\n               ".join(
         f"MIN(({a} * (h0 % {P}) + {b}) % {P}) AS m{i}"
@@ -333,7 +352,16 @@ def _minhash_scored_cte() -> str:
         FROM bands l
         JOIN bands r ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
                     AND l.doc_id < r.doc_id
-    ),
+    )"""
+
+
+def _minhash_scored_cte() -> str:
+    """The ENTIRE MinHash+LSH pipeline as a DuckDB CTE chain ending in
+    ``scored(doc_a, doc_b, jaccard)``: the candidate chain above plus the
+    exact h0-intersection Jaccard re-rank. Shared by the pair oracle
+    (threshold 0.3) and the LSH survivors oracle (strong edges at 0.5 +
+    recursive component closure)."""
+    return f"""{_minhash_cand_ctes()},
     counts AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
     inter AS (
         SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
@@ -1131,6 +1159,182 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
         F.abs(
             n_match.cast("double") / float(N_MINHASHES) - F.col("jaccard")
         ).alias("abs_err"),
+    )
+
+
+def _minhash_prefiltered_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASHES)
+    )
+    n = N_MINHASHES
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    m AS (
+        SELECT c.doc_a, c.doc_b, {terms} AS n_match
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    gray AS (
+        SELECT doc_a, doc_b, n_match FROM m
+        WHERE n_match >= {PREFILTER_MIN_MATCH} AND n_match < {ACCEPT_MIN_MATCH}
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+        SELECT g.doc_a, g.doc_b, COUNT(*) AS n_common
+        FROM gray g
+        JOIN hashed a ON a.doc_id = g.doc_a
+        JOIN hashed b ON b.doc_id = g.doc_b AND b.h0 = a.h0
+        GROUP BY g.doc_a, g.doc_b
+    ),
+    checked AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_match AS DOUBLE) / {n}.0 AS est_jaccard,
+           CAST(NULL AS DOUBLE) AS jaccard,
+           'estimate' AS via
+    FROM m WHERE n_match >= {ACCEPT_MIN_MATCH}
+    UNION ALL
+    SELECT g.doc_a, g.doc_b,
+           CAST(g.n_match AS DOUBLE) / {n}.0 AS est_jaccard,
+           c.jaccard,
+           'exact' AS via
+    FROM gray g
+    JOIN checked c ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+    WHERE c.jaccard >= 0.3
+    """
+
+
+@query("dedup_minhash_lsh_prefiltered", oracle=_minhash_prefiltered_oracle_sql())
+def dedup_minhash_lsh_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with a SIGNATURE-AGREEMENT gate before
+    the exact re-rank — the scale path for corpora where the verified-pair
+    set itself is huge (r10 SCALING.md: at sf≈100 `dedup_minhash_lsh`'s
+    re-rank builds a ~2.2B-row/44 GB intermediate because all 22M true
+    near-dup pairs re-join their shingles; that intermediate is the
+    cluster-memory term of the whole dedup family).
+
+    Three-way gate per band-join candidate, computed from the ALREADY
+    materialized 32-component signatures (two pair-sized joins, no shingle
+    re-join): agreement ≥ 16/32 → accept on the estimate alone (jaccard
+    NULL, via='estimate'); agreement < 7/32 → reject; the gray zone in
+    between pays the exact shingle-Jaccard re-rank (via='exact', threshold
+    0.3). The exact re-rank's input shrinks from every candidate to the
+    borderline sliver — the ≥10× A/B in SCALING.md r11 — at a quantified
+    recall trade (a true J=0.30 pair is rejected with ≈11% probability;
+    see PREFILTER_MIN_MATCH). All arithmetic is integer/modular with exact
+    final divisions, so DuckDB replicates the WHOLE pipeline — gates
+    included — term for term (unlike most production sketches, the
+    approximate path is value-checked, not rows-counted).
+
+    Reference anchor: the reference has no dedup at all (its table is the
+    CDC §2 surface); this extends the LSH family the same way
+    `dedup_minhash_lsh` does, as a training-data-pipeline operator."""
+    hashed = shingle_pairs(spark, sf_dir).select(
+        "doc_id", shingle_h0(F.col("shingle")).alias("h0")
+    ).persist()
+    try:
+        # one 32-min aggregation, materialized: the banding folds from it
+        # AND both estimate joins read it (same shape as the estimator
+        # -quality audit's shared-builder path)
+        sig = minhash_signatures(hashed).localCheckpoint(eager=True)
+        stacked = band_hashes(sig=sig)
+        left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+        right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+        candidates = (
+            left.join(right, ["band_idx", "band_hash"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .dropDuplicates()
+        )
+        sig_a = sig.select(
+            F.col("doc_id").alias("doc_a"),
+            *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
+        )
+        sig_b = sig.select(
+            F.col("doc_id").alias("doc_b"),
+            *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
+        )
+        n_match = sum(
+            [
+                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(N_MINHASHES)
+            ],
+            F.lit(0),
+        )
+        # pair-sized, three consumers (accept slice, gray ids, gray join):
+        # eagerly materialized so the band self-join runs once
+        scored_cand = (
+            candidates.join(sig_a, "doc_a")
+            .join(sig_b, "doc_b")
+            .select("doc_a", "doc_b", n_match.alias("n_match"))
+            .filter(F.col("n_match") >= PREFILTER_MIN_MATCH)
+            .localCheckpoint(eager=True)
+        )
+        est = (F.col("n_match").cast("double") / float(N_MINHASHES)).alias(
+            "est_jaccard"
+        )
+        accepted = scored_cand.filter(F.col("n_match") >= ACCEPT_MIN_MATCH).select(
+            "doc_a",
+            "doc_b",
+            est,
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("estimate").alias("via"),
+        )
+        gray = scored_cand.filter(F.col("n_match") < ACCEPT_MIN_MATCH)
+        # exact re-rank on the gray sliver only — same candidate-pruned
+        # h0-intersection machinery as dedup_minhash_lsh
+        gray_checked = _jaccard_from_hashed(hashed, gray.select("doc_a", "doc_b"))
+        gray_kept = (
+            gray.join(gray_checked, ["doc_a", "doc_b"])
+            .filter(F.col("jaccard") >= 0.3)
+            .select("doc_a", "doc_b", est, "jaccard", F.lit("exact").alias("via"))
+        )
+        return accepted.unionByName(gray_kept).localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
+
+
+def _jaccard_from_hashed(hashed: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact h0-intersection Jaccard for the given candidate pairs:
+    broadcast-semi-prune the shingle-hash table to candidate docs, then
+    per-pair intersection join — cost O(|candidates| × shingles/doc), the
+    `_minhash_lsh_jaccard` re-rank extracted for reuse by the pre-filtered
+    variant. Returns (doc_a, doc_b, jaccard)."""
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+        .dropDuplicates()
+    )
+    sh = hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h0")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h0")
+    inter = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "h0"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
     )
 
 

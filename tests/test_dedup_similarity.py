@@ -39,6 +39,50 @@ def test_minhash_reports_true_jaccard(spark):
         assert abs(exact[(r.doc_a, r.doc_b)] - r.jaccard) < 1e-12
 
 
+def test_minhash_prefiltered_gate_semantics(spark):
+    """The signature-agreement gates hold row by row: estimate-accepted
+    pairs sit at est >= 16/32 with NULL jaccard, exact-path pairs sit in
+    the gray zone [7/32, 16/32) with a verified jaccard >= 0.3 that equals
+    the unfiltered variant's exact value — and high-agreement true
+    near-dups never pay the re-rank (the whole point of the gate)."""
+    from mysql_hbase_replicator_spark.operators.dedup import (
+        ACCEPT_MIN_MATCH,
+        N_MINHASHES,
+        PREFILTER_MIN_MATCH,
+        dedup_minhash_lsh,
+        dedup_minhash_lsh_prefiltered,
+    )
+
+    rows = dedup_minhash_lsh_prefiltered(spark, SF).collect()
+    assert rows, "fixture corpus has near-dups; gate must emit pairs"
+    lo = PREFILTER_MIN_MATCH / N_MINHASHES
+    hi = ACCEPT_MIN_MATCH / N_MINHASHES
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in dedup_minhash_lsh(spark, SF).collect()
+    }
+    n_est = 0
+    for r in rows:
+        assert r.est_jaccard >= lo - 1e-12
+        if r.via == "estimate":
+            n_est += 1
+            assert r.est_jaccard >= hi - 1e-12
+            assert r.jaccard is None
+        else:
+            assert r.via == "exact"
+            assert lo - 1e-12 <= r.est_jaccard < hi
+            assert r.jaccard >= 0.3
+            # gray-zone verification is the SAME exact measure
+            assert abs(exact[(r.doc_a, r.doc_b)] - r.jaccard) < 1e-12
+    # the fixture's near-dup families are J≈0.9: the bulk must be
+    # estimate-accepted (re-rank skipped), not gray-zone
+    assert n_est >= len(rows) * 0.5
+    # recall vs the unfiltered variant: the gate may drop borderline pairs
+    # (documented ~11% at J=0.30) but must keep the clear near-dups
+    kept = {(r.doc_a, r.doc_b) for r in rows}
+    strong = {p for p, j in exact.items() if j >= 0.5}
+    assert strong and len(strong & kept) >= 0.95 * len(strong)
+
+
 def test_simhash_deterministic_and_64bit(spark):
     from mysql_hbase_replicator_spark.operators.dedup import dedup_simhash
 
