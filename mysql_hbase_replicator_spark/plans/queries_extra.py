@@ -1771,3 +1771,58 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "l_returnflag")
     )
+
+
+@query(
+    "sql_product_type_profit_bucketed",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         - 0.1 * p.p_retailprice * l.l_quantity
+                         AS DECIMAL(25,6))) AS DOUBLE) AS sum_profit
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, YEAR(o.o_orderdate)
+    """,
+)
+def sql_product_type_profit_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 (product-type profit) REPLAYED ON THE BUCKETED FACT LAYOUT —
+    the layout paying off across the suite, not just in its demo query
+    (r10 verdict #6): `sql_product_type_profit`'s one large shuffle is
+    lineitem⋈orders on orderkey; reading both facts from the bucketed(8)/
+    sorted scratch warehouse makes that join exchange-free, the dims
+    broadcast as before, and the ONLY hash exchange left in the whole plan
+    is the final (nation, year) aggregate — plan-gated in
+    tests/test_plans.py. Same rows, same values as the shuffled twin (the
+    oracle is character-identical to Q9's): bucketing changes the PLAN,
+    never the answer. At 100 TB the same one-time layout serves Q9, Q12,
+    Q3, the colocated rollup, and every other orderkey join — amortizing
+    the write across the workload is the whole trade. part stays
+    optimizer-chosen (not hint-pinned): at real scale it outgrows the
+    broadcast threshold and AQE flips that edge to SMJ without touching
+    the exchange-free orderkey core."""
+    from mysql_hbase_replicator_spark.plans.queries import msum
+
+    o, li = materialize_bucketed_facts(spark, sf_dir)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.1 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])  # co-located, no exchange
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(n, s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(msum(profit).alias("sum_profit"))
+    )

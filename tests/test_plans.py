@@ -795,6 +795,23 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_q9_bucketed_single_exchange(spark):
+    """sql_product_type_profit_bucketed (r11): Q9 on the bucketed layout —
+    the orderkey fact-fact join reads co-partitioned off the bucketed
+    scans, the dims broadcast, and the ONLY hash exchange in the whole
+    plan is the final (nation, year) aggregate. This is the layout paying
+    off across the suite: the shuffled twin's dominant exchange
+    (lineitem⋈orders) is gone."""
+    df = QUERY_REGISTRY["sql_product_type_profit_bucketed"](spark, SF)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Bucketed: true") == 2, plan
+    # the widget filter reaches the part scan
+    fplan = formatted_plan(df)
+    assert "StringContains(p_name,widget)" in fplan
+
+
 def test_q6_scan_gets_all_three_filters(spark):
     """sql_revenue_forecast (Q6): the pure-pushdown probe — shipdate
     range, discount band, and quantity cap must all reach the parquet
