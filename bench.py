@@ -709,17 +709,29 @@ def bench_cdc_throughput(spark, n_events: int = 200_000, reps: int = 2) -> dict:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
     run_once(1000, ParquetKeyedStore)  # warmup: compile the codegen stages once
     dt = min(run_once(n_events, ParquetKeyedStore) for _ in range(reps))
     # same kernel through the LSM store: the merge becomes one delta append
     # (the write path the streaming pipeline runs)
     dt_lsm = min(run_once(n_events, LogStructuredKeyedStore) for _ in range(reps))
+    # bucketed-catalog LSM (r11): identical append semantics, but the delta
+    # lands bucketed by PK so the merge-on-read path is exchange-free; the
+    # write pays the bucket shuffle the read saves
+    dt_bkt = min(
+        run_once(n_events, BucketedLogStructuredKeyedStore) for _ in range(reps)
+    )
     return {
         "events": n_events,
         "sec": round(dt, 3),
         "events_per_sec": int(n_events / dt),
         "lsm_sec": round(dt_lsm, 3),
         "lsm_events_per_sec": int(n_events / dt_lsm),
+        "lsm_bucketed_sec": round(dt_bkt, 3),
+        "lsm_bucketed_events_per_sec": int(n_events / dt_bkt),
     }
 
 

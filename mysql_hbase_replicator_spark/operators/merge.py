@@ -525,3 +525,337 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
+
+
+class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
+    """LSM store whose base AND delta are Spark BUCKETED CATALOG TABLES
+    clustered by the PK columns — the r10 `join_bucketed_colocated` trade
+    ("pay layout once, join forever") applied to the CDC read path
+    (r10 verdict #4). Reference parity: HBase's region-sharded store IS
+    this layout — every read and compaction works region-by-region with no
+    cross-region data movement (HbaseApplier.scala:210-217 builds the
+    rowkey exactly so rows land in PK-contiguous regions).
+
+    What it buys over ``LogStructuredKeyedStore``: merge-on-read state
+    reconstruction is EXCHANGE-FREE. The last-action window over the
+    deltas runs straight off the bucketed scan (HashPartitioning(pk)
+    satisfies the window's distribution — only a within-partition sort
+    remains), and the base anti-join is a co-partitioned SortMergeJoin
+    instead of a broadcast: at backfill scale, where the changed-key set
+    outgrows any broadcast threshold, the parent store would re-shuffle
+    the ENTIRE base on pk — here neither side moves (plan-gated in
+    tests/test_lsm_store.py).
+
+    Crash protocol: SNAPSHOT-POINTER, not rename dances. Base and delta
+    live in versioned directories (``base_v{K}``/``delta_v{J}``) and the
+    registry (_schema.json, written via atomic os.replace) points at the
+    current versions — the mini Iceberg/Delta trade. Compaction writes
+    base_v{K+1} from the current state, flips the pointer in one atomic
+    replace (which also retires the folded delta version), then best-
+    effort-drops the stale dirs; a crash anywhere leaves the pointer on a
+    consistent pair and the orphan dirs are swept by the next compaction.
+
+    Delta appends carry a monotone ``_lsm_seq`` column from the registry's
+    ``next_seq`` counter (bumped AFTER the append commits). A crash
+    between append and bump makes the REPLAYED batch reuse the seq —
+    harmless: the replay appends byte-identical rows, and last-wins
+    collapse over identical rows is identical. Like the parent (whose seq
+    comes from a directory listing), concurrent WRITERS on one table are
+    serialized by the streaming engine, not this class; concurrent readers
+    are safe throughout.
+
+    Catalog notes: table names are keyed by (store dir, table, version) so
+    stores never collide; a FRESH session re-registers the current
+    versions over the existing files with ``CREATE TABLE … CLUSTERED BY …
+    LOCATION`` (bucket ids live in the file names Spark wrote, so the
+    bucketing contract survives the catalog loss). Schema widening (a CDC
+    ADD COLUMN) can't append to a bucketed table — the store compacts
+    first (folding the old-schema deltas into the base) and the rotated
+    delta version starts with the widened schema; reads union
+    allowMissingColumns as everywhere else in the engine.
+    """
+
+    def __init__(self, base_dir: str, n_buckets: int = 32, compact_every: int = 64):
+        super().__init__(base_dir, n_buckets=n_buckets, compact_every=compact_every)
+        import hashlib
+
+        self._digest = hashlib.md5(
+            os.path.abspath(base_dir).encode("utf-8")
+        ).hexdigest()[:8]
+
+    # --- registry -----------------------------------------------------------
+    def _doc(self, name: str) -> dict:
+        return self._registry(name) or {}
+
+    def _update_registry(self, name: str, **fields) -> dict:
+        doc = self._doc(name)
+        doc.update(fields)
+        os.makedirs(self.table_path(name), exist_ok=True)
+        tmp = self._schema_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._schema_path(name))
+        return doc
+
+    # --- catalog plumbing ----------------------------------------------------
+    def _safe(self, name: str) -> str:
+        return "".join(c if c.isalnum() else "_" for c in name)
+
+    def _cat_name(self, name: str, kind: str, ver: int) -> str:
+        return f"lsm_{self._digest}_{self._safe(name)}_{kind}_v{ver}"
+
+    def _ver_path(self, name: str, kind: str, ver: int) -> str:
+        return os.path.join(self.table_path(name), f"{kind}_v{ver}")
+
+    @staticmethod
+    def _ddl_cols(schema: T.StructType) -> str:
+        return ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+        )
+
+    def _ensure_registered(
+        self,
+        spark: SparkSession,
+        name: str,
+        kind: str,
+        ver: int,
+        schema: T.StructType,
+        pk_cols: list[str],
+    ) -> str:
+        """Idempotently (re)register the catalog entry for an EXISTING
+        versioned table dir — the fresh-session path. Bucket ids are
+        parsed from the Spark-written file names, so an external CREATE
+        over the same files preserves the no-exchange contract."""
+        cat = self._cat_name(name, kind, ver)
+        if not spark.catalog.tableExists(cat):
+            pks = ", ".join(f"`{c}`" for c in pk_cols)
+            spark.sql(
+                f"CREATE TABLE {cat} ({self._ddl_cols(schema)}) USING parquet "
+                f"CLUSTERED BY ({pks}) SORTED BY ({pks}) "
+                f"INTO {self.n_buckets} BUCKETS "
+                f"LOCATION '{self._ver_path(name, kind, ver)}'"
+            )
+        return cat
+
+    def _write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        kind: str,
+        ver: int,
+        pk_cols: list[str],
+        mode: str,
+    ) -> str:
+        cat = self._cat_name(name, kind, ver)
+        (
+            df.write.mode(mode)
+            .format("parquet")
+            .bucketBy(self.n_buckets, *pk_cols)
+            .sortBy(*pk_cols)
+            .option("path", self._ver_path(name, kind, ver))
+            .saveAsTable(cat)
+        )
+        return cat
+
+    # --- write path ----------------------------------------------------------
+    def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
+        """Initial snapshot / full reload: a fresh base version + pointer
+        flip (the parent's dynamic-partition machinery never runs here)."""
+        doc = self._doc(name)
+        new_ver = int(doc.get("base_version", -1)) + 1
+        self._write_bucketed(df, name, "base", new_ver, pk_cols, "overwrite")
+        self._update_registry(
+            name,
+            schema=df.schema.jsonValue(),
+            pk_cols=list(pk_cols),
+            bucketed=True,
+            base_version=new_ver,
+            delta_version=int(doc.get("delta_version", 0)),
+            delta_cols=doc.get("delta_cols"),
+            next_seq=int(doc.get("next_seq", 0)),
+            folded_seq=int(doc.get("folded_seq", 0)),
+        )
+        self._sweep_stale_versions(spark, name)
+
+    def merge_actions(
+        self,
+        spark: SparkSession,
+        name: str,
+        final: DataFrame,
+        sink_cols: list[str],
+        pk_cols: list[str],
+    ) -> None:
+        actions = final.select(*sink_cols, KIND_COL)
+        doc = self._doc(name)
+        delta_cols_now = [*sink_cols, KIND_COL, self.SEQ_COL]
+        prev_delta_cols = doc.get("delta_cols")
+        if prev_delta_cols is not None and prev_delta_cols != delta_cols_now:
+            # bucketed tables refuse mixed schemas: fold the old-schema
+            # deltas into the base (rotating the delta version), then the
+            # append below starts the new version with the new schema
+            self.compact(spark, name)
+            doc = self._doc(name)
+        seq = int(doc.get("next_seq", 0))
+        delta_ver = int(doc.get("delta_version", 0))
+        if doc.get("delta_cols") is not None:
+            # current delta version has files: make sure this session's
+            # catalog knows it before appending
+            self._ensure_registered(
+                spark,
+                name,
+                "delta",
+                delta_ver,
+                T.StructType.fromJson(doc["delta_schema"]),
+                pk_cols,
+            )
+        staged = actions.withColumn(self.SEQ_COL, F.lit(seq))
+        self._write_bucketed(staged, name, "delta", delta_ver, pk_cols, "append")
+        # merged sink schema: same additive-evolution rule as the parent
+        new_schema = actions.drop(KIND_COL).schema
+        prev = self._read_schema(name)
+        if prev is not None:
+            new_names = set(new_schema.names)
+            merged = list(new_schema.fields) + [
+                f for f in prev.fields
+                if f.name not in new_names and f.name not in (BUCKET_COL, KIND_COL)
+            ]
+            new_schema = T.StructType(merged)
+        self._update_registry(
+            name,
+            schema=new_schema.jsonValue(),
+            pk_cols=list(pk_cols),
+            bucketed=True,
+            base_version=doc.get("base_version"),
+            delta_version=delta_ver,
+            delta_cols=delta_cols_now,
+            delta_schema=staged.schema.jsonValue(),
+            next_seq=seq + 1,
+            folded_seq=int(doc.get("folded_seq", 0)),
+        )
+        if seq + 1 - int(doc.get("folded_seq", 0)) >= self.compact_every:
+            self.compact(spark, name)
+
+    # --- read path -----------------------------------------------------------
+    def exists(self, name: str) -> bool:
+        doc = self._doc(name)
+        return doc.get("base_version") is not None or doc.get("delta_cols") is not None
+
+    def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+        return self._read_state(spark, name)
+
+    def _read_state(self, spark: SparkSession, name: str) -> DataFrame | None:
+        doc = self._doc(name)
+        pk_cols = doc.get("pk_cols")
+        base = None
+        if doc.get("base_version") is not None:
+            base_ver = int(doc["base_version"])
+            cat = self._cat_name(name, "base", base_ver)
+            if not spark.catalog.tableExists(cat):
+                # the base may have been written at an older, narrower
+                # schema than the registry's merged one: register with the
+                # columns actually in its files (one footer read, fresh
+                # sessions only)
+                file_schema = spark.read.parquet(
+                    self._ver_path(name, "base", base_ver)
+                ).schema
+                self._ensure_registered(
+                    spark, name, "base", base_ver, file_schema, pk_cols
+                )
+            base = spark.table(cat)
+        if doc.get("delta_cols") is None:
+            return base
+        cat_d = self._ensure_registered(
+            spark,
+            name,
+            "delta",
+            int(doc.get("delta_version", 0)),
+            T.StructType.fromJson(doc["delta_schema"]),
+            pk_cols,
+        )
+        deltas = spark.table(cat_d)
+        w = Window.partitionBy(*pk_cols).orderBy(
+            F.desc(self.SEQ_COL), F.desc(F.col(KIND_COL) == "upsert")
+        )
+        last = (
+            deltas.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", self.SEQ_COL)
+        )
+        live = last.filter(F.col(KIND_COL) == "upsert").drop(KIND_COL)
+        if base is None:
+            return live
+        changed = last.select(*pk_cols)
+        # NO broadcast hint (vs the parent): both sides read co-partitioned
+        # off their bucketed scans, so the anti-join is an exchange-free
+        # SortMergeJoin at ANY delta size — the backfill-regime win
+        kept = base.join(changed, pk_cols, "left_anti")
+        return kept.unionByName(live, allowMissingColumns=True)
+
+    # --- compaction ----------------------------------------------------------
+    def compact(self, spark: SparkSession, name: str) -> bool:
+        import fcntl
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            doc = self._doc(name)
+            if doc.get("delta_cols") is None:
+                return False
+            pk_cols = doc.get("pk_cols")
+            state = self._read_state(spark, name)
+            new_ver = int(doc.get("base_version", -1) if doc.get("base_version") is not None else -1) + 1
+            self._write_bucketed(state, name, "base", new_ver, pk_cols, "overwrite")
+            schema = spark.table(self._cat_name(name, "base", new_ver)).schema
+            # ONE atomic pointer flip: new base in, folded delta version
+            # retired, next delta version armed empty
+            self._update_registry(
+                name,
+                schema=schema.jsonValue(),
+                pk_cols=list(pk_cols),
+                bucketed=True,
+                base_version=new_ver,
+                delta_version=int(doc.get("delta_version", 0)) + 1,
+                delta_cols=None,
+                delta_schema=None,
+                next_seq=int(doc.get("next_seq", 0)),
+                folded_seq=int(doc.get("next_seq", 0)),
+            )
+            self._sweep_stale_versions(spark, name)
+            return True
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
+    def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
+        """Drop catalog entries + dirs for versions the pointer no longer
+        references (crash orphans included). Best-effort: a failure leaves
+        garbage for the next sweep, never an inconsistent pointer."""
+        doc = self._doc(name)
+        keep = {
+            ("base", doc.get("base_version")),
+            ("delta", doc.get("delta_version")),
+        }
+        try:
+            entries = os.listdir(self.table_path(name))
+        except OSError:
+            return
+        for e in entries:
+            for kind in ("base", "delta"):
+                pfx = f"{kind}_v"
+                if e.startswith(pfx) and e[len(pfx):].isdigit():
+                    ver = int(e[len(pfx):])
+                    if (kind, ver) not in keep:
+                        spark.sql(
+                            "DROP TABLE IF EXISTS "
+                            + self._cat_name(name, kind, ver)
+                        )
+                        shutil.rmtree(
+                            os.path.join(self.table_path(name), e),
+                            ignore_errors=True,
+                        )
+
+    # versioned dirs + atomic pointer: the rename-protocol recovery the
+    # parent needs does not apply
+    def _maybe_recover(self, name: str) -> None:
+        return

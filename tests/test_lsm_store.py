@@ -459,3 +459,152 @@ def test_lsm_two_readers_race_crashed_swap_recovery(
         t.join(timeout=120)
     assert results[0] == want and results[1] == want, results
     assert os.path.isdir(live) and not os.path.isdir(staging) and not os.path.isdir(old)
+
+
+# --- BucketedLogStructuredKeyedStore (r11) ----------------------------------
+
+
+def test_bucketed_lsm_equals_lsm_store(spark, tmp_path, student_struct, student_mapping):
+    """The bucketed-catalog variant is observationally identical to the
+    directory-layout LSM store batch for batch, through replay and
+    compaction — bucketing changes the PLAN, never the state."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    for batches in ([BATCH_1], [BATCH_2], [BATCH_2], [BATCH_3]):  # BATCH_2 replayed
+        apply_batches(spark, lsm, student_struct, student_mapping, batches)
+        apply_batches(spark, bkt, student_struct, student_mapping, batches)
+        assert state(spark, bkt) == state(spark, lsm)
+    before = state(spark, bkt)
+    assert bkt.compact(spark, TABLE) is True
+    assert state(spark, bkt) == before
+    assert bkt.compact(spark, TABLE) is False  # no deltas: no-op
+    # appends keep working after compaction (new delta version)
+    extra = [[ev(11, "insert", after=row(9, 9, 1, "zed", "z"))]]
+    apply_batches(spark, bkt, student_struct, student_mapping, extra)
+    apply_batches(spark, lsm, student_struct, student_mapping, extra)
+    assert state(spark, bkt) == state(spark, lsm)
+
+
+def test_bucketed_lsm_merge_on_read_is_exchange_free(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """THE plan property the layout buys (r10 verdict #4): with broadcast
+    disabled — the backfill regime where the changed-key set outgrows any
+    broadcast — the full merge-on-read reconstruction (delta last-action
+    window + base anti-join) runs with ZERO exchanges: the window sorts
+    within bucketed partitions and the anti-join is a co-partitioned
+    SortMergeJoin straight off the two bucketed scans."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_1])
+    bkt.compact(spark, TABLE)  # materialize a bucketed BASE
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_2])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bkt.read(spark, TABLE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "LeftAnti" in plan and "SortMergeJoin" in plan, plan
+        # base scan + the delta's two consumers (changed keys, live rows)
+        assert plan.count("Bucketed: true") >= 2, plan
+        # and the plan still computes the right answer
+        lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+        apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2])
+        assert state(spark, bkt) == state(spark, lsm)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_lsm_schema_widening_rotates_delta(spark, tmp_path):
+    """A widened action frame (CDC ADD COLUMN) can't append to the live
+    bucketed delta table: the store folds the old-schema deltas into the
+    base first, starts a fresh delta version with the new schema, and
+    reads union allowMissingColumns — old rows surface NULL for the new
+    column."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    up1 = spark.createDataFrame([(1, 10), (2, 20)], "k int, v int")
+    bkt.merge(spark, "t", up1, up1.limit(0).select("k"), ["k"])
+    doc_before = bkt._doc("t")
+    up2 = spark.createDataFrame([(2, 21, "x"), (3, 30, "y")], "k int, v int, w string")
+    bkt.merge(spark, "t", up2, up2.limit(0).select("k"), ["k"])
+    doc_after = bkt._doc("t")
+    assert doc_after["delta_version"] > doc_before["delta_version"]
+    assert doc_after["base_version"] is not None  # widen forced the fold
+    rows = {
+        r.k: (r.v, r.w)
+        for r in bkt.read(spark, "t").select("k", "v", F.col("w")).collect()
+    }
+    assert rows == {1: (10, None), 2: (21, "x"), 3: (30, "y")}
+
+
+def test_bucketed_lsm_fresh_session_reregisters(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """Catalog loss (a new Spark session over an existing store) must be
+    transparent: reads re-register the current base/delta versions over
+    the files with CREATE TABLE … CLUSTERED BY … LOCATION, and the
+    bucketing contract survives (bucket ids live in the file names)."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_1])
+    bkt.compact(spark, TABLE)
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_2])
+    before = state(spark, bkt)
+    # simulate the fresh session: drop every catalog entry this store made
+    for row_ in spark.sql("SHOW TABLES").collect():
+        if row_.tableName.startswith(f"lsm_{bkt._digest}_"):
+            spark.sql(f"DROP TABLE {row_.tableName}")
+    fresh = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    assert state(spark, fresh) == before
+    # the re-registered scans are still bucketed (exchange-free contract)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = fresh.read(spark, TABLE)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # and appends keep working through the re-registered table
+    apply_batches(
+        spark, fresh, student_struct, student_mapping,
+        [[ev(11, "insert", after=row(9, 9, 1, "zed", "z"))]],
+    )
+    assert len(state(spark, fresh)) == len(before) + 1
+
+
+def test_bucketed_lsm_sweeps_orphan_versions(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """A crash between the pointer flip and the cleanup leaves orphan
+    version dirs; the next compaction sweeps them without touching the
+    live versions."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_1])
+    orphan = os.path.join(bkt.table_path(TABLE), "base_v99")
+    os.makedirs(orphan)
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_2])
+    before = state(spark, bkt)
+    assert bkt.compact(spark, TABLE) is True
+    assert not os.path.isdir(orphan)
+    assert state(spark, bkt) == before
