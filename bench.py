@@ -267,6 +267,8 @@ def main() -> None:
         "stream_dbz_throughput_ev_s": streaming["debezium_throughput"][
             "events_per_sec"
         ],
+        "stream_jsonl_bulk_ev_s": streaming["jsonl_bulk"]["events_per_sec"],
+        "stream_dbz_bulk_ev_s": streaming["debezium_bulk"]["events_per_sec"],
         "detail": "BENCH_FULL.json",
     }
     if missing24:
@@ -380,16 +382,24 @@ def bench_streaming(
             }
         )
 
-    def run_source(fmt: str, make_line, files_per_trigger: int = 1) -> dict:
+    def run_source(
+        fmt: str,
+        make_line,
+        files_per_trigger: int = 1,
+        n_files: int | None = None,
+        rows_per_file: int | None = None,
+    ) -> dict:
+        nf = n_files if n_files is not None else n_batches
+        rpf = rows_per_file if rows_per_file is not None else rows_per_batch
         root = tempfile.mkdtemp(prefix=f"stream-bench-{fmt}-")
         try:
             events_dir = os.path.join(root, "events")
             os.makedirs(events_dir)
-            n_events = n_batches * rows_per_batch
-            for b in range(n_batches):
+            n_events = nf * rpf
+            for b in range(nf):
                 tmp = os.path.join(events_dir, f".{b:04d}.tmp")
                 with open(tmp, "w") as f:
-                    for i in range(b * rows_per_batch, (b + 1) * rows_per_batch):
+                    for i in range(b * rpf, (b + 1) * rpf):
                         f.write(make_line(i) + "\n")
                 os.replace(tmp, os.path.join(events_dir, f"{b:04d}.json"))
 
@@ -500,6 +510,22 @@ def bench_streaming(
     # disappears — one batch, one duration.
     out["debezium_throughput"] = run_source(
         "debezium", debezium_line, files_per_trigger=16
+    )
+    # bulk mode (r10 verdict #5): the batch kernel's 2M-event point showed
+    # 780k/902k ev/s but had no end-to-end streaming twin — the sustained
+    # rows above still pay the ~1.2 s/batch machinery floor on 5k-event
+    # micro-batches. One availableNow drain over a 2M-event log, with
+    # maxFilesPerTrigger sized to land 4 micro-batches of 500k events each,
+    # shows the amortization carries through the FULL pipeline: source
+    # parse, kernel, dead-letter routing, counters, LSM delta append,
+    # checkpoint commit. This is the backfill/recovery regime number the
+    # reference's one-RPC-per-row applier cannot reach.
+    out["jsonl_bulk"] = run_source(
+        "jsonl", jsonl_line, files_per_trigger=4, n_files=16, rows_per_file=125_000
+    )
+    out["debezium_bulk"] = run_source(
+        "debezium", debezium_line, files_per_trigger=4, n_files=16,
+        rows_per_file=125_000,
     )
     return out
 

@@ -98,9 +98,15 @@ def main() -> None:
             "noop"
         ).mode("overwrite").save()
 
+    from mysql_hbase_replicator_spark.session import apply_volume_tuning
+
     out: dict[str, dict[str, dict]] = {}
     for label, sf_dir in pairs:
         spark.catalog.clearCache()
+        # r11 self-tuning: size initialPartitionNum to THIS SF's volume
+        # (env SPARK_GRAFT_INIT_PARTITIONS still overrides for A/B runs)
+        n_init = apply_volume_tuning(spark, sf_dir)
+        print(f"# sf{label}: initialPartitionNum={n_init}", file=sys.stderr)
         col: dict[str, dict] = {}
         for name in names:
             times, spills = [], []
