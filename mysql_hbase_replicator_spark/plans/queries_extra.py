@@ -5,6 +5,8 @@ min_by/max_by aggregates, and the ntile/percent_rank/cume_dist window family.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1647,9 +1649,11 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
     atexit hook removes this process's root on exit, each root carries an
     ``_owner.pid`` marker, and every call reaps sibling roots whose owning
     process is gone (crashed sessions' multi-GB layouts would otherwise
-    accumulate under /tmp forever)."""
+    accumulate under /tmp forever). Roots are keyed by (app, sf_dir), so
+    one process materializing for TWO sf_dirs (bench: warmup at sf0.001,
+    measure at sf0.1) sees its own earlier root as a live-owner sibling —
+    the reaper must keep it (regression: test_plans.py two-sf_dir reap)."""
     import hashlib
-    import os
 
     app = spark.sparkContext.applicationId.replace("-", "_")
     key = hashlib.md5(

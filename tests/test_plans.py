@@ -887,6 +887,59 @@ def test_bucketed_materialize_is_idempotent(spark):
     assert o2.join(l2, o2["o_orderkey"] == l2["l_orderkey"]).count() == n_l
 
 
+def test_bucketed_materialize_two_sf_dirs_one_process(spark):
+    """One process materializing the layout for TWO sf_dirs — exactly what
+    bench.py does every run (codegen warmup at sf0.001, measurement at the
+    bench SF) — must work and must NOT reap the first sf_dir's still-live
+    root. Regression: the sibling-root reaper referenced ``os`` without a
+    module-level import, so the second call crashed with NameError the
+    moment any sibling root existed (r11)."""
+    import os
+
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        materialize_bucketed_facts,
+    )
+
+    o1, l1 = materialize_bucketed_facts(spark, SF)
+    first_root = os.path.dirname(
+        o1.inputFiles()[0].replace("file:", "").rsplit("/", 1)[0]
+    )
+    o2, l2 = materialize_bucketed_facts(spark, "/root/testdata/sf0.01")
+    # the second call's reaper saw the first root as a sibling with a live
+    # owner (this process) and must have kept it — both layouts readable
+    assert o1.count() > 0 and o2.count() > 0
+    assert os.path.isdir(first_root)
+
+
+def test_reaper_removes_dead_owner_root(spark, tmp_path):
+    """A sibling scratch root whose ``_owner.pid`` process no longer exists
+    (crashed/killed session — atexit never ran) is deleted on the next
+    materialize; a root with a live owner survives."""
+    import os
+
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        materialize_bucketed_facts,
+    )
+
+    dead = "/tmp/spark_graft_bucketed_testdead00"
+    os.makedirs(dead, exist_ok=True)
+    with open(os.path.join(dead, "_owner.pid"), "w") as f:
+        f.write("999999999")  # far above pid_max: guaranteed non-existent
+    live = "/tmp/spark_graft_bucketed_testlive00"
+    os.makedirs(live, exist_ok=True)
+    with open(os.path.join(live, "_owner.pid"), "w") as f:
+        f.write(str(os.getpid()))
+    try:
+        materialize_bucketed_facts(spark, SF)
+        assert not os.path.isdir(dead), "dead-owner root must be reaped"
+        assert os.path.isdir(live), "live-owner root must be kept"
+    finally:
+        import shutil
+
+        shutil.rmtree(dead, ignore_errors=True)
+        shutil.rmtree(live, ignore_errors=True)
+
+
 def test_q12_pushdown_and_residual_date_arith(spark):
     """sql_shipmode_priority (Q12): the single-table predicates (returnflag
     IN-list, shipdate year range) must reach the lineitem scan as
