@@ -161,6 +161,10 @@ HEADLINE = [
     # r10 continuation: Q12 completes the TPC-H classics (fact-fact join
     # with a cross-table date-arith residual under a dual CASE count)
     "sql_shipmode_priority",
+    # r11: the signature-agreement gate that removes the LSH re-rank wall,
+    # and Q9 on the bucketed fact layout (exchange-free orderkey join)
+    "dedup_minhash_lsh_prefiltered",
+    "sql_product_type_profit_bucketed",
 ]
 
 

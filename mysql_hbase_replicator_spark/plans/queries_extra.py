@@ -1629,21 +1629,63 @@ def scalar_pad_translate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _volume_bucket_count(
+    *paths: str, target_bucket_bytes: int = 256 << 20, floor: int = 8
+) -> int:
+    """Bucket count for the co-located fact layout, derived from input
+    volume: enough buckets that a bucket's share of the LARGEST table
+    sorts in ~``target_bucket_bytes`` of compressed input, rounded up to
+    a power of two (bucket joins need equal counts on both sides, and
+    powers of two re-split cleanly if a deployment later rescales), with
+    a floor that keeps test SFs on the historical 8 (identical plans at
+    sf≤10 — the formula only moves at probe/production volumes, same
+    philosophy as session.volume_tuned_partitions). A bucketed read is
+    one task per bucket, so at sf≈100 (13 GB lineitem) 8 buckets would
+    sort 1.6 GB per task through one core each — the count must track
+    volume for the layout to stay a win at 100 TB (there: thousands)."""
+
+    def _bytes(p: str) -> int:
+        if os.path.isdir(p):
+            total = 0
+            for r, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(r, f))
+                    except OSError:
+                        pass
+            return total
+        try:
+            return os.path.getsize(p)
+        except OSError:
+            return 0
+
+    largest = max((_bytes(p) for p in paths), default=0)
+    n = floor
+    while n * target_bucket_bytes < largest:
+        n *= 2
+    return n
+
+
 def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
-    """Write orders + lineitem bucketed(8) and sorted by orderkey into a
+    """Write orders + lineitem bucketed (volume-derived count, floor 8)
+    and sorted by orderkey into a
     scratch warehouse keyed by (application, sf_dir), register them in the
-    session catalog, and return the two bucketed reads. Idempotent per
-    (session, sf_dir): DROP + overwrite replaces both the metastore entry
-    and the files, so a replayed call never reads a stale or half-written
-    layout. The applicationId in the key keeps CONCURRENT sessions (two
-    bench runs, pytest workers, two users on one box) from overwriting
-    each other's live layout mid-scan — a second process with the same
-    sf_dir previously deleted the files under the first one's registered
-    table. Scratch lives for the app's lifetime, like any Spark scratch
-    dir; a production deployment writes the bucketed layout to a REAL
-    warehouse path once, not per session (that is the whole point of the
-    trade). This is the one-time layout job; every orderkey join on the
-    returned frames is exchange-free.
+    session catalog, and return the two bucketed reads. Idempotent AND
+    fingerprint-cached per (session, sf_dir): the first call pays the
+    layout write; every later call in the same app returns the registered
+    tables directly when the source fingerprint still matches (r11 — the
+    sf≈10 probe showed the per-call DROP+rewrite costing more than the
+    exchange it saves: 22.0 s vs the plain join's 16.3 s, with the rebuild
+    ~15 s of it; 'pay layout once, join forever' requires the ONCE). A
+    stale or missing marker — regenerated source, crashed previous write —
+    falls back to the DROP + overwrite path, so a replayed call never
+    reads a half-written layout. The applicationId in the key keeps
+    CONCURRENT sessions (two bench runs, pytest workers, two users on one
+    box) from overwriting each other's live layout mid-scan. Scratch
+    lives for the app's lifetime, like any Spark scratch dir; a
+    production deployment writes the bucketed layout to a REAL warehouse
+    path once, not per session (that is the whole point of the trade).
+    Every orderkey join on the returned frames is exchange-free.
 
     Lifecycle (ADVICE r10): per-app scratch is reclaimed, not leaked — an
     atexit hook removes this process's root on exit, each root carries an
@@ -1655,6 +1697,8 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
     the reaper must keep it (regression: test_plans.py two-sf_dir reap)."""
     import hashlib
 
+    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
+
     app = spark.sparkContext.applicationId.replace("-", "_")
     key = hashlib.md5(
         f"{app}:{os.path.abspath(sf_dir)}".encode()
@@ -1662,23 +1706,47 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
     root = f"/tmp/spark_graft_bucketed_{key}"
     _register_scratch_cleanup(root)
     _reap_dead_scratch_roots(keep=root)
-    names = {}
+    names = {
+        tbl: f"spark_graft_bkt_{tbl}_{key}" for tbl in ("orders", "lineitem")
+    }
+    n_buckets = _volume_bucket_count(
+        os.path.join(sf_dir, "orders.parquet"),
+        os.path.join(sf_dir, "lineitem.parquet"),
+    )
+    want = f"buckets={n_buckets}\n--\n" + "\n--\n".join(
+        _fingerprint(os.path.join(sf_dir, f"{tbl}.parquet"))
+        for tbl in ("orders", "lineitem")
+    )
+    marker = os.path.join(root, "_fingerprint")
+    try:
+        with open(marker) as f:
+            cached = f.read() == want
+    except OSError:
+        cached = False
+    if cached and all(spark.catalog.tableExists(n) for n in names.values()):
+        return spark.table(names["orders"]), spark.table(names["lineitem"])
+    # (re)build: marker removed FIRST so a crash mid-write leaves an
+    # invalid cache, never a valid marker over half-written tables
+    try:
+        os.remove(marker)
+    except OSError:
+        pass
     for tbl, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        name = f"spark_graft_bkt_{tbl}_{key}"
         path = os.path.join(root, tbl)
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
         (
             load_table(spark, sf_dir, tbl)
             .write.mode("overwrite")
             .format("parquet")
-            .bucketBy(8, bucket_col)
+            .bucketBy(n_buckets, bucket_col)
             .sortBy(bucket_col)
             .option("path", path)
-            .saveAsTable(name)
+            .saveAsTable(names[tbl])
         )
-        names[tbl] = name
     with open(os.path.join(root, "_owner.pid"), "w") as f:
         f.write(str(os.getpid()))
+    with open(marker, "w") as f:
+        f.write(want)
     return spark.table(names["orders"]), spark.table(names["lineitem"])
 
 

@@ -887,6 +887,61 @@ def test_bucketed_materialize_is_idempotent(spark):
     assert o2.join(l2, o2["o_orderkey"] == l2["l_orderkey"]).count() == n_l
 
 
+def test_volume_bucket_count():
+    """Bucket count follows the largest input: floor 8 at test SFs,
+    power-of-two growth once a bucket's share exceeds the target."""
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        _volume_bucket_count,
+    )
+
+    assert _volume_bucket_count(SF + "/orders.parquet", SF + "/lineitem.parquet") == 8
+    # synthetic sizes via target override: 13 GB largest at 256 MB target → 64
+    import tempfile
+
+    with tempfile.NamedTemporaryFile() as f:
+        f.truncate(1000)
+        assert _volume_bucket_count(f.name, target_bucket_bytes=100) == 16
+        assert _volume_bucket_count(f.name, target_bucket_bytes=1000) == 8
+        assert _volume_bucket_count(f.name, target_bucket_bytes=63) == 16
+        assert _volume_bucket_count(f.name, target_bucket_bytes=62) == 32
+    assert _volume_bucket_count("/nonexistent") == 8
+
+
+def test_bucketed_materialize_fingerprint_cache(spark):
+    """Second call with an unchanged source must return the REGISTERED
+    layout without rewriting it (r11: the per-call rebuild cost more than
+    the exchange it saves at sf≈10); corrupting the marker forces a
+    rebuild (the crash-recovery path)."""
+    import glob
+    import hashlib
+    import os
+
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        materialize_bucketed_facts,
+    )
+
+    materialize_bucketed_facts(spark, SF)
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    key = hashlib.md5(f"{app}:{os.path.abspath(SF)}".encode()).hexdigest()[:10]
+    root = f"/tmp/spark_graft_bucketed_{key}"
+    files = sorted(glob.glob(os.path.join(root, "lineitem", "*.parquet")))
+    assert files, "layout files must exist"
+    before = [(f, os.stat(f).st_mtime_ns) for f in files]
+    o2, l2 = materialize_bucketed_facts(spark, SF)
+    n_l = l2.count()
+    assert n_l > 0
+    after = [(f, os.stat(f).st_mtime_ns) for f in files]
+    assert before == after, "cached call must not rewrite the layout"
+    # stale marker → rebuild (l2 becomes a stale handle, as after any
+    # overwrite; fresh reads from the rebuilt table must match)
+    with open(os.path.join(root, "_fingerprint"), "w") as f:
+        f.write("stale")
+    o3, l3 = materialize_bucketed_facts(spark, SF)
+    assert l3.count() == n_l
+    rebuilt = sorted(glob.glob(os.path.join(root, "lineitem", "*.parquet")))
+    assert [(f, os.stat(f).st_mtime_ns) for f in rebuilt] != before
+
+
 def test_bucketed_materialize_two_sf_dirs_one_process(spark):
     """One process materializing the layout for TWO sf_dirs — exactly what
     bench.py does every run (codegen warmup at sf0.001, measurement at the
