@@ -1630,7 +1630,7 @@ def scalar_pad_translate_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _volume_bucket_count(
-    *paths: str, target_bucket_bytes: int = 256 << 20, floor: int = 8
+    *paths: str, target_bucket_bytes: int = 128 << 20, floor: int = 8
 ) -> int:
     """Bucket count for the co-located fact layout, derived from input
     volume: enough buckets that a bucket's share of the LARGEST table
@@ -1642,7 +1642,15 @@ def _volume_bucket_count(
     philosophy as session.volume_tuned_partitions). A bucketed read is
     one task per bucket, so at sf≈100 (13 GB lineitem) 8 buckets would
     sort 1.6 GB per task through one core each — the count must track
-    volume for the layout to stay a win at 100 TB (there: thousands)."""
+    volume for the layout to stay a win at 100 TB (there: thousands).
+
+    The 128 MB target deliberately equals the shuffle-partition rule's
+    TARGET_SHUFFLE_PARTITION_BYTES: both size one task's sort input to
+    the same per-task execution-memory budget. The sf≈100 probe measured
+    the mismatch — at 256 MB/bucket (64 buckets) the warm bucketed-join
+    reps spilled ~13 GB/run because each task sorted ~1 GB decompressed;
+    at 128 MB/bucket the sort fits and the spill is zero (SCALING.md
+    r11)."""
 
     def _bytes(p: str) -> int:
         if os.path.isdir(p):
