@@ -561,8 +561,13 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
     harmless: the replay appends byte-identical rows, and last-wins
     collapse over identical rows is identical. Like the parent (whose seq
     comes from a directory listing), concurrent WRITERS on one table are
-    serialized by the streaming engine, not this class; concurrent readers
-    are safe throughout.
+    serialized by the streaming engine, not this class. Concurrent READERS
+    get a one-version retirement window: the sweep keeps version N-1 of
+    both base and delta alongside the live N, so a reader that resolved
+    the previous pointer finishes its scan; only N-2 and older (plus
+    never-referenced crash orphans) are dropped — the same
+    snapshot-expiry trade Iceberg/Delta make, at the cost of one extra
+    base copy between compactions.
 
     Catalog notes: table names are keyed by (store dir, table, version) so
     stores never collide; a FRESH session re-registers the current
@@ -613,6 +618,20 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
 
+    def _bucket_count(self, name: str) -> int:
+        """The table's PERSISTED bucket count — the instance's
+        ``n_buckets`` only seeds the FIRST write. A store reopened with a
+        different constructor value (config drift, changed default) must
+        keep declaring and writing the count the files were laid out with:
+        re-registering 32-bucket files as INTO 16 BUCKETS makes Spark skip
+        the exchange and silently match rows across wrong buckets."""
+        doc = self._doc(name)
+        try:
+            n = doc.get("n_buckets")
+            return int(n) if n else self.n_buckets
+        except (TypeError, ValueError):
+            return self.n_buckets
+
     def _ensure_registered(
         self,
         spark: SparkSession,
@@ -632,7 +651,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             spark.sql(
                 f"CREATE TABLE {cat} ({self._ddl_cols(schema)}) USING parquet "
                 f"CLUSTERED BY ({pks}) SORTED BY ({pks}) "
-                f"INTO {self.n_buckets} BUCKETS "
+                f"INTO {self._bucket_count(name)} BUCKETS "
                 f"LOCATION '{self._ver_path(name, kind, ver)}'"
             )
         return cat
@@ -650,7 +669,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         (
             df.write.mode(mode)
             .format("parquet")
-            .bucketBy(self.n_buckets, *pk_cols)
+            .bucketBy(self._bucket_count(name), *pk_cols)
             .sortBy(*pk_cols)
             .option("path", self._ver_path(name, kind, ver))
             .saveAsTable(cat)
@@ -660,20 +679,30 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
     # --- write path ----------------------------------------------------------
     def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
         """Initial snapshot / full reload: a fresh base version + pointer
-        flip (the parent's dynamic-partition machinery never runs here)."""
+        flip (the parent's dynamic-partition machinery never runs here).
+        A full (re)load REPLACES state, so any deltas accumulated before
+        the snapshot are retired in the same pointer flip — the parent
+        stores wipe the whole table dir here; the bucketed store rotates
+        the delta version so the sweep removes the stale files. (Without
+        this, a post-reload read replayed pre-snapshot deletes/upserts
+        over the fresh base.) base_version may be None for a store that
+        started life delta-only — same guard as compact()."""
         doc = self._doc(name)
-        new_ver = int(doc.get("base_version", -1)) + 1
+        prev_base = doc.get("base_version")
+        new_ver = (int(prev_base) if prev_base is not None else -1) + 1
         self._write_bucketed(df, name, "base", new_ver, pk_cols, "overwrite")
         self._update_registry(
             name,
             schema=df.schema.jsonValue(),
             pk_cols=list(pk_cols),
             bucketed=True,
+            n_buckets=self._bucket_count(name),
             base_version=new_ver,
-            delta_version=int(doc.get("delta_version", 0)),
-            delta_cols=doc.get("delta_cols"),
+            delta_version=int(doc.get("delta_version", 0)) + 1,
+            delta_cols=None,
+            delta_schema=None,
             next_seq=int(doc.get("next_seq", 0)),
-            folded_seq=int(doc.get("folded_seq", 0)),
+            folded_seq=int(doc.get("next_seq", 0)),
         )
         self._sweep_stale_versions(spark, name)
 
@@ -725,6 +754,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             schema=new_schema.jsonValue(),
             pk_cols=list(pk_cols),
             bucketed=True,
+            n_buckets=self._bucket_count(name),
             base_version=doc.get("base_version"),
             delta_version=delta_ver,
             delta_cols=delta_cols_now,
@@ -814,6 +844,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
                 schema=schema.jsonValue(),
                 pk_cols=list(pk_cols),
                 bucketed=True,
+                n_buckets=self._bucket_count(name),
                 base_version=new_ver,
                 delta_version=int(doc.get("delta_version", 0)) + 1,
                 delta_cols=None,
@@ -829,13 +860,22 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
 
     def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
         """Drop catalog entries + dirs for versions the pointer no longer
-        references (crash orphans included). Best-effort: a failure leaves
-        garbage for the next sweep, never an inconsistent pointer."""
+        references. Best-effort: a failure leaves garbage for the next
+        sweep, never an inconsistent pointer. The immediately-previous
+        version of base and delta is RETAINED as the concurrent-reader
+        retirement window (a reader that resolved the old pointer finishes
+        its scan; see the class docstring) — only N-2 and older, plus
+        never-referenced crash orphans (e.g. a base_v99 left by a crashed
+        compaction that never flipped), are dropped."""
         doc = self._doc(name)
-        keep = {
+        keep = set()
+        for kind, cur in (
             ("base", doc.get("base_version")),
             ("delta", doc.get("delta_version")),
-        }
+        ):
+            keep.add((kind, cur))
+            if cur is not None and int(cur) > 0:
+                keep.add((kind, int(cur) - 1))
         try:
             entries = os.listdir(self.table_path(name))
         except OSError:

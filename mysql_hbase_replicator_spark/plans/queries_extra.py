@@ -1739,6 +1739,12 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
         os.remove(marker)
     except OSError:
         pass
+    # owner marker BEFORE the (possibly >1h at production volumes) table
+    # writes: a concurrent session's reaper deletes UNMARKED roots older
+    # than an hour by mtime, which would rmtree a live long build
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_owner.pid"), "w") as f:
+        f.write(str(os.getpid()))
     for tbl, bucket_col in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         path = os.path.join(root, tbl)
         spark.sql(f"DROP TABLE IF EXISTS {names[tbl]}")
@@ -1751,8 +1757,6 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
             .option("path", path)
             .saveAsTable(names[tbl])
         )
-    with open(os.path.join(root, "_owner.pid"), "w") as f:
-        f.write(str(os.getpid()))
     with open(marker, "w") as f:
         f.write(want)
     return spark.table(names["orders"]), spark.table(names["lineitem"])

@@ -608,3 +608,110 @@ def test_bucketed_lsm_sweeps_orphan_versions(
     assert bkt.compact(spark, TABLE) is True
     assert not os.path.isdir(orphan)
     assert state(spark, bkt) == before
+
+
+def test_bucketed_overwrite_retires_pre_snapshot_deltas(spark, tmp_path):
+    """A full (re)load REPLACES state: deltas accumulated before the
+    snapshot must not replay over the fresh base (r11 review — the parent
+    stores wipe the whole table dir on overwrite; the bucketed store must
+    rotate the delta version in the same pointer flip)."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    base = spark.createDataFrame([(1, "old"), (2, "bye")], "k int, v string")
+    bkt.overwrite(spark, "t", base, ["k"])
+    # pre-snapshot CDC: delete k=1, upsert k=2 -> stale
+    ups = spark.createDataFrame([(2, "stale")], "k int, v string")
+    dels = spark.createDataFrame([(1,)], "k int")
+    bkt.merge(spark, "t", ups, dels, ["k"])
+    # full reload with a fresh snapshot: k=1 present, k=2 new value
+    snap = spark.createDataFrame([(1, "snap1"), (2, "snap2")], "k int, v string")
+    bkt.overwrite(spark, "t", snap, ["k"])
+    got = sorted(tuple(r) for r in bkt.read(spark, "t").select("k", "v").collect())
+    assert got == [(1, "snap1"), (2, "snap2")], got
+
+
+def test_bucketed_overwrite_on_delta_only_store(spark, tmp_path):
+    """A store that started life via CDC merges (no base: base_version is
+    None in the registry) must accept a later full snapshot load instead
+    of crashing on int(None) (r11 review — compact() already guarded this
+    case, overwrite did not)."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    ups = spark.createDataFrame([(1, "cdc")], "k int, v string")
+    dels = spark.createDataFrame([], "k int")
+    bkt.merge(spark, "t", ups, dels, ["k"])  # delta-only: no base yet
+    snap = spark.createDataFrame([(7, "snap")], "k int, v string")
+    bkt.overwrite(spark, "t", snap, ["k"])  # must not raise
+    got = sorted(tuple(r) for r in bkt.read(spark, "t").select("k", "v").collect())
+    assert got == [(7, "snap")], got
+
+
+def test_bucketed_n_buckets_persisted_across_reopen(spark, tmp_path):
+    """The bucket count the files were laid out with is persisted in the
+    registry and wins over a drifted constructor value on reopen (r11
+    review — re-declaring 4-bucket files as INTO 8 BUCKETS would make
+    Spark skip the exchange and match rows across wrong buckets)."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    path = str(tmp_path / "bkt")
+    bkt = BucketedLogStructuredKeyedStore(path, n_buckets=4)
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k int, v string")
+    bkt.overwrite(spark, "t", base, ["k"])
+    assert bkt._doc("t").get("n_buckets") == 4
+    # reopen with a DIFFERENT constructor count; drop catalog entries to
+    # force the fresh-session re-registration path
+    for row_ in spark.sql("SHOW TABLES").collect():
+        if row_.tableName.startswith(f"lsm_{bkt._digest}_"):
+            spark.sql(f"DROP TABLE {row_.tableName}")
+    drifted = BucketedLogStructuredKeyedStore(path, n_buckets=8)
+    assert drifted._bucket_count("t") == 4
+    ups = spark.createDataFrame([(1, "new")], "k int, v string")
+    dels = spark.createDataFrame([(2,)], "k int")
+    drifted.merge(spark, "t", ups, dels, ["k"])  # append at the file count
+    got = dict(
+        (r.k, r.v) for r in drifted.read(spark, "t").select("k", "v").collect()
+    )
+    assert got[1] == "new" and 2 not in got and len(got) == 19
+    # the registry still records the layout's true count
+    assert drifted._doc("t").get("n_buckets") == 4
+
+
+def test_bucketed_sweep_keeps_one_previous_version(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """The sweep retains version N-1 of base and delta as the
+    concurrent-reader retirement window and drops N-2 on the next
+    compaction (r11 review — immediate deletion broke readers that had
+    resolved the previous pointer)."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    bkt = BucketedLogStructuredKeyedStore(str(tmp_path / "bkt"), n_buckets=4)
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_1])
+    assert bkt.compact(spark, TABLE) is True  # -> base_v0, delta_v1
+    base_v0 = os.path.join(bkt.table_path(TABLE), "base_v0")
+    # a reader holding the pre-compact pointer can still scan its delta:
+    # delta_v0 must survive this flip
+    delta_v0 = os.path.join(bkt.table_path(TABLE), "delta_v0")
+    assert os.path.isdir(delta_v0)
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_2])
+    before = state(spark, bkt)
+    assert bkt.compact(spark, TABLE) is True  # -> base_v1, delta_v2
+    # retirement window: base_v0 (N-1) kept, and state is intact
+    assert os.path.isdir(base_v0)
+    assert state(spark, bkt) == before
+    apply_batches(spark, bkt, student_struct, student_mapping, [BATCH_3])
+    before3 = state(spark, bkt)
+    assert bkt.compact(spark, TABLE) is True  # -> base_v2: v0 is now N-2
+    assert not os.path.isdir(base_v0)
+    assert os.path.isdir(os.path.join(bkt.table_path(TABLE), "base_v1"))
+    assert state(spark, bkt) == before3
