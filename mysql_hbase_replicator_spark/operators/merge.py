@@ -791,6 +791,8 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
                 self._ensure_registered(
                     spark, name, "base", base_ver, file_schema, pk_cols
                 )
+            else:
+                spark.catalog.refreshTable(cat)
             base = spark.table(cat)
         if doc.get("delta_cols") is None:
             return base
@@ -802,6 +804,15 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             T.StructType.fromJson(doc["delta_schema"]),
             pk_cols,
         )
+        # refresh: appends may have come through ANOTHER session sharing
+        # this catalog — notably Structured Streaming's foreachBatch,
+        # which writes via a CLONED session whose append invalidates the
+        # clone's relation cache, not this one's. Without the refresh a
+        # read here serves the stale pre-append file listing (caught by
+        # tests/test_streaming.py::test_stream_through_bucketed_store).
+        # One file listing per read; the parent store pays the same by
+        # construction (spark.read.parquet lists fresh every time).
+        spark.catalog.refreshTable(cat_d)
         deltas = spark.table(cat_d)
         w = Window.partitionBy(*pk_cols).orderBy(
             F.desc(self.SEQ_COL), F.desc(F.col(KIND_COL) == "upsert")

@@ -182,3 +182,67 @@ def test_latency_ring_is_bounded(spark, tmp_path, student_struct, student_mappin
     samples = pipeline.latency_samples()
     assert len(samples["batch"]) == 10
     assert len(pipeline.results) == 12
+
+
+def test_stream_through_bucketed_store(spark, tmp_path, student_struct, student_mapping):
+    """End-to-end pipeline drive over the BUCKETED catalog store (r11):
+    the streaming path — source parse, kernel, delta append, checkpoint,
+    counters — must behave identically to the parent LSM store, with
+    resume picking up only new files, and the merge-on-read state plan
+    staying exchange-free after a compaction."""
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    events_dir = str(tmp_path / "events")
+    write_event_file(events_dir, "b1", [
+        ev(1, "insert", after=row(1, 1, 10, "ann", "a")),
+        ev(2, "insert", after=row(2, 2, 20, "bob", "b")),
+    ])
+    store = BucketedLogStructuredKeyedStore(str(tmp_path / "bstore"), n_buckets=4)
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=events_dir,
+        row_struct=student_struct,
+        store=store,
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert state(spark, store) == [(1, 1, 10, "ann", "a"), (2, 2, 20, "bob", "b")]
+    assert pipe.total_counts() == {"mixfs.student.insert": 2}
+
+    write_event_file(events_dir, "b2", [
+        ev(3, "delete", before=row(1, 1)),
+        ev(4, "update", before=row(2, 2, 20, "bob", "b"),
+           after=row(2, 2, 25, "bob", "b")),
+    ])
+    store2 = BucketedLogStructuredKeyedStore(str(tmp_path / "bstore"), n_buckets=4)
+    pipe2 = CdcStreamPipeline(
+        spark=spark,
+        events_path=events_dir,
+        row_struct=student_struct,
+        store=store2,
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2 = pipe2.start(available_now=True)
+    q2.awaitTermination(120)
+    assert state(spark, store2) == [(2, 2, 25, "bob", "b")]
+    assert pipe2.total_counts() == {"mixfs.student.delete": 1,
+                                    "mixfs.student.update": 1}
+    # compaction is a pure representation change, and the post-compact
+    # read stays exchange-free (the store's whole point)
+    assert store2.compact(spark, "mixfs:student2") is True
+    assert state(spark, store2) == [(2, 2, 25, "bob", "b")]
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            store2.read(spark, "mixfs:student2")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
