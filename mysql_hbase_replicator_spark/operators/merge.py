@@ -618,14 +618,15 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
 
-    def _bucket_count(self, name: str) -> int:
+    def _bucket_count(self, doc: dict) -> int:
         """The table's PERSISTED bucket count — the instance's
         ``n_buckets`` only seeds the FIRST write. A store reopened with a
         different constructor value (config drift, changed default) must
         keep declaring and writing the count the files were laid out with:
         re-registering 32-bucket files as INTO 16 BUCKETS makes Spark skip
-        the exchange and silently match rows across wrong buckets."""
-        doc = self._doc(name)
+        the exchange and silently match rows across wrong buckets. Takes
+        the already-loaded registry doc — every caller holds one; the
+        hot-path merge must not re-parse _schema.json per lookup."""
         try:
             n = doc.get("n_buckets")
             return int(n) if n else self.n_buckets
@@ -640,21 +641,26 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         ver: int,
         schema: T.StructType,
         pk_cols: list[str],
-    ) -> str:
+        n_buckets: int | None = None,
+    ) -> tuple[str, bool]:
         """Idempotently (re)register the catalog entry for an EXISTING
         versioned table dir — the fresh-session path. Bucket ids are
         parsed from the Spark-written file names, so an external CREATE
-        over the same files preserves the no-exchange contract."""
+        over the same files preserves the no-exchange contract. Returns
+        (catalog name, created_now) so callers can skip a redundant
+        refresh right after a CREATE (which already lists fresh)."""
         cat = self._cat_name(name, kind, ver)
-        if not spark.catalog.tableExists(cat):
-            pks = ", ".join(f"`{c}`" for c in pk_cols)
-            spark.sql(
-                f"CREATE TABLE {cat} ({self._ddl_cols(schema)}) USING parquet "
-                f"CLUSTERED BY ({pks}) SORTED BY ({pks}) "
-                f"INTO {self._bucket_count(name)} BUCKETS "
-                f"LOCATION '{self._ver_path(name, kind, ver)}'"
-            )
-        return cat
+        if spark.catalog.tableExists(cat):
+            return cat, False
+        n = n_buckets if n_buckets is not None else self._bucket_count(self._doc(name))
+        pks = ", ".join(f"`{c}`" for c in pk_cols)
+        spark.sql(
+            f"CREATE TABLE {cat} ({self._ddl_cols(schema)}) USING parquet "
+            f"CLUSTERED BY ({pks}) SORTED BY ({pks}) "
+            f"INTO {n} BUCKETS "
+            f"LOCATION '{self._ver_path(name, kind, ver)}'"
+        )
+        return cat, True
 
     def _write_bucketed(
         self,
@@ -664,47 +670,81 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         ver: int,
         pk_cols: list[str],
         mode: str,
+        n_buckets: int | None = None,
     ) -> str:
         cat = self._cat_name(name, kind, ver)
+        n = n_buckets if n_buckets is not None else self._bucket_count(self._doc(name))
         (
             df.write.mode(mode)
             .format("parquet")
-            .bucketBy(self._bucket_count(name), *pk_cols)
+            .bucketBy(n, *pk_cols)
             .sortBy(*pk_cols)
             .option("path", self._ver_path(name, kind, ver))
             .saveAsTable(cat)
         )
         return cat
 
-    # --- write path ----------------------------------------------------------
-    def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
-        """Initial snapshot / full reload: a fresh base version + pointer
-        flip (the parent's dynamic-partition machinery never runs here).
-        A full (re)load REPLACES state, so any deltas accumulated before
-        the snapshot are retired in the same pointer flip — the parent
-        stores wipe the whole table dir here; the bucketed store rotates
-        the delta version so the sweep removes the stale files. (Without
-        this, a post-reload read replayed pre-snapshot deletes/upserts
-        over the fresh base.) base_version may be None for a store that
-        started life delta-only — same guard as compact()."""
-        doc = self._doc(name)
-        prev_base = doc.get("base_version")
-        new_ver = (int(prev_base) if prev_base is not None else -1) + 1
-        self._write_bucketed(df, name, "base", new_ver, pk_cols, "overwrite")
+    def _flip_pointer(
+        self,
+        name: str,
+        doc: dict,
+        schema_json: dict,
+        pk_cols: list[str],
+        new_base_ver: int,
+    ) -> None:
+        """The ONE atomic pointer flip shared by overwrite() and compact():
+        new base in; the current delta version retired (rotated) IF it has
+        files, so its stale rows never replay over the new base; next_seq
+        carried, folded_seq caught up. A delta-less flip does not burn a
+        delta version (the sequence stays gap-free for the crash-protocol
+        reader)."""
+        rotate = 1 if doc.get("delta_cols") is not None else 0
         self._update_registry(
             name,
-            schema=df.schema.jsonValue(),
+            schema=schema_json,
             pk_cols=list(pk_cols),
             bucketed=True,
-            n_buckets=self._bucket_count(name),
-            base_version=new_ver,
-            delta_version=int(doc.get("delta_version", 0)) + 1,
+            n_buckets=self._bucket_count(doc),
+            base_version=new_base_ver,
+            delta_version=int(doc.get("delta_version", 0)) + rotate,
             delta_cols=None,
             delta_schema=None,
             next_seq=int(doc.get("next_seq", 0)),
             folded_seq=int(doc.get("next_seq", 0)),
         )
-        self._sweep_stale_versions(spark, name)
+
+    # --- write path ----------------------------------------------------------
+    def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
+        """Initial snapshot / full reload: a fresh base version + pointer
+        flip (the parent's dynamic-partition machinery never runs here).
+        A full (re)load REPLACES state, so any deltas accumulated before
+        the snapshot are retired in the same pointer flip — the registry
+        stops referencing them immediately; their files linger one flip
+        as the reader retirement window, then the sweep drops them.
+        (Without the retirement, a post-reload read replayed pre-snapshot
+        deletes/upserts over the fresh base.) base_version may be None
+        for a store that started life delta-only — same guard as
+        compact(). Holds the same per-table flock as compact(): a full
+        reload racing a streaming-triggered compaction would otherwise
+        interleave two read-modify-write flips over one version dir."""
+        import fcntl
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            doc = self._doc(name)
+            prev_base = doc.get("base_version")
+            new_ver = (int(prev_base) if prev_base is not None else -1) + 1
+            self._write_bucketed(
+                df, name, "base", new_ver, pk_cols, "overwrite",
+                n_buckets=self._bucket_count(doc),
+            )
+            self._flip_pointer(name, doc, df.schema.jsonValue(), pk_cols, new_ver)
+            self._sweep_stale_versions(spark, name)
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def merge_actions(
         self,
@@ -726,6 +766,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             doc = self._doc(name)
         seq = int(doc.get("next_seq", 0))
         delta_ver = int(doc.get("delta_version", 0))
+        n_bkts = self._bucket_count(doc)
         if doc.get("delta_cols") is not None:
             # current delta version has files: make sure this session's
             # catalog knows it before appending
@@ -736,9 +777,12 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
                 delta_ver,
                 T.StructType.fromJson(doc["delta_schema"]),
                 pk_cols,
+                n_buckets=n_bkts,
             )
         staged = actions.withColumn(self.SEQ_COL, F.lit(seq))
-        self._write_bucketed(staged, name, "delta", delta_ver, pk_cols, "append")
+        self._write_bucketed(
+            staged, name, "delta", delta_ver, pk_cols, "append", n_buckets=n_bkts
+        )
         # merged sink schema: same additive-evolution rule as the parent
         new_schema = actions.drop(KIND_COL).schema
         prev = self._read_schema(name)
@@ -754,7 +798,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             schema=new_schema.jsonValue(),
             pk_cols=list(pk_cols),
             bucketed=True,
-            n_buckets=self._bucket_count(name),
+            n_buckets=n_bkts,
             base_version=doc.get("base_version"),
             delta_version=delta_ver,
             delta_cols=delta_cols_now,
@@ -789,30 +833,35 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
                     self._ver_path(name, "base", base_ver)
                 ).schema
                 self._ensure_registered(
-                    spark, name, "base", base_ver, file_schema, pk_cols
+                    spark, name, "base", base_ver, file_schema, pk_cols,
+                    n_buckets=self._bucket_count(doc),
                 )
             else:
                 spark.catalog.refreshTable(cat)
             base = spark.table(cat)
         if doc.get("delta_cols") is None:
             return base
-        cat_d = self._ensure_registered(
+        cat_d, created_now = self._ensure_registered(
             spark,
             name,
             "delta",
             int(doc.get("delta_version", 0)),
             T.StructType.fromJson(doc["delta_schema"]),
             pk_cols,
+            n_buckets=self._bucket_count(doc),
         )
-        # refresh: appends may have come through ANOTHER session sharing
-        # this catalog — notably Structured Streaming's foreachBatch,
-        # which writes via a CLONED session whose append invalidates the
-        # clone's relation cache, not this one's. Without the refresh a
-        # read here serves the stale pre-append file listing (caught by
-        # tests/test_streaming.py::test_stream_through_bucketed_store).
-        # One file listing per read; the parent store pays the same by
-        # construction (spark.read.parquet lists fresh every time).
-        spark.catalog.refreshTable(cat_d)
+        if not created_now:
+            # refresh: appends may have come through ANOTHER session
+            # sharing this catalog — notably Structured Streaming's
+            # foreachBatch, which writes via a CLONED session whose append
+            # invalidates the clone's relation cache, not this one's.
+            # Without the refresh a read here serves the stale pre-append
+            # file listing (caught by tests/test_streaming.py::
+            # test_stream_through_bucketed_store). One file listing per
+            # read; the parent store pays the same by construction
+            # (spark.read.parquet lists fresh every time). A just-CREATEd
+            # entry already lists fresh — skip the double listing.
+            spark.catalog.refreshTable(cat_d)
         deltas = spark.table(cat_d)
         w = Window.partitionBy(*pk_cols).orderBy(
             F.desc(self.SEQ_COL), F.desc(F.col(KIND_COL) == "upsert")
@@ -846,23 +895,14 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             pk_cols = doc.get("pk_cols")
             state = self._read_state(spark, name)
             new_ver = int(doc.get("base_version", -1) if doc.get("base_version") is not None else -1) + 1
-            self._write_bucketed(state, name, "base", new_ver, pk_cols, "overwrite")
+            self._write_bucketed(
+                state, name, "base", new_ver, pk_cols, "overwrite",
+                n_buckets=self._bucket_count(doc),
+            )
             schema = spark.table(self._cat_name(name, "base", new_ver)).schema
             # ONE atomic pointer flip: new base in, folded delta version
             # retired, next delta version armed empty
-            self._update_registry(
-                name,
-                schema=schema.jsonValue(),
-                pk_cols=list(pk_cols),
-                bucketed=True,
-                n_buckets=self._bucket_count(name),
-                base_version=new_ver,
-                delta_version=int(doc.get("delta_version", 0)) + 1,
-                delta_cols=None,
-                delta_schema=None,
-                next_seq=int(doc.get("next_seq", 0)),
-                folded_seq=int(doc.get("next_seq", 0)),
-            )
+            self._flip_pointer(name, doc, schema.jsonValue(), pk_cols, new_ver)
             self._sweep_stale_versions(spark, name)
             return True
         finally:

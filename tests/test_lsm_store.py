@@ -672,7 +672,7 @@ def test_bucketed_n_buckets_persisted_across_reopen(spark, tmp_path):
         if row_.tableName.startswith(f"lsm_{bkt._digest}_"):
             spark.sql(f"DROP TABLE {row_.tableName}")
     drifted = BucketedLogStructuredKeyedStore(path, n_buckets=8)
-    assert drifted._bucket_count("t") == 4
+    assert drifted._bucket_count(drifted._doc("t")) == 4
     ups = spark.createDataFrame([(1, "new")], "k int, v string")
     dels = spark.createDataFrame([(2,)], "k int")
     drifted.merge(spark, "t", ups, dels, ["k"])  # append at the file count

@@ -232,10 +232,10 @@ def test_stream_through_bucketed_store(spark, tmp_path, student_struct, student_
     assert state(spark, store2) == [(2, 2, 25, "bob", "b")]
     assert pipe2.total_counts() == {"mixfs.student.delete": 1,
                                     "mixfs.student.update": 1}
-    # compaction is a pure representation change, and the post-compact
-    # read stays exchange-free (the store's whole point)
-    assert store2.compact(spark, "mixfs:student2") is True
-    assert state(spark, store2) == [(2, 2, 25, "bob", "b")]
+    # the merge-on-read plan (deltas STILL unfolded — the window over the
+    # deltas and the base anti-join are both present) must be
+    # exchange-free: this is the store's whole point, so gate it BEFORE
+    # compaction collapses the plan to a bare bucketed scan
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -246,3 +246,6 @@ def test_stream_through_bucketed_store(spark, tmp_path, student_struct, student_
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # compaction is a pure representation change
+    assert store2.compact(spark, "mixfs:student2") is True
+    assert state(spark, store2) == [(2, 2, 25, "bob", "b")]
