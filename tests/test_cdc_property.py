@@ -114,3 +114,48 @@ def run_batch_into(spark, tmp, student_struct, student_mapping, events, store):
     ev_df = events_from_rows(spark, events, student_struct)
     result = apply_cdc_batch(spark, ev_df, store, {"mixfs.student": student_mapping})
     return store, result
+
+
+@given(trace=cdc_trace(), split=st.integers(0, 100), compact_mid=st.booleans())
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_trace_lsm_stores_match_oracle(
+    spark, tmp_path_factory, student_struct, student_mapping, trace, split,
+    compact_mid,
+):
+    """The same random valid trace, through BOTH merge-on-read stores
+    (plain LSM and bucketed-catalog LSM), with an optional compaction
+    between the batches — final state must equal DuckDB's sequential
+    per-event oracle, and replaying the last batch must be a no-op. This
+    is the randomized twin of the example-based bucketed-store tests
+    (r11): delta append, last-wins collapse, fold-into-base, and the
+    pointer-flip/retirement lifecycle all under arbitrary traces."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+        LogStructuredKeyedStore,
+    )
+    from mysql_hbase_replicator_spark.sources.cdc_events import events_from_rows
+
+    cut = (split * len(trace)) // 101
+    batches = [b for b in (trace[:cut], trace[cut:]) if b]
+    expected = duckdb_final_state(trace)
+
+    for cls in (LogStructuredKeyedStore, BucketedLogStructuredKeyedStore):
+        tmp = tmp_path_factory.mktemp(f"cdcprop_{cls.__name__}")
+        store = cls(str(tmp / "store"), n_buckets=4)
+        for i, batch in enumerate(batches):
+            ev_df = events_from_rows(spark, batch, student_struct)
+            apply_cdc_batch(
+                spark, ev_df, store, {"mixfs.student": student_mapping}
+            )
+            if compact_mid and i == 0 and len(batches) > 1:
+                store.compact(spark, "mixfs:student2")
+        assert spark_final_state(spark, store) == expected, cls.__name__
+        # at-least-once: replay of the final batch is a no-op
+        ev_df = events_from_rows(spark, batches[-1], student_struct)
+        apply_cdc_batch(spark, ev_df, store, {"mixfs.student": student_mapping})
+        assert spark_final_state(spark, store) == expected, cls.__name__
