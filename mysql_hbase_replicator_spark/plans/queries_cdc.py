@@ -9,6 +9,8 @@ keyed by user_id, ordered by (ts, event_id) — the binlog-position analog.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -419,3 +421,127 @@ def cdc_lsm_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("_day", "yyyy-MM-dd").alias("applied_day"),
         )
     )
+
+
+@query(
+    "cdc_lsm_bucketed_merge_on_read",
+    oracle="""
+    SELECT user_id, value AS current_value, event_id AS applied_event_id,
+           STRFTIME(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')
+             AS applied_day
+    FROM (
+        SELECT user_id, event_type, value, event_id, ts,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_lsm_bucketed_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BucketedLogStructuredKeyedStore driven END-TO-END (r11 verdict
+    #2: the store was tests-only): the events stream is split into three
+    day-range batches — monotone in (ts, event_id), like delta seq numbers
+    — each collapsed to its last action per key ('error' → delete, else
+    upsert) and appended through ``merge_actions`` into the bucketed
+    catalog store, with one MID-TRACE ``compact()`` after the second batch
+    (base fold + pointer flip + delta rotation all exercised). The
+    returned frame is the store's merge-on-read ``read()`` — base
+    anti-join + last-wins delta collapse off co-partitioned bucketed
+    scans, no Exchange — and must equal the oracle's flat single-level
+    last-image fold: fold(fold(batches)) == fold(stream), the same
+    associativity `cdc_lsm_merge_on_read` states declaratively, here
+    proven on the real store machinery.
+
+    Scale shape: each batch append is one bucketed write clustered on the
+    PK; compaction rewrites one base version (one task per bucket); the
+    final read moves NO rows between executors (HbaseApplier.scala:210-217
+    region-sharded layout parity — the plan gates live in
+    tests/test_lsm_store.py). Store scratch is per-(app, sf_dir),
+    fingerprint-cached and pid-reaped exactly like the bucketed facts
+    layout (queries_extra.py)."""
+    import hashlib
+    import shutil as _shutil
+
+    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
+    from mysql_hbase_replicator_spark.operators.merge import (
+        KIND_COL,
+        BucketedLogStructuredKeyedStore,
+    )
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        _reap_dead_scratch_roots,
+        _register_scratch_cleanup,
+    )
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    key = hashlib.md5(
+        f"{app}:{os.path.abspath(sf_dir)}:cdcstore".encode()
+    ).hexdigest()[:10]
+    # the spark_graft_bucketed_ prefix keeps these roots inside the shared
+    # atexit + dead-pid reaping protocol
+    root = f"/tmp/spark_graft_bucketed_cdc_{key}"
+    _register_scratch_cleanup(root)
+    _reap_dead_scratch_roots(keep=root)
+    store = BucketedLogStructuredKeyedStore(
+        os.path.join(root, "store"), n_buckets=8
+    )
+    name = "events:state"
+    sink_cols = ["user_id", "current_value", "applied_event_id", "applied_day"]
+    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
+    marker = os.path.join(root, "_fingerprint")
+    try:
+        with open(marker) as f:
+            cached = f.read() == want
+    except OSError:
+        cached = False
+    if not (cached and store.exists(name)):
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_owner.pid"), "w") as f:
+            f.write(str(os.getpid()))
+        # rebuild from scratch: retire any stale catalog entries + files
+        for r in spark.sql("SHOW TABLES").collect():
+            if r.tableName.startswith(f"lsm_{store._digest}_"):
+                spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
+        _shutil.rmtree(store.table_path(name), ignore_errors=True)
+
+        e = load_table(spark, sf_dir, "events").withColumn(
+            "_day", F.to_date("ts")
+        )
+        from datetime import timedelta
+
+        lo, hi = e.select(F.min("_day"), F.max("_day")).first()
+        span = max((hi - lo).days + 1, 3)
+        # three contiguous day-range batches covering [lo, lo+span)
+        cuts = [lo + timedelta(days=i * span // 3) for i in range(4)]
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        for i in range(3):
+            batch = e.filter(
+                (F.col("_day") >= F.lit(cuts[i]))
+                & (F.col("_day") < F.lit(cuts[i + 1]))
+            )
+            actions = (
+                batch.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(
+                    "user_id",
+                    F.col("value").alias("current_value"),
+                    F.col("event_id").alias("applied_event_id"),
+                    F.date_format("_day", "yyyy-MM-dd").alias("applied_day"),
+                    F.when(F.col("event_type") == "error", "delete")
+                    .otherwise("upsert")
+                    .alias(KIND_COL),
+                )
+            )
+            store.merge_actions(spark, name, actions, sink_cols, ["user_id"])
+            if i == 1:  # mid-trace major compaction
+                store.compact(spark, name)
+        with open(marker, "w") as f:
+            f.write(want)
+    return store.read(spark, name).select(*sink_cols)

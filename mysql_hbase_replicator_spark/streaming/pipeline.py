@@ -71,7 +71,11 @@ class CdcStreamPipeline:
     # typed single-table stream; None → generic multi-table stream whose JSON
     # row images are parsed per table from each mapping's declared schema
     row_struct: T.StructType | None
-    store: ParquetKeyedStore
+    # a store INSTANCE, or a kind name from operators.merge.STORE_KINDS
+    # ("rewrite" | "lsm" | "bucketed") resolved against ``store_dir`` — the
+    # sink layout is a config choice (r11 verdict #6: the bucketed
+    # exchange-free merge-on-read store was only reachable programmatically)
+    store: ParquetKeyedStore | str
     mappings: dict[str, HbaseTableInfo]
     checkpoint_dir: str
     k3_mode: str = "intended"
@@ -93,12 +97,32 @@ class CdcStreamPipeline:
     # micro-batch sizing: files admitted per trigger (1 = one event file per
     # micro-batch — the latency-measurement setting; 16 = throughput default)
     max_files_per_trigger: int = 16
+    # only consulted when ``store`` is a kind string
+    store_dir: str | None = None
+    store_n_buckets: int = 32
+    store_compact_every: int = 64
 
     results: list[CdcBatchResult] = field(default_factory=list)
     # O1 latency rings (HbaseApplier.scala:45-52): last-10 wall-time samples
     # per apply key ("apply:db.table" / "batch"), rolled across batches
     latency_rings: dict[str, deque] = field(default_factory=dict)
     _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def __post_init__(self) -> None:
+        if isinstance(self.store, str):
+            from mysql_hbase_replicator_spark.operators.merge import make_store
+
+            if self.store_dir is None:
+                raise ValueError(
+                    "store_dir is required when store is a kind name "
+                    f"(store={self.store!r})"
+                )
+            self.store = make_store(
+                self.store,
+                self.store_dir,
+                n_buckets=self.store_n_buckets,
+                compact_every=self.store_compact_every,
+            )
 
     def _check_schemas(self) -> None:
         """TableMap-event schema refresh analog (MySQLExtractor.scala:182-202):

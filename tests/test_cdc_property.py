@@ -16,12 +16,23 @@ from __future__ import annotations
 import pytest
 
 try:
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 except ImportError:  # pragma: no cover
     pytest.skip("hypothesis not installed", allow_module_level=True)
 
 from test_cdc_apply import duckdb_final_state, run_batch, spark_final_state
+
+# Determinism (r11 verdict #4): `.hypothesis/` is gitignored, so without
+# derandomization a round-close "green" can simply mean the falsifying trace
+# was not drawn that run — exactly how the r11 empty-state compaction crash
+# shipped. derandomize=True makes every box explore the same example
+# sequence; the round-close recipe additionally runs a DEEPER sweep via
+# SPARK_GRAFT_PROPERTY_EXAMPLES=50 (still deterministic) to actually explore
+# the trace space the gate claims to.
+import os
+
+_N_EXAMPLES = int(os.environ.get("SPARK_GRAFT_PROPERTY_EXAMPLES", "0"))
 
 SNS = (1, 2, 3)
 IDS = (10, 20)
@@ -76,8 +87,9 @@ def cdc_trace(draw):
 
 @given(trace=cdc_trace(), split=st.integers(0, 100))
 @settings(
-    max_examples=8,
+    max_examples=_N_EXAMPLES or 8,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_random_trace_matches_sequential_oracle(
@@ -117,9 +129,27 @@ def run_batch_into(spark, tmp, student_struct, student_mapping, events, store):
 
 
 @given(trace=cdc_trace(), split=st.integers(0, 100), compact_mid=st.booleans())
+# Pinned falsifying trace from the r11 judge run: batch 0 deletes EVERY row,
+# then compact_mid fires on the empty reconstructed state — the plain store
+# crashed UNABLE_TO_INFER_SCHEMA at the staging re-read (merge.py compact()).
+# split=68 → cut=(68*3)//101=2, so the insert+delete pair is batch 0 and the
+# compaction runs against zero live rows.
+@example(
+    trace=[
+        {"position": 1, "op": "insert", "db": "mixfs", "table": "student",
+         "after": {"sn": 1, "id": 10, "score": 7, "name": "ann", "rem": None}},
+        {"position": 2, "op": "delete", "db": "mixfs", "table": "student",
+         "before": {"sn": 1, "id": 10, "score": 7, "name": "ann", "rem": None}},
+        {"position": 3, "op": "insert", "db": "mixfs", "table": "student",
+         "after": {"sn": 2, "id": 20, "score": 3, "name": "bob", "rem": None}},
+    ],
+    split=68,
+    compact_mid=True,
+)
 @settings(
-    max_examples=5,
+    max_examples=_N_EXAMPLES or 5,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_random_trace_lsm_stores_match_oracle(

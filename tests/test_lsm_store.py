@@ -128,6 +128,42 @@ def test_lsm_compaction_preserves_state(
     assert lsm.compact(spark, TABLE) is False
 
 
+def test_lsm_compact_empty_state_round_trip(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """Regression (r11 verdict): compacting a table whose reconstructed
+    state is EMPTY (every row deleted) crashed with UNABLE_TO_INFER_SCHEMA
+    — the staged overwrite of an empty frame writes no parquet data files,
+    and compact() re-read the staging dir for its registry schema. Because
+    merge_actions auto-compacts every compact_every deltas, a delete-all
+    table at a compaction boundary was a stuck, forever-retrying
+    micro-batch. The schema now comes from the staged frame itself
+    (merge.py compact()); the full append/compact lifecycle must keep
+    working against the emptied base afterwards."""
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    ins = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "insert", after=row(1, 2, 80, "bob", "b")),
+    ]
+    dels = [
+        ev(3, "delete", before=row(1, 1, 90, "ann", "a")),
+        ev(4, "delete", before=row(1, 2, 80, "bob", "b")),
+    ]
+    apply_batches(spark, lsm, student_struct, student_mapping, [ins, dels])
+    assert lsm.compact(spark, TABLE) is True  # crashed here pre-fix
+    assert state(spark, lsm) == []
+    assert lsm._delta_seqs(TABLE) == []
+    # merges keep working against the emptied base ...
+    apply_batches(
+        spark, lsm, student_struct, student_mapping,
+        [[ev(5, "insert", after=row(4, 4, 50, "eve", "e"))]],
+    )
+    assert state(spark, lsm) == [(4, 4, 50, "eve", "e")]
+    # ... and so does a second compact folding onto it
+    assert lsm.compact(spark, TABLE) is True
+    assert state(spark, lsm) == [(4, 4, 50, "eve", "e")]
+
+
 def test_lsm_auto_compaction_trigger(spark, tmp_path, student_struct, student_mapping):
     lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4, compact_every=2)
     apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
@@ -672,7 +708,7 @@ def test_bucketed_n_buckets_persisted_across_reopen(spark, tmp_path):
         if row_.tableName.startswith(f"lsm_{bkt._digest}_"):
             spark.sql(f"DROP TABLE {row_.tableName}")
     drifted = BucketedLogStructuredKeyedStore(path, n_buckets=8)
-    assert drifted._bucket_count(drifted._doc("t")) == 4
+    assert drifted._bucket_count("t", drifted._doc("t")) == 4
     ups = spark.createDataFrame([(1, "new")], "k int, v string")
     dels = spark.createDataFrame([(2,)], "k int")
     drifted.merge(spark, "t", ups, dels, ["k"])  # append at the file count
@@ -681,6 +717,46 @@ def test_bucketed_n_buckets_persisted_across_reopen(spark, tmp_path):
     )
     assert got[1] == "new" and 2 not in got and len(got) == 19
     # the registry still records the layout's true count
+    assert drifted._doc("t").get("n_buckets") == 4
+
+
+def test_bucketed_legacy_doc_backfills_n_buckets_from_files(spark, tmp_path):
+    """A registry doc that predates n_buckets persistence (legacy layout)
+    must not trust a drifted constructor value either (ADVICE r11): the
+    count is recovered from the bucket ids Spark wrote into the data file
+    names, and the next registry write persists it — the silent
+    cross-bucket-match hazard does not become permanent."""
+    import json as _json
+
+    from mysql_hbase_replicator_spark.operators.merge import (
+        BucketedLogStructuredKeyedStore,
+    )
+
+    path = str(tmp_path / "bkt")
+    bkt = BucketedLogStructuredKeyedStore(path, n_buckets=4)
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k int, v string"
+    )
+    bkt.overwrite(spark, "t", base, ["k"])
+    # simulate a legacy doc: strip the persisted count
+    reg = bkt._schema_path("t")
+    doc = _json.load(open(reg))
+    del doc["n_buckets"]
+    with open(reg, "w") as f:
+        _json.dump(doc, f)
+    for row_ in spark.sql("SHOW TABLES").collect():
+        if row_.tableName.startswith(f"lsm_{bkt._digest}_"):
+            spark.sql(f"DROP TABLE {row_.tableName}")
+    drifted = BucketedLogStructuredKeyedStore(path, n_buckets=8)
+    # 64 keys over 4 buckets: every bucket is non-empty, so max(id)+1 = 4
+    assert drifted._bucket_count("t", drifted._doc("t")) == 4
+    ups = spark.createDataFrame([(1, "new")], "k int, v string")
+    drifted.merge(spark, "t", ups, spark.createDataFrame([(2,)], "k int"), ["k"])
+    got = dict(
+        (r.k, r.v) for r in drifted.read(spark, "t").select("k", "v").collect()
+    )
+    assert got[1] == "new" and 2 not in got and len(got) == 63
+    # the backfilled count is now persisted for good
     assert drifted._doc("t").get("n_buckets") == 4
 
 
