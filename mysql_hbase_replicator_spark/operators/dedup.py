@@ -50,6 +50,20 @@ ROWS_PER_BAND = N_MINHASHES // N_BANDS
 PREFILTER_MIN_MATCH = 7
 ACCEPT_MIN_MATCH = 16
 
+# Gate calibration for the STRONG-edge (J >= 0.5) survivors variant. The
+# survivors pipeline thresholds edges at 0.5 instead of 0.3, so the same
+# three-way gate re-centers (Bin(32, J), σ≈0.088 at J=0.5):
+#   n_match >= 22 (est 0.69): accept as a strong edge on the estimate — a
+#     just-below-threshold J=0.45 pair lands here w.p. 0.6% (J=0.40: 0.09%);
+#   n_match < 10 (est < 0.31): reject without the re-rank — a true J=0.50
+#     edge is missed w.p. P(Bin(32,.5) <= 9) ≈ 1.0% (J=0.55: 0.19%);
+#   gray zone [10, 22): exact shingle-Jaccard verification at 0.5.
+# A dropped/added edge shifts cluster membership, so unlike the pair
+# variant the recall trade here moves WHICH keeper survives — the oracle
+# replicates the identical gates, making the traded answer exact.
+STRONG_PREFILTER_MIN_MATCH = 10
+STRONG_ACCEPT_MIN_MATCH = 22
+
 # Universal-hash family over the Mersenne prime 2^31-1: h_i = (a_i*h0 + b_i)
 # mod P, with h0 = the first 60 bits of md5(shingle). Everything fits a
 # signed 64-bit product (31-bit × 31-bit), so BOTH Spark (ANSI mode, no
@@ -1211,6 +1225,50 @@ def _minhash_prefiltered_oracle_sql() -> str:
     """
 
 
+def _signature_gated_candidates(hashed: DataFrame, min_match: int) -> DataFrame:
+    """Band-join candidates scored by 32-component signature agreement,
+    with agreement below ``min_match`` rejected outright — the shared front
+    half of both pre-filtered LSH variants (pair extraction gated at
+    PREFILTER_MIN_MATCH, the survivors' strong edges at
+    STRONG_PREFILTER_MIN_MATCH). One 32-min aggregation is materialized and
+    feeds both the banding fold AND the two pair-sized estimate joins (same
+    shared-builder shape as the estimator-quality audit); the scored result
+    is eagerly checkpointed so the band self-join runs once for its up-to-
+    three downstream consumers. Returns (doc_a, doc_b, n_match)."""
+    sig = minhash_signatures(hashed).localCheckpoint(eager=True)
+    stacked = band_hashes(sig=sig)
+    left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    candidates = (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
+    )
+    n_match = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(N_MINHASHES)
+        ],
+        F.lit(0),
+    )
+    return (
+        candidates.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", n_match.alias("n_match"))
+        .filter(F.col("n_match") >= min_match)
+        .localCheckpoint(eager=True)
+    )
+
+
 @query("dedup_minhash_lsh_prefiltered", oracle=_minhash_prefiltered_oracle_sql())
 def dedup_minhash_lsh_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with a SIGNATURE-AGREEMENT gate before
@@ -1240,43 +1298,7 @@ def dedup_minhash_lsh_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", shingle_h0(F.col("shingle")).alias("h0")
     ).persist()
     try:
-        # one 32-min aggregation, materialized: the banding folds from it
-        # AND both estimate joins read it (same shape as the estimator
-        # -quality audit's shared-builder path)
-        sig = minhash_signatures(hashed).localCheckpoint(eager=True)
-        stacked = band_hashes(sig=sig)
-        left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-        right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-        candidates = (
-            left.join(right, ["band_idx", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .dropDuplicates()
-        )
-        sig_a = sig.select(
-            F.col("doc_id").alias("doc_a"),
-            *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
-        )
-        sig_b = sig.select(
-            F.col("doc_id").alias("doc_b"),
-            *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
-        )
-        n_match = sum(
-            [
-                F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-                for i in range(N_MINHASHES)
-            ],
-            F.lit(0),
-        )
-        # pair-sized, three consumers (accept slice, gray ids, gray join):
-        # eagerly materialized so the band self-join runs once
-        scored_cand = (
-            candidates.join(sig_a, "doc_a")
-            .join(sig_b, "doc_b")
-            .select("doc_a", "doc_b", n_match.alias("n_match"))
-            .filter(F.col("n_match") >= PREFILTER_MIN_MATCH)
-            .localCheckpoint(eager=True)
-        )
+        scored_cand = _signature_gated_candidates(hashed, PREFILTER_MIN_MATCH)
         est = (F.col("n_match").cast("double") / float(N_MINHASHES)).alias(
             "est_jaccard"
         )
@@ -1335,6 +1357,117 @@ def _jaccard_from_hashed(hashed: DataFrame, candidates: DataFrame) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+def _survivors_prefiltered_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASHES)
+    )
+    return f"""
+    WITH RECURSIVE {_minhash_cand_ctes()},
+    m AS (
+        SELECT c.doc_a, c.doc_b, {terms} AS n_match
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    gray AS (
+        SELECT doc_a, doc_b FROM m
+        WHERE n_match >= {STRONG_PREFILTER_MIN_MATCH}
+          AND n_match < {STRONG_ACCEPT_MIN_MATCH}
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+        SELECT g.doc_a, g.doc_b, COUNT(*) AS n_common
+        FROM gray g
+        JOIN hashed a ON a.doc_id = g.doc_a
+        JOIN hashed b ON b.doc_id = g.doc_b AND b.h0 = a.h0
+        GROUP BY g.doc_a, g.doc_b
+    ),
+    checked AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+    ),
+    strong AS (
+        SELECT doc_a, doc_b FROM m WHERE n_match >= {STRONG_ACCEPT_MIN_MATCH}
+        UNION ALL
+        SELECT doc_a, doc_b FROM checked WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM strong
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM strong
+    ),
+    lab(node, label) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.dst, l.label FROM lab l JOIN edges e ON e.src = l.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM lab GROUP BY node)
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS INT) AS n_chars
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+    """
+
+
+@query("dedup_survivors_lsh_prefiltered", oracle=_survivors_prefiltered_oracle_sql())
+def dedup_survivors_lsh_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNCAPPED keeper selection with the signature-agreement gate on the
+    strong-edge build — `dedup_survivors_lsh` with its one remaining scale
+    wall removed. The unfiltered survivors path exact-re-ranks EVERY band
+    candidate to find J >= 0.5 edges, so at sf≈100 it pays the same
+    ~44 GB candidate×shingles intermediate the pair query did before r11's
+    prefilter (SCALING.md). Here the edge set is gated from the already
+    materialized signatures instead: agreement >= 22/32 becomes a strong
+    edge on the estimate alone, < 10/32 is rejected outright, and only the
+    gray sliver in between pays the exact shingle-Jaccard re-rank at 0.5
+    (calibration + recall trade at STRONG_PREFILTER_MIN_MATCH). Components
+    and keeper policy are unchanged: distributed min-label propagation,
+    keep each cluster's label plus every singleton.
+
+    All gate arithmetic is integer/modular, so the DuckDB oracle replicates
+    the WHOLE gated pipeline — gates, gray re-rank, recursive closure —
+    term for term: the traded answer is value-hash-checked, not
+    rows-counted.
+
+    Reference anchor: the reference has no dedup (its table is the CDC §2
+    surface); this is the 100 TB-scale form of the survivors composition a
+    pretraining pipeline runs."""
+    hashed = shingle_pairs(spark, sf_dir).select(
+        "doc_id", shingle_h0(F.col("shingle")).alias("h0")
+    ).persist()
+    try:
+        scored_cand = _signature_gated_candidates(
+            hashed, STRONG_PREFILTER_MIN_MATCH
+        )
+        accepted = scored_cand.filter(
+            F.col("n_match") >= STRONG_ACCEPT_MIN_MATCH
+        ).select("doc_a", "doc_b")
+        gray = scored_cand.filter(
+            F.col("n_match") < STRONG_ACCEPT_MIN_MATCH
+        ).select("doc_a", "doc_b")
+        gray_kept = (
+            _jaccard_from_hashed(hashed, gray)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b")
+        )
+        # edge-set-sized; materialized so the shingle cache releases before
+        # the label-propagation rounds start re-reading the edges
+        strong = accepted.unionByName(gray_kept).localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
+    comp, n_rounds = _min_label_components(strong)
+    dedup_survivors_lsh_prefiltered.last_rounds = n_rounds
+    drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = load_table(spark, sf_dir, "documents")
+    return d.join(drops, "doc_id", "left_anti").select(
+        "doc_id", "lang", F.col("n_chars").cast("int").alias("n_chars")
     )
 
 

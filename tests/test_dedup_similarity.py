@@ -83,6 +83,40 @@ def test_minhash_prefiltered_gate_semantics(spark):
     assert strong and len(strong & kept) >= 0.95 * len(strong)
 
 
+def test_survivors_lsh_prefiltered_matches_unfiltered_on_clear_corpus(spark):
+    """The gated survivors equal the unfiltered LSH survivors row for row on
+    the fixture corpus: its near-dup families sit at J≈0.9 (estimate-
+    accepted, agreement ≥ 22/32) and band collisions at J≈0 (rejected), so
+    every gate decision agrees with the exact edge build. Borderline-J
+    corpora may differ by the documented ~1% edge recall trade — that trade
+    is what the DuckDB oracle value-checks, term for term. Also pins the
+    gate's purpose: the gray zone (exact re-rank input) must be a small
+    fraction of the scored candidates."""
+    from mysql_hbase_replicator_spark.operators.dedup import (
+        STRONG_ACCEPT_MIN_MATCH,
+        STRONG_PREFILTER_MIN_MATCH,
+        _signature_gated_candidates,
+        dedup_survivors_lsh,
+        dedup_survivors_lsh_prefiltered,
+        shingle_h0,
+        shingle_pairs,
+    )
+
+    a = {tuple(r) for r in dedup_survivors_lsh(spark, SF).collect()}
+    b = {tuple(r) for r in dedup_survivors_lsh_prefiltered(spark, SF).collect()}
+    assert a == b
+
+    hashed = shingle_pairs(spark, SF).select(
+        "doc_id", shingle_h0(F.col("shingle")).alias("h0")
+    )
+    scored = _signature_gated_candidates(hashed, STRONG_PREFILTER_MIN_MATCH)
+    n_total = scored.count()
+    n_gray = scored.filter(F.col("n_match") < STRONG_ACCEPT_MIN_MATCH).count()
+    assert n_total > 0
+    # the J≈0.9 bulk bypasses the re-rank; only the borderline sliver pays
+    assert n_gray <= n_total * 0.5
+
+
 def test_simhash_deterministic_and_64bit(spark):
     from mysql_hbase_replicator_spark.operators.dedup import dedup_simhash
 
