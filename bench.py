@@ -165,6 +165,9 @@ HEADLINE = [
     # and Q9 on the bucketed fact layout (exchange-free orderkey join)
     "dedup_minhash_lsh_prefiltered",
     "sql_product_type_profit_bucketed",
+    # r12: the same gate on the survivors composition (strong edges at 0.5
+    # from the signatures; only the gray sliver pays the exact re-rank)
+    "dedup_survivors_lsh_prefiltered",
 ]
 
 

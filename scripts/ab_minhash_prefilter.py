@@ -52,9 +52,8 @@ def main() -> None:
     )
     from mysql_hbase_replicator_spark.session import apply_volume_tuning, get_spark
 
-    label, _, sf_dir = (
-        (sys.argv[1] if len(sys.argv) > 1 else "~10=/tmp/sf10").partition("=")
-    )
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    label, _, sf_dir = (pos[0] if pos else "~10=/tmp/sf10").partition("=")
 
     local_dir = "/tmp/spark-local-reprobe"
     os.makedirs(local_dir, exist_ok=True)
@@ -119,6 +118,14 @@ def main() -> None:
     ).count()
     n_accept = scored.filter(F.col("n_match") >= D.ACCEPT_MIN_MATCH).count()
     n_reject = n_cand - n_gray - n_accept
+    # the survivors variant's strong-edge gate (accept >= 22, reject < 10)
+    n_gray_s = scored.filter(
+        (F.col("n_match") >= D.STRONG_PREFILTER_MIN_MATCH)
+        & (F.col("n_match") < D.STRONG_ACCEPT_MIN_MATCH)
+    ).count()
+    n_accept_s = scored.filter(
+        F.col("n_match") >= D.STRONG_ACCEPT_MIN_MATCH
+    ).count()
 
     # re-rank intermediate rows = Σ over re-ranked pairs of |shingles(doc_a)|
     # (the h0-equijoin probes doc_a's shingle rows against doc_b's — the
@@ -143,6 +150,12 @@ def main() -> None:
             & (F.col("n_match") < D.ACCEPT_MIN_MATCH)
         ).select("doc_a", "doc_b")
     )
+    rr_gray_s = rerank_rows(
+        scored.filter(
+            (F.col("n_match") >= D.STRONG_PREFILTER_MIN_MATCH)
+            & (F.col("n_match") < D.STRONG_ACCEPT_MIN_MATCH)
+        ).select("doc_a", "doc_b")
+    )
     hashed.unpersist()
 
     structure = {
@@ -154,12 +167,23 @@ def main() -> None:
         "rerank_rows_plain": rr_plain,
         "rerank_rows_gray": rr_gray,
         "rerank_rows_shrink": round(rr_plain / max(rr_gray, 1), 1),
+        "strong_gate_accept": n_accept_s,
+        "strong_gate_gray": n_gray_s,
+        "strong_gate_reject": n_cand - n_gray_s - n_accept_s,
+        "strong_rerank_pairs_shrink": round(n_cand / max(n_gray_s, 1), 1),
+        "strong_rerank_rows_gray": rr_gray_s,
+        "strong_rerank_rows_shrink": round(rr_plain / max(rr_gray_s, 1), 1),
     }
     print(f"# structure: {structure}", file=sys.stderr)
 
     # ---- wall-time A/B, median-of-3 with telemetry
+    bench_names = (
+        ("dedup_survivors_lsh", "dedup_survivors_lsh_prefiltered")
+        if "--survivors" in sys.argv
+        else ("dedup_minhash_lsh", "dedup_minhash_lsh_prefiltered")
+    )
     out: dict[str, dict] = {"structure": structure, "init_partitions": n_init}
-    for name in ("dedup_minhash_lsh", "dedup_minhash_lsh_prefiltered"):
+    for name in bench_names:
         QUERY_REGISTRY[name](spark, "/root/testdata/sf0.001").write.format(
             "noop"
         ).mode("overwrite").save()  # codegen warmup
