@@ -382,35 +382,47 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         sink_cols: list[str],
         pk_cols: list[str],
     ) -> None:
-        self._maybe_recover(name)
         actions = final.select(*sink_cols, KIND_COL)
-        seqs = self._delta_seqs(name)
-        n = (seqs[-1] + 1) if seqs else 0
-        out = os.path.join(self._delta_path(name), f"{self.SEQ_COL}={n}")
-        # overwrite into the delta's OWN fresh subdir: a crashed write leaves
-        # only an uncommitted _temporary dir (invisible to readers) and the
-        # replayed batch lands at the next seq
-        actions.write.mode("overwrite").parquet(out)
-        # registry schema = the SINK schema (no _kind: that column exists
-        # only inside delta files; leaking it into the registry would make
-        # base reads surface a phantom null column) UNIONED with whatever
-        # the registry already recorded: if a source stops sending a column,
-        # overwriting with only the current batch's (narrower) schema would
-        # silently null that column on base reads and the next compact()
-        # would drop it permanently — the rewrite store preserves dropped
-        # columns via unionByName(allowMissingColumns=True), and this is the
-        # LSM analog (ADVICE r7)
-        new_schema = actions.drop(KIND_COL).schema
-        prev = self._read_schema(name)
-        if prev is not None:
-            new_names = set(new_schema.names)
-            merged = list(new_schema.fields) + [
-                f for f in prev.fields
-                if f.name not in new_names and f.name not in (BUCKET_COL, KIND_COL)
-            ]
-            new_schema = T.StructType(merged)
-        self._write_schema(name, new_schema, pk_cols)
-        if len(seqs) + 1 >= self.compact_every:
+        # The append runs UNDER the per-table flock (same posture the
+        # bucketed sibling adopted for ADVICE r11): the delta seq is picked
+        # from a directory listing and the schema registry is
+        # read-modify-written — without the lock two concurrent appends can
+        # pick the SAME seq (one delta dir overwrites the other) or clobber
+        # a racing compact()'s fresh registry write with a stale schema.
+        # The flock is not re-entrant, so recovery runs via _recover_locked
+        # and the compaction trigger is evaluated outside the lock
+        # (compact() takes the same flock and re-checks under it).
+        with self._table_flock(name):
+            self._recover_locked(name)
+            seqs = self._delta_seqs(name)
+            n = (seqs[-1] + 1) if seqs else 0
+            out = os.path.join(self._delta_path(name), f"{self.SEQ_COL}={n}")
+            # overwrite into the delta's OWN fresh subdir: a crashed write
+            # leaves only an uncommitted _temporary dir (invisible to
+            # readers) and the replayed batch lands at the next seq
+            actions.write.mode("overwrite").parquet(out)
+            # registry schema = the SINK schema (no _kind: that column
+            # exists only inside delta files; leaking it into the registry
+            # would make base reads surface a phantom null column) UNIONED
+            # with whatever the registry already recorded: if a source stops
+            # sending a column, overwriting with only the current batch's
+            # (narrower) schema would silently null that column on base
+            # reads and the next compact() would drop it permanently — the
+            # rewrite store preserves dropped columns via
+            # unionByName(allowMissingColumns=True), and this is the LSM
+            # analog (ADVICE r7)
+            new_schema = actions.drop(KIND_COL).schema
+            prev = self._read_schema(name)
+            if prev is not None:
+                new_names = set(new_schema.names)
+                merged = list(new_schema.fields) + [
+                    f for f in prev.fields
+                    if f.name not in new_names and f.name not in (BUCKET_COL, KIND_COL)
+                ]
+                new_schema = T.StructType(merged)
+            self._write_schema(name, new_schema, pk_cols)
+            n_deltas = len(seqs) + 1
+        if n_deltas >= self.compact_every:
             self.compact(spark, name)
 
     def merge(

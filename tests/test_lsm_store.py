@@ -338,6 +338,38 @@ def test_lsm_concurrent_compaction_serializes(
     assert state(spark, lsm) == want
 
 
+def test_lsm_concurrent_appends_get_distinct_seqs(spark, tmp_path):
+    """Concurrent merge() calls (each thread's flock fd conflicts exactly
+    as two processes' would) must serialize on the per-table lock: every
+    append lands in its OWN delta seq dir and the merged state contains
+    all of them. Without the lock, two appends can list the same max seq
+    and one delta overwrites the other (lost update)."""
+    import threading
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4, compact_every=10_000)
+    base = spark.createDataFrame([(0, "base")], "k int, v string")
+    lsm.overwrite(spark, "t", base, ["k"])
+    empty_dels = spark.createDataFrame([], "k int")
+    errors = []
+
+    def run(i: int):
+        try:
+            ups = spark.createDataFrame([(i, f"v{i}")], "k int, v string")
+            lsm.merge(spark, "t", ups, empty_dels, ["k"])
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(1, 7)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(180)
+    assert not errors
+    assert lsm._delta_seqs("t") == list(range(6))  # one dir per append
+    got = sorted(tuple(r) for r in lsm.read(spark, "t").collect())
+    assert got == [(0, "base")] + [(i, f"v{i}") for i in range(1, 7)]
+
+
 def test_lsm_kernel_schema_evolution(spark, tmp_path, student_struct, student_mapping):
     """Additive schema evolution THROUGH the CDC kernel on the LSM store: a
     mapping that grows a column mid-stream backfills null for rows written
