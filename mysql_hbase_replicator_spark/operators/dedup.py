@@ -310,6 +310,54 @@ def band_hashes(hashed: DataFrame | None = None, sig: DataFrame | None = None) -
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
 
 
+def _band_candidates(sig: DataFrame) -> DataFrame:
+    """Distinct band-join candidate pairs (doc_a < doc_b) from a minhash
+    signature frame — the LSH candidate build shared by the verified-pair
+    builder (`_minhash_lsh_jaccard`), the signature-gated variants
+    (`_signature_gated_candidates`) and the A/B probe script (r11 PLANS.md
+    deferred consolidation: one Spark-side copy, mirroring the oracle
+    side's single `_minhash_cand_ctes`). Callers choose the
+    materialization policy (persist vs localCheckpoint) to match their
+    consumer count."""
+    stacked = band_hashes(sig=sig)
+    left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
+    right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
+    return (
+        left.join(right, ["band_idx", "band_hash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def _signature_agreement(pairs: DataFrame, sig: DataFrame) -> DataFrame:
+    """``pairs`` with the matching-component count of the two docs'
+    signatures appended as ``n_match`` — two pair-sized equi-joins against
+    the materialized signature frame, the arithmetic every signature gate
+    and the estimator-quality audit threshold on. Preserves the caller's
+    extra columns."""
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
+    )
+    n_match = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(N_MINHASHES)
+        ],
+        F.lit(0),
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select(*pairs.columns, n_match.alias("n_match"))
+    )
+
+
 def hashed_shingles(docs: DataFrame, normalize: bool = False) -> DataFrame:
     """(doc_id, text) → (doc_id, h0): distinct shingles hashed once to longs.
     ``normalize=True`` canonicalizes whitespace before shingling."""
@@ -456,59 +504,22 @@ def _minhash_lsh_jaccard(
             # one doc-bounded row per doc; materialized so it survives the
             # cache release AND so the banding below folds from it for free
             sig = sig.localCheckpoint(eager=True)
-        stacked = band_hashes(sig=sig)
-        left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-        right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-        # cached: the candidate set feeds THREE consumers below (the
-        # broadcast doc-id prune + both sides of the re-rank) — without the
-        # cache each consumer re-executes the band self-join. persist (not
-        # localCheckpoint): released in the finally, so repeated invocations
-        # don't accumulate block-manager residue
-        candidates = (
-            left.join(right, ["band_idx", "band_hash"])
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .dropDuplicates()
-            .persist()
-        )
-        # Exact-Jaccard re-rank on candidates only, joining on the long
-        # keys. The shingle table is first pruned to docs that appear in
-        # ANY candidate pair (broadcast semi-join — candidate docs are the
-        # near-dup-involved subset, bounded by the LSH collision load):
-        # without this, both re-rank joins shuffle EVERY doc's shingles
+        # cached: the candidate set feeds THREE consumers inside the
+        # re-rank (the broadcast doc-id prune + both sides of the
+        # intersection join) — without the cache each consumer re-executes
+        # the band self-join. persist (not localCheckpoint): released in
+        # the finally, so repeated invocations don't accumulate
+        # block-manager residue
+        candidates = _band_candidates(sig).persist()
+        # Exact-Jaccard re-rank on candidates only (_jaccard_from_hashed
+        # broadcast-semi-prunes the shingle table to candidate docs first:
+        # without that, both re-rank joins shuffle EVERY doc's shingles
         # only to drop the non-candidates at the join — at sf≈10 that is
-        # the dominant shuffle of the whole query (r6 verdict #5).
-        cand_ids = (
-            candidates.select(F.col("doc_a").alias("doc_id"))
-            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
-            .dropDuplicates()
-        )
-        sh = hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-        counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-        a = sh.select(F.col("doc_id").alias("doc_a"), "h0")
-        b = sh.select(F.col("doc_id").alias("doc_b"), "h0")
-        inter = (
-            candidates.join(a, "doc_a")
-            .join(b, ["doc_b", "h0"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-        ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-        cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
-        spark_jaccard = (
-            inter.join(ca, "doc_a")
-            .join(cb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                (
-                    F.col("n_common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
-                ).alias("jaccard"),
-            )
-        )
-        pairs = spark_jaccard.filter(F.col("jaccard") >= threshold).localCheckpoint(
-            eager=True
+        # the dominant shuffle of the whole query, r6 verdict #5)
+        pairs = (
+            _jaccard_from_hashed(hashed, candidates)
+            .filter(F.col("jaccard") >= threshold)
+            .localCheckpoint(eager=True)
         )
         return (pairs, sig) if return_signatures else pairs
     finally:
@@ -1150,29 +1161,13 @@ def dedup_minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFram
     pairs, sig = _minhash_lsh_jaccard(
         spark, sf_dir, threshold=0.3, return_signatures=True
     )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
-    )
-    n_match = sum(
-        [
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(N_MINHASHES)
-        ],
-        F.lit(0),
-    )
-    return pairs.join(sig_a, "doc_a").join(sig_b, "doc_b").select(
+    est = F.col("n_match").cast("double") / float(N_MINHASHES)
+    return _signature_agreement(pairs, sig).select(
         "doc_a",
         "doc_b",
-        (n_match.cast("double") / float(N_MINHASHES)).alias("est_jaccard"),
+        est.alias("est_jaccard"),
         "jaccard",
-        F.abs(
-            n_match.cast("double") / float(N_MINHASHES) - F.col("jaccard")
-        ).alias("abs_err"),
+        F.abs(est - F.col("jaccard")).alias("abs_err"),
     )
 
 
@@ -1236,34 +1231,8 @@ def _signature_gated_candidates(hashed: DataFrame, min_match: int) -> DataFrame:
     is eagerly checkpointed so the band self-join runs once for its up-to-
     three downstream consumers. Returns (doc_a, doc_b, n_match)."""
     sig = minhash_signatures(hashed).localCheckpoint(eager=True)
-    stacked = band_hashes(sig=sig)
-    left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-    right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-    candidates = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
-    )
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_MINHASHES)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_MINHASHES)],
-    )
-    n_match = sum(
-        [
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(N_MINHASHES)
-        ],
-        F.lit(0),
-    )
     return (
-        candidates.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .select("doc_a", "doc_b", n_match.alias("n_match"))
+        _signature_agreement(_band_candidates(sig), sig)
         .filter(F.col("n_match") >= min_match)
         .localCheckpoint(eager=True)
     )

@@ -79,39 +79,9 @@ def main() -> None:
         "doc_id", D.shingle_h0(F.col("shingle")).alias("h0")
     ).persist()
     sig = D.minhash_signatures(hashed).localCheckpoint(eager=True)
-    stacked = D.band_hashes(sig=sig)
-    left = stacked.select(F.col("doc_id").alias("doc_a"), "band_idx", "band_hash")
-    right = stacked.select(F.col("doc_id").alias("doc_b"), "band_idx", "band_hash")
-    candidates = (
-        left.join(right, ["band_idx", "band_hash"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
+    candidates = D._band_candidates(sig).localCheckpoint(eager=True)
     n_cand = candidates.count()
-
-    sig_a = sig.select(
-        F.col("doc_id").alias("doc_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(D.N_MINHASHES)],
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("doc_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(D.N_MINHASHES)],
-    )
-    n_match = sum(
-        [
-            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-            for i in range(D.N_MINHASHES)
-        ],
-        F.lit(0),
-    )
-    scored = (
-        candidates.join(sig_a, "doc_a")
-        .join(sig_b, "doc_b")
-        .select("doc_a", "doc_b", n_match.alias("n_match"))
-        .localCheckpoint(eager=True)
-    )
+    scored = D._signature_agreement(candidates, sig).localCheckpoint(eager=True)
     n_gray = scored.filter(
         (F.col("n_match") >= D.PREFILTER_MIN_MATCH)
         & (F.col("n_match") < D.ACCEPT_MIN_MATCH)
