@@ -167,7 +167,9 @@ HEADLINE = [
     "sql_product_type_profit_bucketed",
     # r12: the same gate on the survivors composition (strong edges at 0.5
     # from the signatures; only the gray sliver pays the exact re-rank)
+    # and on the cross-corpus admission screen (gate rollout complete)
     "dedup_survivors_lsh_prefiltered",
+    "dedup_cross_corpus_lsh_prefiltered",
 ]
 
 

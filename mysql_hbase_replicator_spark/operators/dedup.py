@@ -1580,6 +1580,142 @@ def dedup_cross_corpus_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cross_corpus_prefiltered_oracle_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASHES)
+    )
+    n = N_MINHASHES
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    m AS (
+        SELECT c.doc_a, c.doc_b, {terms} AS n_match
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+    ),
+    cm AS (
+        SELECT doc_a, doc_b, n_match FROM m
+        WHERE n_match >= {STRONG_PREFILTER_MIN_MATCH}
+          AND ((doc_a % 5 = 4) <> (doc_b % 5 = 4))
+    ),
+    gray AS (
+        SELECT doc_a, doc_b, n_match FROM cm
+        WHERE n_match < {STRONG_ACCEPT_MIN_MATCH}
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n FROM hashed GROUP BY doc_id),
+    inter AS (
+        SELECT g.doc_a, g.doc_b, COUNT(*) AS n_common
+        FROM gray g
+        JOIN hashed a ON a.doc_id = g.doc_a
+        JOIN hashed b ON b.doc_id = g.doc_b AND b.h0 = a.h0
+        GROUP BY g.doc_a, g.doc_b
+    ),
+    checked AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_common AS DOUBLE)
+                 / CAST(ca.n + cb.n - i.n_common AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN counts ca ON i.doc_a = ca.doc_id
+        JOIN counts cb ON i.doc_b = cb.doc_id
+    ),
+    admitted AS (
+        SELECT doc_a, doc_b, n_match,
+               CAST(NULL AS DOUBLE) AS jaccard, 'estimate' AS via
+        FROM cm WHERE n_match >= {STRONG_ACCEPT_MIN_MATCH}
+        UNION ALL
+        SELECT g.doc_a, g.doc_b, g.n_match, c.jaccard, 'exact' AS via
+        FROM gray g
+        JOIN checked c ON c.doc_a = g.doc_a AND c.doc_b = g.doc_b
+        WHERE c.jaccard >= {CROSS_CORPUS_TAU}
+    ),
+    oriented AS (
+        SELECT CASE WHEN doc_a % 5 = 4 THEN doc_a ELSE doc_b END AS new_doc_id,
+               CASE WHEN doc_a % 5 = 4 THEN doc_b ELSE doc_a END AS base_doc_id,
+               n_match, jaccard, via
+        FROM admitted
+    )
+    SELECT new_doc_id, base_doc_id, CAST(n_match AS INT) AS n_match,
+           CAST(n_match AS DOUBLE) / {n}.0 AS est_jaccard, jaccard, via
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY new_doc_id ORDER BY n_match DESC, base_doc_id
+               ) AS rn
+        FROM oriented
+    ) WHERE rn = 1
+    """
+
+
+@query(
+    "dedup_cross_corpus_lsh_prefiltered",
+    oracle=_cross_corpus_prefiltered_oracle_sql(),
+)
+def dedup_cross_corpus_lsh_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-corpus admission screen with the signature-agreement gate —
+    the LAST member of the LSH family still paying the full exact re-rank
+    (every other path gained its gate in r11/r12). Same strong-edge
+    calibration as the survivors variant (tau = 0.5): agreement >= 22/32
+    admits on the estimate, < 10/32 rejects, the gray sliver pays the exact
+    shingle-Jaccard check. Two structural differences from the ungated
+    screen: the cross-split filter (new x base) runs BEFORE the gray
+    re-rank — within-shard candidate pairs never touch the shingle table at
+    all — and each new doc's best base match ranks by signature agreement
+    (n_match DESC, base_doc_id), the quantity available for EVERY admitted
+    pair; exact Jaccard is materialized only for gray-zone admissions
+    (jaccard NULL, via='estimate' otherwise). All gate arithmetic stays
+    integer/modular, so DuckDB mirrors the gated screen term for term.
+
+    Reference anchor: no dedup in the reference (CDC-only surface); this
+    completes the gate rollout across the LSH family's three production
+    compositions (pairs, survivors, cross-corpus screen)."""
+    from pyspark.sql.window import Window
+
+    hashed = shingle_pairs(spark, sf_dir).select(
+        "doc_id", shingle_h0(F.col("shingle")).alias("h0")
+    ).persist()
+    try:
+        scored_cand = _signature_gated_candidates(
+            hashed, STRONG_PREFILTER_MIN_MATCH
+        )
+        a_new = (F.col("doc_a") % 5) == 4
+        b_new = (F.col("doc_b") % 5) == 4
+        cross = scored_cand.filter(a_new != b_new)
+        accepted = cross.filter(
+            F.col("n_match") >= STRONG_ACCEPT_MIN_MATCH
+        ).select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            F.lit(None).cast("double").alias("jaccard"),
+            F.lit("estimate").alias("via"),
+        )
+        gray = cross.filter(F.col("n_match") < STRONG_ACCEPT_MIN_MATCH)
+        gray_adm = (
+            gray.join(
+                _jaccard_from_hashed(hashed, gray.select("doc_a", "doc_b")),
+                ["doc_a", "doc_b"],
+            )
+            .filter(F.col("jaccard") >= CROSS_CORPUS_TAU)
+            .select("doc_a", "doc_b", "n_match", "jaccard", F.lit("exact").alias("via"))
+        )
+        admitted = accepted.unionByName(gray_adm).localCheckpoint(eager=True)
+    finally:
+        hashed.unpersist()
+    oriented = admitted.select(
+        F.when(a_new, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_doc_id"),
+        F.when(a_new, F.col("doc_b")).otherwise(F.col("doc_a")).alias("base_doc_id"),
+        F.col("n_match").cast("int").alias("n_match"),
+        (F.col("n_match").cast("double") / float(N_MINHASHES)).alias("est_jaccard"),
+        "jaccard",
+        "via",
+    )
+    w = Window.partitionBy("new_doc_id").orderBy(F.desc("n_match"), "base_doc_id")
+    return (
+        oriented.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 PREFIX_W = 6  # tokens in the prefix fingerprint
 
 

@@ -117,6 +117,39 @@ def test_survivors_lsh_prefiltered_matches_unfiltered_on_clear_corpus(spark):
     assert n_gray <= n_total * 0.5
 
 
+def test_cross_corpus_prefiltered_admits_same_new_docs(spark):
+    """The gated admission screen flags the same incoming documents as the
+    exact-re-rank screen on the fixture corpus (families at J≈0.9: every
+    gate decision agrees), and its best-match ranking is internally
+    consistent — via='estimate' rows carry NULL jaccard at agreement
+    >= 22/32, via='exact' rows carry a verified jaccard >= tau in the gray
+    zone."""
+    from mysql_hbase_replicator_spark.operators.dedup import (
+        CROSS_CORPUS_TAU,
+        N_MINHASHES,
+        STRONG_ACCEPT_MIN_MATCH,
+        STRONG_PREFILTER_MIN_MATCH,
+        dedup_cross_corpus_lsh,
+        dedup_cross_corpus_lsh_prefiltered,
+    )
+
+    exact_rows = dedup_cross_corpus_lsh(spark, SF).collect()
+    gated_rows = dedup_cross_corpus_lsh_prefiltered(spark, SF).collect()
+    assert {r.new_doc_id for r in exact_rows} == {
+        r.new_doc_id for r in gated_rows
+    }
+    for r in gated_rows:
+        assert STRONG_PREFILTER_MIN_MATCH <= r.n_match <= N_MINHASHES
+        assert abs(r.est_jaccard - r.n_match / N_MINHASHES) < 1e-12
+        if r.via == "estimate":
+            assert r.n_match >= STRONG_ACCEPT_MIN_MATCH
+            assert r.jaccard is None
+        else:
+            assert r.via == "exact"
+            assert r.n_match < STRONG_ACCEPT_MIN_MATCH
+            assert r.jaccard >= CROSS_CORPUS_TAU
+
+
 def test_simhash_deterministic_and_64bit(spark):
     from mysql_hbase_replicator_spark.operators.dedup import dedup_simhash
 
