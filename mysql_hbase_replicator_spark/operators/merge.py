@@ -248,8 +248,8 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
     directories (~1.2 s of fixed cost at 5k-event batches — the dominant
     term of BENCH_r06's streaming floor). Here ``merge_actions`` instead
     APPENDS the collapsed action frame as one small delta
-    (``_delta/_lsm_seq=N/``, one cheap single-action write), and the base
-    table is only rewritten by ``compact()`` — flock-guarded, triggered
+    (``delta_v{J}/_lsm_seq=N/``, one cheap single-action write), and the
+    base table is only rewritten by ``compact()`` — flock-guarded, triggered
     every ``compact_every`` appends, amortizing the rewrite across batches.
 
     ``read`` reconstructs current state: last action per key across deltas
@@ -260,29 +260,69 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
     is one window over the (small) recent-change set and the base stays
     partition-pruned.
 
+    Crash + concurrency protocol: SNAPSHOT-POINTER over immutable versioned
+    directories, the same posture as the bucketed sibling (r12 verdict #1 —
+    the previous rename dance ``live → .pre-compact → rmtree`` invalidated
+    the file paths a LAZY reader resolved before the swap, so a held
+    DataFrame, or a reader in another process, crashed with
+    FileNotFoundException mid-scan the moment compaction ran). Base and
+    delta live in ``base_v{K}`` / ``delta_v{J}`` dirs and the registry
+    (_schema.json, atomic os.replace) points at the current pair.
+    Compaction writes ``base_v{K+1}`` from the reconstructed state, flips
+    the pointer in one replace (which also rotates the folded delta
+    version), then sweeps stale dirs KEEPING version N-1 of both kinds —
+    the reader-retirement window: a scan that resolved the previous pointer
+    finishes green, because every file it listed is still where it listed
+    it. Readers never take the flock at all. A crash anywhere leaves the
+    pointer on a consistent pair; never-flipped orphan dirs are overwritten
+    or swept by the next compaction. Reference semantics anchor: HBase
+    readers are never failed by a flush/compaction (HbaseApplier.scala:94).
+
     Effectively-once is preserved: a replayed micro-batch appends a
     DUPLICATE delta at a higher seq, and last-image-wins collapse makes the
     reconstructed state identical (file-level duplication is garbage the
-    next compaction drops). Crash mid-compaction is recovered by
-    ``_maybe_recover`` from the staged directory (the os.replace-style
-    rename protocol below).
+    next compaction drops).
     """
 
     MULTI_ACTION_MERGE = False
-    DELTA_DIR = "_delta"
     SEQ_COL = "_lsm_seq"
 
     def __init__(self, base_dir: str, n_buckets: int = 32, compact_every: int = 64):
         super().__init__(base_dir, n_buckets=n_buckets)
         self.compact_every = compact_every
 
-    # --- delta bookkeeping --------------------------------------------------
-    def _delta_path(self, name: str) -> str:
-        return os.path.join(self.table_path(name), self.DELTA_DIR)
+    # --- versioned-pointer registry ------------------------------------------
+    def _doc(self, name: str) -> dict:
+        return self._registry(name) or {}
 
-    def _delta_seqs(self, name: str) -> list[int]:
+    def _update_registry(self, name: str, **fields) -> dict:
+        doc = self._doc(name)
+        doc.update(fields)
+        os.makedirs(self.table_path(name), exist_ok=True)
+        tmp = self._schema_path(name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._schema_path(name))
+        return doc
+
+    def _ver_path(self, name: str, kind: str, ver: int) -> str:
+        return os.path.join(self.table_path(name), f"{kind}_v{ver}")
+
+    @staticmethod
+    def _dir_has_parquet(path: str) -> bool:
+        for _dir, _subdirs, files in os.walk(path):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    # --- delta bookkeeping --------------------------------------------------
+    def _delta_path(self, name: str, doc: dict | None = None) -> str:
+        doc = self._doc(name) if doc is None else doc
+        return self._ver_path(name, "delta", int(doc.get("delta_version", 0)))
+
+    def _delta_seqs(self, name: str, doc: dict | None = None) -> list[int]:
         try:
-            entries = os.listdir(self._delta_path(name))
+            entries = os.listdir(self._delta_path(name, doc))
         except OSError:
             return []
         seqs = []
@@ -293,18 +333,8 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
                     seqs.append(int(tail))
         return sorted(seqs)
 
-    def _has_delta_files(self, name: str) -> bool:
-        for _dir, _subdirs, files in os.walk(self._delta_path(name)):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
-
-    # --- crash recovery for the compaction swap -----------------------------
-    def _staging_path(self, name: str) -> str:
-        return self.table_path(name) + ".compacting"
-
-    def _old_path(self, name: str) -> str:
-        return self.table_path(name) + ".pre-compact"
+    def _has_delta_files(self, name: str, doc: dict | None = None) -> bool:
+        return self._dir_has_parquet(self._delta_path(name, doc))
 
     def _lock_path(self, name: str) -> str:
         return os.path.join(self.base_dir, f".{name.replace(':', '_')}.compact.lock")
@@ -312,11 +342,13 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
     @contextlib.contextmanager
     def _table_flock(self, name: str):
         """Exclusive per-table flock — the single serialization point for
-        compaction, recovery, full reloads and (bucketed) delta appends.
-        NOT re-entrant: flock locks conflict across file descriptors even
-        within one process, so nothing inside a ``with _table_flock(...)``
-        block may call another method that takes it (compact from inside a
-        locked region deadlocks against ourselves)."""
+        WRITERS (delta appends, compaction, full reloads). Readers never
+        take it: the pointer flip is one atomic os.replace and version dirs
+        are immutable, so a read is consistent from whichever pointer it
+        loads. NOT re-entrant: flock locks conflict across file descriptors
+        even within one process, so nothing inside a ``with
+        _table_flock(...)`` block may call another method that takes it
+        (compact from inside a locked region deadlocks against ourselves)."""
         import fcntl
 
         os.makedirs(self.base_dir, exist_ok=True)
@@ -328,52 +360,72 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
-    def _maybe_recover(self, name: str) -> None:
-        """Finish a compaction swap interrupted between renames — but ONLY
-        under the same per-table flock ``compact()`` holds. A lock-free
-        recovery racing a live compaction could rmtree the compactor's
-        completed staging dir, or worse destroy ``.pre-compact`` while it is
-        the only surviving copy of the table (ADVICE r7).
-
-        The lock is taken BLOCKING (ADVICE r8): the old non-blocking probe
-        treated *any* lock holder as an active compactor, so two readers
-        racing to recover a crashed-mid-swap table meant the loser skipped
-        recovery and could transiently read a missing live dir — and the
-        same transient existed against a live compactor caught between its
-        two swap renames. Waiting closes both windows: recovery itself is
-        two renames, and a live compaction already serializes writers on
-        this flock, so a reader waiting out the swap is the correct price.
-        staging/.pre-compact are RE-CHECKED after acquisition via
-        ``_recover_locked``'s own isdir guards (the usual outcome of the
-        wait is that the previous holder finished and there is nothing left
-        to do). Deadlock safety: nothing calls this while holding the
-        compact flock — ``compact()`` runs ``_recover_locked`` /
-        ``_read_state`` directly, never ``read``/``exists``."""
-        if not (
-            os.path.isdir(self._staging_path(name)) or os.path.isdir(self._old_path(name))
+    def _stale_version_dirs(self, name: str) -> list[tuple[str, int, str]]:
+        """Version dirs the pointer no longer references AND that are
+        outside the N-1 reader-retirement window — the immediately-previous
+        version of base and delta is RETAINED so a reader that resolved the
+        old pointer finishes its scan; only N-2 and older, plus
+        never-referenced crash orphans (e.g. a base_v99 left by a crashed
+        compaction that never flipped), qualify. Returns (kind, ver, path)
+        for the subclass-specific drop (the bucketed sibling also drops its
+        catalog entries)."""
+        doc = self._doc(name)
+        keep: set[tuple[str, int]] = set()
+        for kind, cur in (
+            ("base", doc.get("base_version")),
+            ("delta", doc.get("delta_version", 0)),
         ):
-            return  # nothing to recover; skip the lock syscall on the hot path
-        with self._table_flock(name):
-            self._recover_locked(name)
+            if cur is None:
+                continue
+            keep.add((kind, int(cur)))
+            if int(cur) > 0:
+                keep.add((kind, int(cur) - 1))
+        try:
+            entries = os.listdir(self.table_path(name))
+        except OSError:
+            return []
+        stale = []
+        for e in entries:
+            for kind in ("base", "delta"):
+                pfx = f"{kind}_v"
+                if e.startswith(pfx) and e[len(pfx):].isdigit():
+                    ver = int(e[len(pfx):])
+                    if (kind, ver) not in keep:
+                        stale.append((kind, ver, os.path.join(self.table_path(name), e)))
+        return stale
 
-    def _recover_locked(self, name: str) -> None:
-        """The actual recovery protocol; caller must hold the compact flock.
-        A completed staging dir (has _SUCCESS) with no live table dir is the
-        new truth; a leftover .pre-compact dir is garbage either way."""
-        staging, live, old = (
-            self._staging_path(name),
-            self.table_path(name),
-            self._old_path(name),
-        )
-        if os.path.isdir(staging):
-            if os.path.exists(os.path.join(staging, "_SUCCESS")) and not os.path.isdir(live):
-                os.rename(staging, live)
-            elif os.path.isdir(live):  # crash before the live dir moved aside,
-                shutil.rmtree(staging)  # or staging incomplete: discard staging
-        if os.path.isdir(old):
-            shutil.rmtree(old)
+    def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
+        """Best-effort drop of retired version dirs: a failure leaves
+        garbage for the next sweep, never an inconsistent pointer."""
+        for _kind, _ver, path in self._stale_version_dirs(name):
+            shutil.rmtree(path, ignore_errors=True)
 
     # --- write path ---------------------------------------------------------
+    def overwrite(self, spark: SparkSession, name: str, df: DataFrame, pk_cols: list[str]) -> None:
+        """Full (re)load — a fresh base version + pointer flip. Deltas
+        accumulated before the snapshot are retired in the same flip (their
+        stale actions must not replay over the fresh base — the bucketed
+        sibling's posture; the old layout got this implicitly because the
+        static overwrite wiped the whole table dir). Files linger one flip
+        as the reader-retirement window, then the sweep drops them."""
+        with self._table_flock(name):
+            doc = self._doc(name)
+            prev_base = doc.get("base_version")
+            new_ver = (int(prev_base) if prev_base is not None else -1) + 1
+            staged = df.withColumn(BUCKET_COL, self._bucket(pk_cols)).repartition(BUCKET_COL)
+            staged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(
+                self._ver_path(name, "base", new_ver)
+            )
+            rotate = 1 if self._has_delta_files(name, doc) else 0
+            self._update_registry(
+                name,
+                schema=staged.schema.jsonValue(),
+                pk_cols=list(pk_cols),
+                base_version=new_ver,
+                delta_version=int(doc.get("delta_version", 0)) + rotate,
+            )
+            self._sweep_stale_versions(spark, name)
+
     def merge_actions(
         self,
         spark: SparkSession,
@@ -385,18 +437,17 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         actions = final.select(*sink_cols, KIND_COL)
         # The append runs UNDER the per-table flock (same posture the
         # bucketed sibling adopted for ADVICE r11): the delta seq is picked
-        # from a directory listing and the schema registry is
-        # read-modify-written — without the lock two concurrent appends can
-        # pick the SAME seq (one delta dir overwrites the other) or clobber
-        # a racing compact()'s fresh registry write with a stale schema.
-        # The flock is not re-entrant, so recovery runs via _recover_locked
-        # and the compaction trigger is evaluated outside the lock
-        # (compact() takes the same flock and re-checks under it).
+        # from a directory listing and the registry is read-modify-written —
+        # without the lock two concurrent appends can pick the SAME seq (one
+        # delta dir overwrites the other) or clobber a racing compact()'s
+        # fresh pointer flip with a stale base/delta version. The flock is
+        # not re-entrant, so the compaction trigger is evaluated outside the
+        # lock (compact() takes the same flock and re-checks under it).
         with self._table_flock(name):
-            self._recover_locked(name)
-            seqs = self._delta_seqs(name)
+            doc = self._doc(name)
+            seqs = self._delta_seqs(name, doc)
             n = (seqs[-1] + 1) if seqs else 0
-            out = os.path.join(self._delta_path(name), f"{self.SEQ_COL}={n}")
+            out = os.path.join(self._delta_path(name, doc), f"{self.SEQ_COL}={n}")
             # overwrite into the delta's OWN fresh subdir: a crashed write
             # leaves only an uncommitted _temporary dir (invisible to
             # readers) and the replayed batch lands at the next seq
@@ -420,7 +471,13 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
                     if f.name not in new_names and f.name not in (BUCKET_COL, KIND_COL)
                 ]
                 new_schema = T.StructType(merged)
-            self._write_schema(name, new_schema, pk_cols)
+            self._update_registry(
+                name,
+                schema=new_schema.jsonValue(),
+                pk_cols=list(pk_cols),
+                base_version=doc.get("base_version"),
+                delta_version=int(doc.get("delta_version", 0)),
+            )
             n_deltas = len(seqs) + 1
         if n_deltas >= self.compact_every:
             self.compact(spark, name)
@@ -458,31 +515,49 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
 
     # --- read path ----------------------------------------------------------
     def exists(self, name: str) -> bool:
-        self._maybe_recover(name)
-        return super().exists(name)
+        doc = self._doc(name)
+        return doc.get("base_version") is not None or self._has_delta_files(name, doc)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
-        self._maybe_recover(name)
         return self._read_state(spark, name)
 
+    def _read_base(self, spark: SparkSession, name: str, doc: dict) -> DataFrame | None:
+        """The current base version's frame (bucket column dropped), or None
+        when no base version exists or its dir holds no data files (an
+        empty compacted state writes only _SUCCESS)."""
+        bv = doc.get("base_version")
+        if bv is None:
+            return None
+        path = self._ver_path(name, "base", int(bv))
+        if not self._dir_has_parquet(path):
+            return None
+        schema = self._read_schema(name)
+        reader = (
+            spark.read.schema(schema)
+            if schema is not None
+            else spark.read.option("mergeSchema", "true")
+        )
+        return reader.parquet(path).drop(BUCKET_COL)
+
     def _read_state(self, spark: SparkSession, name: str) -> DataFrame | None:
-        """State reconstruction WITHOUT the recovery probe — ``compact()``
-        calls this while already holding the compact flock (a ``read()``
-        there would block on our own lock). Inlines the base-class read so
-        no dynamically-dispatched ``exists`` re-enters ``_maybe_recover``."""
-        seqs = self._delta_seqs(name)
-        base = None
-        if os.path.isdir(self.table_path(name)) and self._has_data_files(name):
-            base = self._read_current(spark, name).drop(BUCKET_COL)
-        if not seqs or not self._has_delta_files(name):
+        """State reconstruction off ONE registry load: base and delta
+        versions come from the same pointer document, so the pair is
+        consistent even while a concurrent compaction flips the pointer —
+        and the version dirs it names are immutable, retained at least one
+        further flip (the reader-retirement window)."""
+        doc = self._doc(name)
+        base = self._read_base(spark, name, doc)
+        if not self._has_delta_files(name, doc):
             return base
-        pk_cols = self._read_pk_cols(name)
+        pk_cols = doc.get("pk_cols")
         if pk_cols is None:
             raise ValueError(
                 f"log-structured table {name!r} has deltas but no recorded "
                 f"pk_cols in {SCHEMA_FILE} — cannot reconstruct state"
             )
-        deltas = spark.read.option("mergeSchema", "true").parquet(self._delta_path(name))
+        deltas = spark.read.option("mergeSchema", "true").parquet(
+            self._delta_path(name, doc)
+        )
         w = Window.partitionBy(*pk_cols).orderBy(
             F.desc(self.SEQ_COL), F.desc(F.col(KIND_COL) == "upsert")
         )
@@ -500,57 +575,49 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
 
     # --- compaction ---------------------------------------------------------
     def compact(self, spark: SparkSession, name: str) -> bool:
-        """Fold all deltas into the bucketed base (the LSM major compaction).
-        flock-guarded (the layout.py compaction-lock protocol) so concurrent
-        processes serialize; returns True if a compaction ran."""
+        """Fold all deltas into a NEW bucketed base version and flip the
+        pointer (the LSM major compaction). flock-guarded so concurrent
+        writers serialize; readers are never blocked or failed — the old
+        base/delta dirs survive one more flip. Returns True if a
+        compaction ran. Crash safety: a base_v{K+1} written but never
+        flipped is overwritten by the retry (same version number recomputed
+        from the unmoved pointer) or swept as an orphan."""
         with self._table_flock(name):
-            # already under the flock: run the recovery protocol directly
-            # (_maybe_recover's blocking acquire would deadlock against the
-            # lock this frame holds)
-            self._recover_locked(name)
-            if not self._delta_seqs(name) or not self._has_delta_files(name):
+            doc = self._doc(name)
+            if not self._has_delta_files(name, doc):
                 return False
-            pk_cols = self._read_pk_cols(name)
-            # _read_state, not read(): read()'s recovery probe would block
-            # on the flock this frame already holds
+            pk_cols = doc.get("pk_cols")
             state = self._read_state(spark, name)
-            staging, live, old = (
-                self._staging_path(name),
-                self.table_path(name),
-                self._old_path(name),
-            )
-            shutil.rmtree(staging, ignore_errors=True)
-            # materialize the new base OUTSIDE the live dir, then swap via
-            # two renames (each atomic; _maybe_recover finishes a crash
-            # between them from the staged _SUCCESS marker). The partition
-            # count is pinned to n_buckets explicitly: compaction often
-            # fires from inside the kernel's small-batch regime (4 shuffle
-            # partitions, AQE off) and must not inherit that sizing for a
-            # full-table rewrite — one task per bucket, whatever the
-            # session conf says.
+            prev_base = doc.get("base_version")
+            new_ver = (int(prev_base) if prev_base is not None else -1) + 1
+            # The partition count is pinned to n_buckets explicitly:
+            # compaction often fires from inside the kernel's small-batch
+            # regime (4 shuffle partitions, AQE off) and must not inherit
+            # that sizing for a full-table rewrite — one task per bucket,
+            # whatever the session conf says.
             staged_df = state.withColumn(BUCKET_COL, self._bucket(pk_cols))
             (
                 staged_df.repartition(self.n_buckets, BUCKET_COL)
                 .write.partitionBy(BUCKET_COL)
                 .mode("overwrite")
-                .parquet(staging)
+                .parquet(self._ver_path(name, "base", new_ver))
             )
             # Registry schema comes from the staged FRAME, never a read-back
-            # of the staging dir: when the reconstructed state is EMPTY (a
+            # of the new base dir: when the reconstructed state is EMPTY (a
             # fully-deleted table), partitionBy writes zero data files — only
-            # _SUCCESS — and spark.read.parquet(staging) throws
+            # _SUCCESS — and spark.read.parquet would throw
             # UNABLE_TO_INFER_SCHEMA. Auto-compaction fires from
             # merge_actions every compact_every deltas, so that crash turned
             # a delete-all table into a stuck, forever-retrying micro-batch
-            # (r11 verdict). The frame schema is also what overwrite()
-            # already records (BUCKET_COL typed bigint, not the read-back's
-            # inferred int) and the bucketed sibling sources its schema from
-            # the catalog DDL for the same reason.
-            schema = staged_df.schema
-            os.rename(live, old)
-            os.rename(staging, live)
-            shutil.rmtree(old)
-            self._write_schema(name, schema, pk_cols)
+            # (r11 verdict).
+            self._update_registry(
+                name,
+                schema=staged_df.schema.jsonValue(),
+                pk_cols=list(pk_cols),
+                base_version=new_ver,
+                delta_version=int(doc.get("delta_version", 0)) + 1,
+            )
+            self._sweep_stale_versions(spark, name)
             return True
 
 
@@ -615,29 +682,13 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             os.path.abspath(base_dir).encode("utf-8")
         ).hexdigest()[:8]
 
-    # --- registry -----------------------------------------------------------
-    def _doc(self, name: str) -> dict:
-        return self._registry(name) or {}
-
-    def _update_registry(self, name: str, **fields) -> dict:
-        doc = self._doc(name)
-        doc.update(fields)
-        os.makedirs(self.table_path(name), exist_ok=True)
-        tmp = self._schema_path(name) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(doc, f)
-        os.replace(tmp, self._schema_path(name))
-        return doc
-
     # --- catalog plumbing ----------------------------------------------------
+    # (_doc/_update_registry/_ver_path are the parent's pointer machinery)
     def _safe(self, name: str) -> str:
         return "".join(c if c.isalnum() else "_" for c in name)
 
     def _cat_name(self, name: str, kind: str, ver: int) -> str:
         return f"lsm_{self._digest}_{self._safe(name)}_{kind}_v{ver}"
-
-    def _ver_path(self, name: str, kind: str, ver: int) -> str:
-        return os.path.join(self.table_path(name), f"{kind}_v{ver}")
 
     @staticmethod
     def _ddl_cols(schema: T.StructType) -> str:
@@ -997,46 +1048,12 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
             return True
 
     def _sweep_stale_versions(self, spark: SparkSession, name: str) -> None:
-        """Drop catalog entries + dirs for versions the pointer no longer
-        references. Best-effort: a failure leaves garbage for the next
-        sweep, never an inconsistent pointer. The immediately-previous
-        version of base and delta is RETAINED as the concurrent-reader
-        retirement window (a reader that resolved the old pointer finishes
-        its scan; see the class docstring) — only N-2 and older, plus
-        never-referenced crash orphans (e.g. a base_v99 left by a crashed
-        compaction that never flipped), are dropped."""
-        doc = self._doc(name)
-        keep = set()
-        for kind, cur in (
-            ("base", doc.get("base_version")),
-            ("delta", doc.get("delta_version")),
-        ):
-            keep.add((kind, cur))
-            if cur is not None and int(cur) > 0:
-                keep.add((kind, int(cur) - 1))
-        try:
-            entries = os.listdir(self.table_path(name))
-        except OSError:
-            return
-        for e in entries:
-            for kind in ("base", "delta"):
-                pfx = f"{kind}_v"
-                if e.startswith(pfx) and e[len(pfx):].isdigit():
-                    ver = int(e[len(pfx):])
-                    if (kind, ver) not in keep:
-                        spark.sql(
-                            "DROP TABLE IF EXISTS "
-                            + self._cat_name(name, kind, ver)
-                        )
-                        shutil.rmtree(
-                            os.path.join(self.table_path(name), e),
-                            ignore_errors=True,
-                        )
-
-    # versioned dirs + atomic pointer: the rename-protocol recovery the
-    # parent needs does not apply
-    def _maybe_recover(self, name: str) -> None:
-        return
+        """The parent's N-1 retirement sweep, plus dropping the retired
+        versions' CATALOG entries before their dirs (see
+        _stale_version_dirs for the keep policy)."""
+        for kind, ver, path in self._stale_version_dirs(name):
+            spark.sql("DROP TABLE IF EXISTS " + self._cat_name(name, kind, ver))
+            shutil.rmtree(path, ignore_errors=True)
 
 
 # --- selectable store kinds --------------------------------------------------

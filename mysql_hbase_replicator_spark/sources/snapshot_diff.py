@@ -1,0 +1,233 @@
+"""Snapshot-diff CDC source (SURVEY.md §2.1 S1, third mode — completed
+end-to-end in r13 per the r12 verdict).
+
+The reference tails a live binlog socket (MySQLExtractor.scala:32-73,
+keep-alive at :87-126) — unreachable in a sandbox with no MySQL server, and
+the SURVEY-sanctioned self-contained stand-in is PERIODIC SNAPSHOT DIFFING:
+poll the source table's full state (over ``sources.jdbc.jdbc_snapshot`` in
+production, or any parquet/JSONL landing zone), diff consecutive snapshots
+on the primary key, and emit the insert/update/delete events that transform
+snapshot N-1 into snapshot N. ``plans/queries_cdc.cdc_snapshot_diff`` states
+the diff semantics declaratively (oracle-verified); this module is the same
+kernel packaged for the STREAMING pipeline: ``CdcStreamPipeline(
+source_format="snapshot_diff")`` feeds the resulting typed events through
+the identical ``foreachBatch → apply_cdc_batch`` path as the binlog-shaped
+sources, so mappings, counters, dead letters and checkpointing all apply
+unchanged.
+
+Contract: each snapshot is ONE file of full row images (JSON lines typed by
+``row_struct``) carrying a monotonically increasing ``_snap_ver``. The
+pipeline keeps the LAST APPLIED snapshot as parquet under
+``<checkpoint>/snapshots/prev_v{K}`` with an atomically-replaced marker —
+checkpoint-scoped state, so wiping the checkpoint re-seeds the store from
+the next snapshot (diff-from-nothing = all inserts, idempotent over the
+keyed store). Multiple snapshots landing in one micro-batch collapse to the
+latest (diff N-2 → N equals the fold of the per-step diffs — the K5
+last-image argument). At 100 TB the snapshot is a partitioned parquet dir /
+a parallel JDBC scan and the diff is one full-outer SortMergeJoin on the
+PK: both sides shuffle once on the key, the same cost envelope as one
+micro-batch MERGE.
+
+Crash/replay (Structured Streaming's at-least-once): the marker flips only
+AFTER the kernel applied the diff. A replay before the flip re-diffs
+new-vs-old — identical events, idempotent MERGE; a replay after the flip
+diffs new-vs-new — empty diff. Either way the store converges
+(effectively-once, T2 parity with the event-log sources).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SNAP_VER_COL = "_snap_ver"
+
+
+def snapshot_schema(row_struct: T.StructType) -> T.StructType:
+    """Snapshot-file schema: the source row image plus the snapshot version
+    stamp (monotone per landing; the producer's poll counter)."""
+    return T.StructType(
+        [*row_struct.fields, T.StructField(SNAP_VER_COL, T.LongType(), True)]
+    )
+
+
+def read_snapshot_stream(
+    spark: SparkSession,
+    path: str,
+    row_struct: T.StructType,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Structured Streaming source over the snapshot landing directory.
+    Default one file per trigger = one snapshot per micro-batch (a snapshot
+    is one file by contract; several per batch still collapse correctly to
+    the latest version)."""
+    return (
+        spark.readStream.schema(snapshot_schema(row_struct))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(path)
+    )
+
+
+def snapshot_diff_events(
+    prev: DataFrame | None,
+    cur: DataFrame,
+    row_struct: T.StructType,
+    pk_cols: list[str],
+    db: str,
+    table: str,
+    position: int,
+) -> DataFrame:
+    """Diff two full snapshots (source row shape) into typed CDC events —
+    the streaming twin of ``cdc_snapshot_diff``'s query kernel: full outer
+    join on the PK; PK only in ``cur`` → insert, only in ``prev`` → delete,
+    in both with any non-key column differing (null-safe — a column
+    transitioning to/from NULL is a change, ADVICE r5) → update. Unchanged
+    keys emit NOTHING, which is what makes low-frequency polling viable.
+    ``prev=None`` (first poll of a fresh checkpoint) emits every row as an
+    insert — the initial-seed path. All events carry ``position`` (the
+    snapshot version): the kernel's last-image collapse never sees two
+    events for one key in a single diff, so ties are moot.
+    """
+    cols = [f.name for f in row_struct.fields]
+    non_pk = [c for c in cols if c not in pk_cols]
+    cur_side = cur.select(*[F.col(c).alias(f"_c_{c}") for c in cols])
+    if prev is None:
+        joined = cur_side.select(
+            *[F.lit(None).cast(f.dataType).alias(f"_p_{f.name}") for f in row_struct.fields],
+            "*",
+        )
+    else:
+        prev_side = prev.select(*[F.col(c).alias(f"_p_{c}") for c in cols])
+        on = [F.col(f"_p_{c}").eqNullSafe(F.col(f"_c_{c}")) for c in pk_cols]
+        joined = prev_side.join(cur_side, _and_all(on), "full_outer")
+    in_prev = _and_all([F.col(f"_p_{c}").isNotNull() for c in pk_cols])
+    in_cur = _and_all([F.col(f"_c_{c}").isNotNull() for c in pk_cols])
+    changed = (
+        _or_all(
+            [~F.col(f"_p_{c}").eqNullSafe(F.col(f"_c_{c}")) for c in non_pk]
+        )
+        if non_pk
+        else F.lit(False)
+    )
+    op = (
+        F.when(~in_prev, F.lit("insert"))
+        .when(~in_cur, F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    before = F.when(
+        in_prev, F.struct(*[F.col(f"_p_{c}").alias(c) for c in cols])
+    )
+    after = F.when(in_cur, F.struct(*[F.col(f"_c_{c}").alias(c) for c in cols]))
+    return (
+        joined.filter(~in_prev | ~in_cur | changed)
+        .select(
+            F.lit(position).cast("long").alias("position"),
+            op.alias("op"),
+            F.lit(db).alias("db"),
+            F.lit(table).alias("table"),
+            before.alias("before"),
+            after.alias("after"),
+            F.lit(None).cast(T.ArrayType(T.StringType())).alias("included_before"),
+            F.lit(None).cast(T.ArrayType(T.StringType())).alias("included_after"),
+            F.lit(None).cast("string").alias("filename"),
+        )
+    )
+
+
+def _and_all(conds) -> F.Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _or_all(conds) -> F.Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+class PrevSnapshotStore:
+    """The pipeline's memory of the last APPLIED snapshot — versioned
+    parquet dirs under ``<checkpoint>/snapshots`` with an atomically
+    os.replace'd JSON marker, the same snapshot-pointer discipline as the
+    LSM stores (crash anywhere leaves the marker on a consistent version;
+    never-flipped dirs are overwritten by the replay or swept)."""
+
+    MARKER = "_current.json"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _marker_path(self) -> str:
+        return os.path.join(self.root, self.MARKER)
+
+    def _marker(self) -> dict:
+        try:
+            with open(self._marker_path()) as f:
+                doc = json.load(f)
+            return doc if isinstance(doc, dict) else {}
+        except (OSError, ValueError):
+            return {}
+
+    def current_version(self) -> int | None:
+        try:
+            return int(self._marker()["version"])
+        except (ValueError, KeyError, TypeError):
+            return None
+
+    def applied_snap_ver(self) -> int | None:
+        """The highest ``_snap_ver`` already folded into the store. The
+        pipeline SKIPS any snapshot at or below it: Spark's file source
+        breaks equal-mtime ties in arbitrary order and a poller can
+        redeliver old landings, and applying snapshot N-1 after N would
+        REGRESS the store to stale state (measured: two same-second files
+        were admitted newest-first)."""
+        try:
+            v = self._marker().get("snap_ver")
+            return int(v) if v is not None else None
+        except (ValueError, TypeError):
+            return None
+
+    def _ver_path(self, ver: int) -> str:
+        return os.path.join(self.root, f"prev_v{ver}")
+
+    def read_current(
+        self, spark: SparkSession, row_struct: T.StructType
+    ) -> DataFrame | None:
+        ver = self.current_version()
+        if ver is None:
+            return None
+        return spark.read.schema(row_struct).parquet(self._ver_path(ver))
+
+    def stage_next(self, snapshot: DataFrame, row_struct: T.StructType) -> tuple[int, str]:
+        """Write the incoming snapshot as the NEXT version (not yet current).
+        Returns (next_version, path); the caller flips after the kernel
+        applied the diff."""
+        ver = self.current_version()
+        nxt = (ver if ver is not None else -1) + 1
+        path = self._ver_path(nxt)
+        snapshot.select(*[f.name for f in row_struct.fields]).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return nxt, path
+
+    def flip(self, version: int, snap_ver: int) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "snap_ver": snap_ver}, f)
+        os.replace(tmp, self._marker_path())
+        # sweep: keep current and current-1 (the replayed batch may still
+        # re-read its diff inputs); older versions are garbage
+        for e in os.listdir(self.root):
+            if e.startswith("prev_v") and e[len("prev_v"):].isdigit():
+                v = int(e[len("prev_v"):])
+                if v < version - 1:
+                    shutil.rmtree(os.path.join(self.root, e), ignore_errors=True)

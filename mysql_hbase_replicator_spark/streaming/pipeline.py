@@ -27,6 +27,7 @@ from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQueryListener
 
@@ -88,8 +89,19 @@ class CdcStreamPipeline:
     # convertible envelopes through debezium_to_cdc_events (batch-mode seq:
     # ts_ms rank, order-preserving), corrupt/unknown ones queued to the
     # store's _dead_letter table (K6 at ingest) — the same composition a
-    # Kafka readStream gets, minus the broker.
+    # Kafka readStream gets, minus the broker;
+    # "snapshot_diff" = S1's third mode completed end-to-end (r12 verdict
+    # #3): events_path is a landing dir of FULL-STATE snapshot files
+    # (row_struct rows + _snap_ver); each micro-batch diffs the latest
+    # snapshot against the last APPLIED one (kept under
+    # <checkpoint>/snapshots) and feeds the resulting typed insert/update/
+    # delete events through the same kernel — the sandbox-testable stand-in
+    # for live binlog tailing (MySQLExtractor.scala:32-73), polling
+    # jdbc_snapshot in production.
     source_format: str = "jsonl"
+    # snapshot_diff only: the "db.table" mapping key the snapshots belong to
+    # (defaults to the single configured mapping; required when several)
+    snapshot_table: str | None = None
     # schema-change detection (§1.4): declared source schemas + a provider
     # returning the current schema per table; PK drift kills the query.
     declared_schemas: dict[str, TableSchema] | None = None
@@ -213,8 +225,77 @@ class CdcStreamPipeline:
             batch_token=f"{self._lineage_token()}-b{batch_id}",
         )
 
+    def _snapshot_full_name(self) -> str:
+        if self.snapshot_table is not None:
+            return self.snapshot_table
+        if len(self.mappings) != 1:
+            raise ValueError(
+                "snapshot_diff mode needs snapshot_table when more than one "
+                f"mapping is configured (have {sorted(self.mappings)})"
+            )
+        return next(iter(self.mappings))
+
+    def _apply_snapshot_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        """snapshot_diff micro-batch: stage the latest snapshot in the
+        batch, diff it against the last APPLIED snapshot (checkpoint-scoped
+        parquet), run the resulting typed events through the SAME kernel,
+        then flip the prev-snapshot pointer. Pointer-after-apply makes the
+        at-least-once replay converge: re-diff vs old = identical events
+        over an idempotent MERGE; re-diff vs new = empty diff (see
+        sources/snapshot_diff.py)."""
+        from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+            SNAP_VER_COL,
+            PrevSnapshotStore,
+            snapshot_diff_events,
+        )
+
+        full_name = self._snapshot_full_name()
+        db, table = full_name.split(".", 1)
+        latest = batch_df.agg(F.max(SNAP_VER_COL)).first()[0]
+        if latest is None:
+            return  # empty batch (no snapshot rows admitted)
+        prev_store = PrevSnapshotStore(
+            os.path.join(self.checkpoint_dir, "snapshots")
+        )
+        applied = prev_store.applied_snap_ver()
+        if applied is not None and int(latest) <= applied:
+            # stale landing: Spark's file source breaks equal-mtime ties in
+            # arbitrary order (and pollers redeliver) — applying an older
+            # full snapshot would REGRESS the store; versions are monotone
+            # by the producer contract, so skip and let the checkpoint
+            # advance past the file
+            return
+        snap = batch_df.filter(F.col(SNAP_VER_COL) == F.lit(latest)).drop(
+            SNAP_VER_COL
+        )
+        # stage first: the diff then scans parquet (one write of the small
+        # snapshot instead of recomputing the stream source twice), and the
+        # staged dir doubles as the next prev version
+        next_ver, staged_path = prev_store.stage_next(snap, self.row_struct)
+        prev = prev_store.read_current(self.spark, self.row_struct)
+        cur = self.spark.read.schema(self.row_struct).parquet(staged_path)
+        events = snapshot_diff_events(
+            prev, cur, self.row_struct, self._snapshot_pk_cols(), db, table,
+            position=int(latest),
+        )
+        result = self._apply_kernel(events, batch_id)
+        prev_store.flip(next_ver, int(latest))
+        with self._lock:
+            self.results.append(result)
+            for key, seconds in result.apply_latency_s.items():
+                self.latency_rings.setdefault(key, deque(maxlen=10)).append(seconds)
+
+    def _snapshot_pk_cols(self) -> list[str]:
+        """SOURCE-side PK column names for the diff join (the mapping's key
+        columns, pre-rename — snapshots carry source row images)."""
+        info = self.mappings[self._snapshot_full_name()]
+        return [c.dbColumnName for c in info.key_columns()]
+
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         self._check_schemas()
+        if self.source_format == "snapshot_diff":
+            self._apply_snapshot_batch(batch_df, batch_id)
+            return
         n_ingest_dead = 0
         if self.source_format == "debezium":
             from mysql_hbase_replicator_spark.operators.cdc_apply import (
@@ -343,6 +424,19 @@ class CdcStreamPipeline:
             stream = self.spark.readStream.option(
                 "maxFilesPerTrigger", self.max_files_per_trigger
             ).text(self.events_path)
+        elif self.source_format == "snapshot_diff":
+            from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+                read_snapshot_stream,
+            )
+
+            if self.row_struct is None:
+                raise ValueError("snapshot_diff mode requires row_struct")
+            stream = read_snapshot_stream(
+                self.spark,
+                self.events_path,
+                self.row_struct,
+                max_files_per_trigger=self.max_files_per_trigger,
+            )
         elif self.row_struct is None:
             from mysql_hbase_replicator_spark.sources.cdc_events import (
                 read_event_stream_json,

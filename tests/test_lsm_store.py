@@ -192,45 +192,69 @@ def test_lsm_split_api_upsert_beats_delete(spark, tmp_path):
     assert expect == [(1, "new")]
 
 
-def test_lsm_crash_recovery_completes_swap(spark, tmp_path, student_struct, student_mapping):
-    """A compaction that crashed between the two renames (staged _SUCCESS
-    present, live dir gone) is finished by the next access."""
-    import shutil
+def test_lsm_crashed_compaction_never_flips_pointer(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """A compaction that crashed AFTER writing the new base version but
+    BEFORE the registry flip leaves the pointer on the old consistent
+    (base, delta) pair: reads serve the pre-compaction state, multiple
+    concurrent readers agree, and the retried compact() overwrites the
+    orphan version dir and completes. (Replaces the old rename-protocol
+    recovery tests: under the pointer protocol there is nothing to
+    'recover' — a never-flipped dir is simply not referenced.)"""
+    import threading
+
+    from mysql_hbase_replicator_spark.operators.merge import BUCKET_COL
 
     lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
     apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2])
     want = state(spark, lsm)
-    # simulate: staging written, live renamed aside, then crash
-    live = lsm.table_path(TABLE)
-    staging, old = lsm._staging_path(TABLE), lsm._old_path(TABLE)
-    st = lsm.read(spark, TABLE)
-    from mysql_hbase_replicator_spark.operators.merge import BUCKET_COL
-
+    # simulate the crash: new base version fully written, pointer untouched
+    orphan = lsm._ver_path(TABLE, "base", 0)
     (
-        st.withColumn(BUCKET_COL, lsm._bucket(["sn", "id"]))
+        lsm.read(spark, TABLE)
+        .withColumn(BUCKET_COL, lsm._bucket(["sn", "id"]))
         .repartition(BUCKET_COL)
         .write.partitionBy(BUCKET_COL)
         .mode("overwrite")
-        .parquet(staging)
+        .parquet(orphan)
     )
-    os.rename(live, old)
-    assert not os.path.isdir(live)
-    # next read triggers recovery and sees the compacted state
+    assert lsm._doc(TABLE).get("base_version") is None  # pointer unmoved
+    results: dict[int, list | BaseException] = {}
+
+    def reader(i: int) -> None:
+        try:
+            results[i] = state(spark, lsm)
+        except BaseException as e:  # surface failures to the main thread
+            results[i] = e
+
+    threads = [threading.Thread(target=reader, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert results[0] == want and results[1] == want, results
+    # the retry recomputes the SAME version number and overwrites the orphan
+    assert lsm.compact(spark, TABLE) is True
+    assert lsm._doc(TABLE).get("base_version") == 0
     assert state(spark, lsm) == want
-    assert os.path.isdir(live) and not os.path.isdir(staging) and not os.path.isdir(old)
 
 
-def test_lsm_incomplete_staging_discarded(spark, tmp_path, student_struct, student_mapping):
-    """A staging dir WITHOUT _SUCCESS (crash mid-write) is discarded and the
-    live table remains authoritative."""
+def test_lsm_sweeps_orphan_versions(spark, tmp_path, student_struct, student_mapping):
+    """Never-referenced junk version dirs (crash leftovers) are swept by the
+    next compaction without touching the live or retirement-window
+    versions."""
     lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
     apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
     want = state(spark, lsm)
-    os.makedirs(lsm._staging_path(TABLE))
-    with open(os.path.join(lsm._staging_path(TABLE), "part-junk.parquet"), "wb") as f:
+    orphan = lsm._ver_path(TABLE, "base", 99)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "wb") as f:
         f.write(b"not a parquet file")
-    assert state(spark, lsm) == want
-    assert not os.path.isdir(lsm._staging_path(TABLE))
+    assert state(spark, lsm) == want  # junk is invisible to the pointer
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_2])
+    assert lsm.compact(spark, TABLE) is True
+    assert not os.path.isdir(orphan)
 
 
 def test_lsm_additive_schema_evolution(spark, tmp_path):
@@ -441,92 +465,37 @@ def test_lsm_registry_preserves_dropped_columns(spark, tmp_path):
     assert got2 == got
 
 
-def test_lsm_recover_waits_while_compaction_lock_held(
-    spark, tmp_path, student_struct, student_mapping
-):
-    """ADVICE r7+r8 (merge.py): _maybe_recover must not act on staging or
-    .pre-compact dirs while another process holds the per-table compaction
-    flock — a lock-free recovery could rmtree the compactor's completed
-    staging dir, or destroy .pre-compact while it is the only copy of the
-    table. The r8 refinement: instead of SKIPPING (which let a reader racing
-    a crashed-table recovery proceed against a missing live dir), recovery
-    now BLOCKS until the lock frees and then re-checks. Hold the flock from
-    an independent fd (what a second process holds), run recovery in a
-    thread, and check it neither touches the compactor's dirs nor returns
-    until the lock is released."""
+def test_lsm_read_is_lock_free(spark, tmp_path, student_struct, student_mapping):
+    """Readers never take the writer flock under the pointer protocol (the
+    old recovery probe BLOCKED reads behind a live compaction — ADVICE r8's
+    trade, retired with the rename dance): a read completes, with the
+    correct state, while another process holds the per-table lock."""
     import fcntl
-    import threading
-    import time
-
-    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
-    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
-    want = state(spark, lsm)
-    # fake an in-flight compaction: completed staging next to a live dir
-    staging = lsm._staging_path(TABLE)
-    os.makedirs(staging)
-    with open(os.path.join(staging, "_SUCCESS"), "w"):
-        pass
-
-    fd = os.open(lsm._lock_path(TABLE), os.O_CREAT | os.O_RDWR)
-    t = threading.Thread(target=lsm._maybe_recover, args=(TABLE,), daemon=True)
-    try:
-        fcntl.flock(fd, fcntl.LOCK_EX)
-        t.start()
-        time.sleep(0.5)
-        # still waiting on the flock: compactor owns staging, untouched
-        assert t.is_alive() and os.path.isdir(staging)
-    finally:
-        fcntl.flock(fd, fcntl.LOCK_UN)
-        os.close(fd)
-    # lock released (compactor gone): the blocked recovery proceeds and
-    # discards the stale staging dir because the live dir is authoritative
-    t.join(timeout=30)
-    assert not t.is_alive()
-    assert not os.path.isdir(staging)
-    assert state(spark, lsm) == want
-
-
-def test_lsm_two_readers_race_crashed_swap_recovery(
-    spark, tmp_path, student_struct, student_mapping
-):
-    """ADVICE r8 (merge.py): two readers racing to recover a table crashed
-    mid-swap (live dir renamed aside, completed staging present). With the
-    old non-blocking probe the flock loser skipped recovery and could read a
-    missing live dir; with the blocking acquire the loser waits, re-checks,
-    and both readers see the full recovered state."""
-    import shutil
     import threading
 
     lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
     apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2])
-    lsm.compact(spark, TABLE)
     want = state(spark, lsm)
-    live, staging, old = (
-        lsm.table_path(TABLE),
-        lsm._staging_path(TABLE),
-        lsm._old_path(TABLE),
-    )
-    # crash between the two swap renames: staging complete (_SUCCESS from
-    # the real compacted write), live moved aside
-    shutil.copytree(live, staging)
-    os.rename(live, old)
-    assert not os.path.isdir(live)
+    results: dict[str, list | BaseException] = {}
 
-    results: dict[int, list | BaseException] = {}
-
-    def reader(i: int) -> None:
+    def reader() -> None:
         try:
-            results[i] = state(spark, lsm)
+            results["got"] = state(spark, lsm)
         except BaseException as e:  # surface failures to the main thread
-            results[i] = e
+            results["got"] = e
 
-    threads = [threading.Thread(target=reader, args=(i,)) for i in range(2)]
-    for t in threads:
+    # an independent fd, exactly what a second process would hold
+    fd = os.open(lsm._lock_path(TABLE), os.O_CREAT | os.O_RDWR)
+    t = threading.Thread(target=reader, daemon=True)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
         t.start()
-    for t in threads:
-        t.join(timeout=120)
-    assert results[0] == want and results[1] == want, results
-    assert os.path.isdir(live) and not os.path.isdir(staging) and not os.path.isdir(old)
+        t.join(timeout=120)  # must finish WHILE the lock is held
+        assert not t.is_alive(), "read blocked behind the writer flock"
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+    assert results["got"] == want
 
 
 # --- BucketedLogStructuredKeyedStore (r11) ----------------------------------
@@ -823,3 +792,32 @@ def test_bucketed_sweep_keeps_one_previous_version(
     assert not os.path.isdir(base_v0)
     assert os.path.isdir(os.path.join(bkt.table_path(TABLE), "base_v1"))
     assert state(spark, bkt) == before3
+
+
+def test_lsm_reader_survives_concurrent_compaction(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """THE r12 verdict item: read() returns a LAZY DataFrame whose file scan
+    may execute after a concurrent compact() (another process, or simply a
+    held DataFrame). The old rename protocol (live -> .pre-compact ->
+    rmtree) invalidated the reader's resolved file paths the moment the
+    swap ran — FileNotFoundException mid-scan. The pointer protocol keeps
+    version dirs immutable and retires them one compaction LATE (the
+    bucketed sibling's N-1 reader-retirement window), so a reader that
+    resolved the previous pointer still finds every file it listed.
+    Reference semantics anchor: HBase readers are never failed by a
+    flush/compaction (HbaseApplier.scala:94's buffered writer never blocks
+    scans)."""
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1, BATCH_2])
+    lsm.compact(spark, TABLE)  # materialize a real base
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_3])
+    want = state(spark, lsm)
+    # reader resolves base+delta file paths NOW (lazy scan, not executed)
+    held = lsm.read(spark, TABLE)
+    assert lsm.compact(spark, TABLE) is True  # swaps the base under the reader
+    # the held reader's scan must still run green against the retired version
+    got = sorted(tuple(r) for r in held.select(*COLS).collect())
+    assert got == want
+    # and a fresh read sees the same state through the new pointer
+    assert state(spark, lsm) == want
