@@ -281,6 +281,7 @@ def main() -> None:
         ],
         "stream_jsonl_bulk_ev_s": streaming["jsonl_bulk"]["events_per_sec"],
         "stream_dbz_bulk_ev_s": streaming["debezium_bulk"]["events_per_sec"],
+        "stream_snapdiff_rows_s": streaming["snapshot_diff"]["events_per_sec"],
         "detail": "BENCH_FULL.json",
     }
     if missing24:
@@ -549,6 +550,92 @@ def bench_streaming(
         "debezium", debezium_line, files_per_trigger=4, n_files=16,
         rows_per_file=125_000,
     )
+
+    # snapshot-diff transport (r12 verdict #3): S1's third mode end-to-end —
+    # the pipeline polls FULL-STATE snapshot landings and diffs each against
+    # the last applied one, so the cost envelope differs from the event
+    # sources: every poll pays a full-snapshot scan + stage write + one
+    # full-outer PK join even when almost nothing changed. rows_per_sec is
+    # the sustained POLL rate (snapshot rows scanned/s); changes_applied is
+    # how few of those rows actually became events (the churn fraction) —
+    # the ratio is exactly why binlog tailing beats polling when available,
+    # and what the diff's emit-nothing-for-unchanged property buys back.
+    def run_snapshot_diff(n_snapshots: int = 6, n_keys: int = 10_000) -> dict:
+        from pyspark.sql import types as T
+
+        root = tempfile.mkdtemp(prefix="stream-bench-snapdiff-")
+        try:
+            snaps_dir = os.path.join(root, "snaps")
+            os.makedirs(snaps_dir)
+            total_rows = 0
+            now = time.time()
+            for v in range(1, n_snapshots + 1):
+                tmp = os.path.join(snaps_dir, f".{v:04d}.tmp")
+                with open(tmp, "w") as f:
+                    for k in range(n_keys):
+                        if (k + v) % 50 == 0:  # 2% rotating deletes/re-adds
+                            continue
+                        r = img(k)
+                        # 10% of keys churn their score each version
+                        r["score"] = (k % 1000) + (v if (k + v) % 10 == 0 else 0)
+                        r["_snap_ver"] = v
+                        f.write(_json.dumps(r) + "\n")
+                        total_rows += 1
+                dst = os.path.join(snaps_dir, f"{v:04d}.json")
+                os.replace(tmp, dst)
+                # deterministic oldest-first admission: the file source
+                # orders by mtime and breaks same-second ties arbitrarily —
+                # out-of-order admission would make the version gate skip
+                # landings and this bench would measure skips, not diffs
+                os.utime(dst, (now + v, now + v))
+            row_struct = T.StructType(
+                [
+                    T.StructField("sn", T.IntegerType()),
+                    T.StructField("id", T.IntegerType()),
+                    T.StructField("score", T.IntegerType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("rem", T.StringType()),
+                ]
+            )
+            pipe = CdcStreamPipeline(
+                spark=spark,
+                events_path=snaps_dir,
+                row_struct=row_struct,
+                store="lsm",
+                store_dir=os.path.join(root, "store"),
+                store_n_buckets=32,
+                mappings={"db.t": mapping},
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                source_format="snapshot_diff",
+                max_files_per_trigger=1,
+            )
+            t0 = time.time()
+            q = pipe.start(available_now=True, query_name="bench-snapdiff")
+            q.awaitTermination(600)
+            wall = time.time() - t0
+            durs = [
+                p["durationMs"]["triggerExecution"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+            counts = pipe.total_counts()
+            n_state = pipe.store.read(spark, "db:t").count()
+            durs_sorted = sorted(durs[1:]) or sorted(durs)
+            mid = durs_sorted[len(durs_sorted) // 2] if durs_sorted else None
+            return {
+                "snapshots": n_snapshots,
+                "snapshot_rows": total_rows,
+                "wall_sec": round(wall, 3),
+                "events_per_sec": int(total_rows / wall),
+                "changes_applied": sum(counts.values()),
+                "batch_ms_p50": mid,
+                "first_batch_ms": durs[0] if durs else None,
+                "state_rows": n_state,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    out["snapshot_diff"] = run_snapshot_diff()
     return out
 
 

@@ -545,3 +545,139 @@ def cdc_lsm_bucketed_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFram
         with open(marker, "w") as f:
             f.write(want)
     return store.read(spark, name).select(*sink_cols)
+
+
+@query(
+    "cdc_schema_evolution",
+    oracle="""
+    SELECT user_id, value AS current_value,
+           CASE WHEN event_id >= (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT)
+                                  FROM events)
+                THEN event_type END AS etype
+    FROM (
+        SELECT user_id, event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events
+    )
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-key schema drift tolerated mid-stream (r12 verdict #2 — the one
+    CDC semantic implemented but not driver-certified): the reference
+    tolerates non-key column add/drop (TableInfo.scala:33-39 helpers;
+    MySQLExtractor.scala:195-198 only a PK change is fatal), and this engine
+    implements it via unionByName(allowMissingColumns) in the keyed stores
+    plus the registry's additive schema union (operators/merge.py).
+
+    Here the REAL kernel runs it end-to-end: the events table becomes a CDC
+    trace keyed by user_id with position = event_id (the binlog position
+    analog; 'error' = delete, else insert/upsert). The stream is split at
+    the median position, the FIRST half applied through ``apply_cdc_batch``
+    with a two-column mapping (user_id, value) — then the table grows a
+    column (MySQL ADD COLUMN): the SECOND half applies with the widened
+    three-column mapping (+ event_type → etype). A compaction between the
+    batches bakes the narrow base, so the final merge-on-read crosses the
+    schema boundary both in the delta union AND against a compacted base.
+    Rows whose last image predates the ADD COLUMN surface etype = NULL
+    (exactly what MySQL backfills); rows last touched after it carry the
+    value. The oracle replays the same trace flat in SQL — DuckDB's
+    equivalent of applying the trace over ALTER TABLE ADD COLUMN.
+
+    Scale shape: two delta appends + one compaction on the pointer-protocol
+    LSM store (each a single bucketed write), and the final read is the
+    standard merge-on-read collapse. Store scratch is per-(app, sf_dir),
+    fingerprint-cached like the bucketed CDC store."""
+    import hashlib
+
+    from mysql_hbase_replicator_spark.catalog.meta import (
+        HbaseCollInfo,
+        HbaseTableInfo,
+    )
+    from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
+    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
+    from mysql_hbase_replicator_spark.operators.merge import LogStructuredKeyedStore
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        _reap_dead_scratch_roots,
+        _register_scratch_cleanup,
+    )
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    key = hashlib.md5(
+        f"{app}:{os.path.abspath(sf_dir)}:cdcevo".encode()
+    ).hexdigest()[:10]
+    root = f"/tmp/spark_graft_bucketed_cdcevo_{key}"
+    _register_scratch_cleanup(root)
+    _reap_dead_scratch_roots(keep=root)
+    store = LogStructuredKeyedStore(os.path.join(root, "store"), n_buckets=8)
+    name = "app_events_state"
+    base_cols = [
+        HbaseCollInfo("user_id", "bigint(20)", "user_id", "LongType", True),
+        HbaseCollInfo("value", "double", "current_value", "DoubleType", False),
+    ]
+    narrow = HbaseTableInfo(
+        dbName="app", dbTableName="events_state", hbaseTableName=name,
+        hbaseNameSpace="app", sparkTableName="events_state",
+        bytesUtils="Binary", cols=base_cols,
+    )
+    widened = HbaseTableInfo(
+        dbName="app", dbTableName="events_state", hbaseTableName=name,
+        hbaseNameSpace="app", sparkTableName="events_state",
+        bytesUtils="Binary",
+        cols=[*base_cols,
+              HbaseCollInfo("event_type", "varchar(20)", "etype", "StringType", False)],
+    )
+
+    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
+    marker = os.path.join(root, "_fingerprint")
+    try:
+        with open(marker) as f:
+            cached = f.read() == want
+    except OSError:
+        cached = False
+    if not (cached and store.exists(name)):
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        import shutil as _shutil
+
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_owner.pid"), "w") as f:
+            f.write(str(os.getpid()))
+        _shutil.rmtree(store.table_path(name), ignore_errors=True)
+
+        e = load_table(spark, sf_dir, "events")
+        cut = int(e.agg(F.max("event_id")).first()[0]) // 2
+
+        def to_events(df: DataFrame, with_etype: bool) -> DataFrame:
+            img_cols = [F.col("user_id"), F.col("value")]
+            if with_etype:
+                img_cols.append(F.col("event_type"))
+            img = F.struct(*img_cols)
+            is_del = F.col("event_type") == "error"
+            return df.select(
+                F.col("event_id").cast("long").alias("position"),
+                F.when(is_del, "delete").otherwise("insert").alias("op"),
+                F.lit("app").alias("db"),
+                F.lit("events_state").alias("table"),
+                F.when(is_del, img).alias("before"),
+                F.when(~is_del, img).alias("after"),
+                F.lit(None).cast("array<string>").alias("included_before"),
+                F.lit(None).cast("array<string>").alias("included_after"),
+                F.lit(None).cast("string").alias("filename"),
+            )
+
+        apply_cdc_batch(
+            spark, to_events(e.filter(F.col("event_id") < cut), False),
+            store, {"app.events_state": narrow},
+        )
+        store.compact(spark, name)  # bake the narrow base pre-ADD COLUMN
+        apply_cdc_batch(
+            spark, to_events(e.filter(F.col("event_id") >= cut), True),
+            store, {"app.events_state": widened},
+        )
+        with open(marker, "w") as f:
+            f.write(want)
+    return store.read(spark, name).select("user_id", "current_value", "etype")
