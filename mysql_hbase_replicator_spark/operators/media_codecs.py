@@ -1,11 +1,15 @@
 """Pure-numpy media codecs (SURVEY.md §2.11 multimodal support).
 
-The container ships no PIL/ffmpeg/soundfile, but two real formats need no
-codec library at all — their containers are plain structs:
+The container ships no PIL/ffmpeg/soundfile, but three real formats need no
+codec library at all — their containers are plain structs (PNG's one
+dependency, DEFLATE, is stdlib zlib):
 
 - BMP (Windows DIB, uncompressed 24-bit BI_RGB): 14-byte file header +
   40-byte BITMAPINFOHEADER, bottom-up BGR rows padded to 4 bytes.
 - WAV (RIFF PCM, 16-bit): RIFF/WAVE container, `fmt ` + `data` chunks.
+- PNG (r12 verdict #7): 8-byte signature + IHDR/IDAT/IEND chunks, zlib
+  inflate + per-row unfiltering (all five filter types) for 8-bit
+  grayscale / gray+alpha / RGB / RGBA, non-interlaced.
 
 These give ``decoder="real"`` an honest end-to-end path: real bytes in,
 real pixels/samples out, executor-side inside mapInPandas. Encoders exist
@@ -16,6 +20,7 @@ these still raise NotImplementedError at the decode site.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -114,10 +119,151 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return samples.reshape(-1, channels), sample_rate
 
 
+# --- PNG (pure stdlib-zlib + numpy; r12 verdict #7) --------------------------
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+# IHDR color type → channel count (8-bit depths only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(kind: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + kind
+        + body
+        + struct.pack(">I", zlib.crc32(kind + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array (H, W) grayscale or (H, W, C) with C ∈ {2, 3, 4} →
+    non-interlaced 8-bit PNG bytes. ``filter_type`` picks the per-row
+    filter (0-4) so tests can exercise every decoder unfilter path; 0
+    (None) is the production default — our payloads are synthetic, and
+    DEFLATE already removes the redundancy filtering targets."""
+    if pixels.dtype != np.uint8 or pixels.ndim not in (2, 3):
+        raise ValueError("encode_png expects a (H, W[, C]) uint8 array")
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"unknown PNG filter type {filter_type}")
+    h, w = pixels.shape[:2]
+    channels = 1 if pixels.ndim == 2 else pixels.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if color_type is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    flat = pixels.reshape(h, w * channels).astype(np.int64)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if filter_type == 0:
+            out = row
+        elif filter_type == 1:  # Sub
+            out = row - left
+        elif filter_type == 2:  # Up
+            out = row - prev
+        elif filter_type == 3:  # Average
+            out = row - (left + prev) // 2
+        else:  # Paeth
+            out = row - _paeth(left, prev, upleft)
+        raw.append(filter_type)
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9.4) over int64 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG bytes → uint8 array (H, W) for grayscale,
+    (H, W, C) otherwise. Pure stdlib zlib inflate + numpy unfiltering —
+    filters None/Sub/Up/Average/Paeth all supported (Sub/Average/Paeth
+    carry a per-row sequential dependency, resolved pixel-by-pixel along
+    the row; None/Up are vectorized, and None is what our encoder emits)."""
+    if len(data) < 8 or data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG file")
+    pos, end = 8, len(data)
+    width = height = color_type = bit_depth = interlace = None
+    idat = bytearray()
+    while pos + 8 <= end:
+        (length,) = struct.unpack_from(">I", data, pos)
+        kind = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if kind == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+        elif kind == b"IDAT":
+            idat.extend(body)
+        elif kind == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if width is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced gray/RGB/alpha PNG supported "
+            f"(bit_depth={bit_depth}, color_type={color_type}, interlace={interlace})"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters, rows = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros((height, stride), dtype=np.int64)
+    bpp = channels
+    for y in range(height):
+        f, row = int(filters[y]), rows[y]
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (1, 3, 4):  # Sub/Average/Paeth: sequential along the row
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (row[x] + a) % 256
+                elif f == 3:
+                    cur[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {f} in row {y}")
+        out[y] = cur
+    pixels = out.astype(np.uint8)
+    if channels == 1:
+        return pixels.reshape(height, width)
+    return pixels.reshape(height, width, channels)
+
+
 def sniff_format(data: bytes) -> str | None:
     """Magic-byte format detection for the real-decode dispatch."""
     if len(data) >= 2 and data[:2] == b"BM":
         return "bmp"
     if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
+    if len(data) >= 8 and data[:8] == PNG_SIGNATURE:
+        return "png"
     return None

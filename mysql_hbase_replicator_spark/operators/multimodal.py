@@ -130,14 +130,20 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, float, float]:
     if fmt == "bmp":
         pixels = decode_bmp(payload)
         return pixels.shape[1], pixels.shape[0], float(pixels.mean()), _entropy_u8(pixels)
+    if fmt == "png":
+        from mysql_hbase_replicator_spark.operators.media_codecs import decode_png
+
+        pixels = decode_png(payload)
+        return pixels.shape[1], pixels.shape[0], float(pixels.mean()), _entropy_u8(pixels)
     if fmt == "wav":
         samples, _rate = decode_wav(payload)
         return None, None, float(samples.mean()), _entropy_u8(
             samples.astype("<i2").view(np.uint8)
         )
     raise NotImplementedError(
-        "decoder='real' supports BMP and PCM-16 WAV (pure-numpy); other "
-        "formats require PIL/soundfile/ffmpeg, not shipped in this container"
+        "decoder='real' supports BMP, 8-bit PNG and PCM-16 WAV (pure-numpy/"
+        "stdlib-zlib); other formats require PIL/soundfile/ffmpeg, not "
+        "shipped in this container"
     )
 
 
@@ -222,6 +228,49 @@ def media_from_documents(documents: DataFrame) -> DataFrame:
             (F.col("n_chars") / 8).cast("int").alias("n_frames"),
             F.lit("utf8").alias("format"),
         ).alias("meta"),
+    )
+
+
+def png_media_from_documents(documents: DataFrame) -> DataFrame:
+    """The REAL-codec twin of ``media_from_documents`` (r12 verdict #7):
+    each document's UTF-8 bytes become the pixel row of a 1×N 8-bit
+    GRAYSCALE PNG — a true container with a zlib-DEFLATE body — built
+    executor-side in Arrow batches. Decoding the payload back
+    (``decode_media(..., decoder="real")``) must recover exactly the text
+    bytes as pixels, so the byte-statistics oracle that verifies the
+    opaque-bytes path verifies the full encode→inflate→unfilter round trip
+    too. Empty documents carry a NULL payload (a 0-pixel PNG is invalid)."""
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from mysql_hbase_replicator_spark.operators.media_codecs import encode_png
+
+        for pdf in batches:
+            def to_png(text: str | None):
+                if not text:
+                    return None
+                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+                return bytearray(encode_png(raw.reshape(1, -1)))
+
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "image",
+                    "payload": pdf["text"].map(to_png),
+                    "meta": pdf["text"].map(
+                        lambda t: {
+                            "width": len(t.encode("utf-8")) if t else None,
+                            "height": 1 if t else None,
+                            "channels": 1,
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "format": "png",
+                        }
+                    ),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        encode_batches, MEDIA_SCHEMA
     )
 
 

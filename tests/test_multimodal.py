@@ -148,3 +148,61 @@ def test_resize_media_real_bmp(spark):
     wav = synthesize_media(spark, 1, kind="wav")
     with pytest.raises(Exception, match="NotImplementedError|PIL"):
         resize_media(wav, decoder="real").collect()
+
+
+def test_png_codec_roundtrip_all_filters():
+    """PNG (r12 verdict #7): every decoder unfilter path (None/Sub/Up/
+    Average/Paeth) round-trips grayscale, gray+alpha, RGB and RGBA shapes,
+    including the 1xN row layout png_media_from_documents emits."""
+    from mysql_hbase_replicator_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(13)
+    shapes = [(1, 41), (11, 7), (5, 9, 3), (4, 6, 4), (3, 8, 2)]
+    for shape in shapes:
+        px = rng.randint(0, 256, size=shape).astype(np.uint8)
+        for ft in range(5):
+            data = encode_png(px, filter_type=ft)
+            assert sniff_format(data) == "png"
+            back = decode_png(data)
+            assert back.shape == px.shape and np.array_equal(back, px), (shape, ft)
+
+
+def test_png_decode_rejects_unsupported():
+    from mysql_hbase_replicator_spark.operators.media_codecs import decode_png
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a" + b"\x00" * 32)
+
+
+def test_real_decoder_decodes_png_end_to_end(spark):
+    """decoder='real' inflates + unfilters PNG payloads inside mapInPandas;
+    png_media_from_documents packs text bytes as 1xN grayscale pixels, so
+    decoded geometry/stats equal the raw byte statistics."""
+    from mysql_hbase_replicator_spark.operators.media_codecs import decode_png
+    from mysql_hbase_replicator_spark.operators.multimodal import (
+        png_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello png"), (2, "a" * 300), (3, "")],
+        "doc_id long, text string",
+    )
+    media = png_media_from_documents(docs).repartition(2)
+    rows = {r.media_id: r for r in decode_media(media, decoder="real").collect()}
+    assert (rows[1].width, rows[1].height) == (9, 1)
+    assert rows[1].mean_intensity == pytest.approx(
+        float(np.frombuffer(b"hello png", dtype=np.uint8).mean())
+    )
+    assert (rows[2].width, rows[2].height) == (300, 1)
+    assert rows[2].mean_intensity == pytest.approx(float(ord("a")))
+    # empty document: NULL payload, NULL stats (a 0-pixel PNG is invalid)
+    assert rows[3].width is None and rows[3].mean_intensity is None
+    # and the payload really is a PNG whose pixels are the text bytes
+    payload = bytes(
+        {r[0]: r[1] for r in media.select("media_id", "payload").collect()}[1]
+    )
+    assert sniff_format(payload) == "png"
+    assert decode_png(payload).tobytes() == b"hello png"
