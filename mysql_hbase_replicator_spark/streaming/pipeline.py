@@ -21,6 +21,7 @@ replication loop of the reference (Rep.scala:21-65) re-expressed as
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 from collections import deque
@@ -284,6 +285,7 @@ class CdcStreamPipeline:
             self.results.append(result)
             for key, seconds in result.apply_latency_s.items():
                 self.latency_rings.setdefault(key, deque(maxlen=10)).append(seconds)
+        self._trace_batch(batch_id, result)
 
     def _snapshot_pk_cols(self) -> list[str]:
         """SOURCE-side PK column names for the diff join (the mapping's key
@@ -412,6 +414,27 @@ class CdcStreamPipeline:
             self.results.append(result)
             for key, seconds in result.apply_latency_s.items():
                 self.latency_rings.setdefault(key, deque(maxlen=10)).append(seconds)
+        self._trace_batch(batch_id, result)
+
+    def _trace_batch(self, batch_id: int, result: CdcBatchResult) -> None:
+        """O3's "TRACE to see all replication events" (logback.xml:5), at
+        the batch altitude a distributed engine can afford: one TRACE line
+        per micro-batch with the per-table.op counts the per-event firehose
+        would have aggregated to, plus the checkpoint the batch advanced
+        to. Emitted through the engine namespace logging_config configures."""
+        from mysql_hbase_replicator_spark.logging_config import trace
+
+        trace(
+            logging.getLogger(__name__),
+            "batch %d applied %s (skipped_unmapped=%d dead_letters=%d "
+            "checkpoint=%s@%s)",
+            batch_id,
+            dict(result.applied_counts),
+            result.skipped_unmapped,
+            result.dead_letter_count,
+            result.checkpoint_filename,
+            result.checkpoint_position,
+        )
 
     def start(self, available_now: bool = True, query_name: str = "cdc-replication"):
         """Start the streaming query. ``available_now=True`` processes the

@@ -26,9 +26,12 @@ StreamingQueryException whose message embeds the original traceback.
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import Callable
+
+logger = logging.getLogger(__name__)
 
 
 class StaleCheckpointError(RuntimeError):
@@ -106,12 +109,18 @@ def supervise(
             report.errors.append(f"{type(exc).__name__}: {exc}")
             if is_fatal(exc):
                 report.outcome = "fatal"
+                logger.error(
+                    "fatal stream error, not restarting: %s", report.errors[-1]
+                )
                 raise
             if clock() - started_at >= policy.reset_after_s:
                 restarts_left = policy.max_restarts
                 backoff = policy.backoff_initial_s
             if restarts_left <= 0:
                 report.outcome = "exhausted"
+                logger.error(
+                    "restart budget exhausted after %d attempts", report.attempts
+                )
                 raise RestartsExhaustedError(
                     f"gave up after {report.attempts} attempts "
                     f"({policy.max_restarts} restarts); last error: "
@@ -119,5 +128,14 @@ def supervise(
                 ) from exc
             restarts_left -= 1
             report.restarts += 1
+            # the reference's keep-alive reconnect log line
+            # (MySQLExtractor.scala:87-126 sleeps 5 s and reconnects)
+            logger.warning(
+                "transient stream failure (%s); restart %d/%d in %.1fs",
+                report.errors[-1].splitlines()[0][:200],
+                report.restarts,
+                policy.max_restarts,
+                backoff,
+            )
             sleep(backoff)
             backoff = min(backoff * policy.backoff_multiplier, policy.backoff_max_s)
