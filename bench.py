@@ -170,6 +170,10 @@ HEADLINE = [
     # and on the cross-corpus admission screen (gate rollout complete)
     "dedup_survivors_lsh_prefiltered",
     "dedup_cross_corpus_lsh_prefiltered",
+    # r13: the schema-drift trace through the real kernel on the
+    # pointer-protocol LSM store (fingerprint-cached build; steady-state
+    # timing measures the merge-on-read read across the schema boundary)
+    "cdc_schema_evolution",
 ]
 
 

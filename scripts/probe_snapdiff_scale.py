@@ -9,6 +9,10 @@ spill/shuffle telemetry, median-of-3.
 
 Usage:  python scripts/probe_snapdiff_scale.py [label=dir ...]
         # default: ~100=/tmp/sf100
+        python scripts/probe_snapdiff_scale.py --synthetic 50000000
+        # synthetic mode: two 50M-key snapshots (10% churn, 2% rotation)
+        # — the events table tops out at 1.5M distinct keys, so this is
+        # the run that sizes the full-outer PK join itself
 """
 
 from __future__ import annotations
@@ -46,7 +50,12 @@ def main() -> None:
     )
     from mysql_hbase_replicator_spark.sources.tables import load_table
 
-    pairs = [tuple(a.split("=", 1)) for a in sys.argv[1:]] or [("~100", "/tmp/sf100")]
+    synthetic = None
+    args = sys.argv[1:]
+    if args[:1] == ["--synthetic"]:
+        synthetic = int(args[1])
+        args = args[2:]
+    pairs = [tuple(a.split("=", 1)) for a in args] or [("~100", "/tmp/sf100")]
     local_dir = "/tmp/spark-local-snapdiff"
     os.makedirs(local_dir, exist_ok=True)
     spark = get_spark(
@@ -70,28 +79,59 @@ def main() -> None:
         ]
     )
     out: dict[str, dict] = {}
+    if synthetic is not None:
+        pairs = [(f"synthetic{synthetic // 1_000_000}M", None)]
     for label, sf_dir in pairs:
-        apply_volume_tuning(spark, sf_dir)
-        e = load_table(spark, sf_dir, "events")
-        lo, hi = e.select(F.min("ts"), F.max("ts")).first()
-        cut1 = lo + (hi - lo) * 2 / 3  # snapshot 1 = state at 2/3 of the range
         scratch = tempfile.mkdtemp(prefix="snapdiff-probe-", dir=local_dir)
-
-        def snapshot(cut_expr, path: str) -> str:
-            w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
-            (
-                e.filter(F.col("ts") <= F.lit(cut_expr))
-                .withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select("user_id", "event_type", "value")
-                .write.mode("overwrite")
-                .parquet(path)
-            )
-            return path
-
         t0 = time.time()
-        prev_path = snapshot(cut1, os.path.join(scratch, "prev"))
-        cur_path = snapshot(hi, os.path.join(scratch, "cur"))
+        if synthetic is not None:
+            apply_volume_tuning(spark, "/tmp/sf100" if os.path.isdir("/tmp/sf100") else "/root/testdata/sf0.1")
+            n = synthetic
+
+            def synth(ver: int, path: str) -> str:
+                # 2% rotating key absence + 10% value churn per version —
+                # the bench generator's distribution at probe scale
+                k = F.col("id")
+                (
+                    spark.range(n)
+                    .filter((k + ver) % 50 != 0)
+                    .select(
+                        k.alias("user_id"),
+                        F.lit("click").alias("event_type"),
+                        (
+                            (k % 1000)
+                            + F.when((k + ver) % 10 == 0, ver).otherwise(0)
+                        ).cast("double").alias("value"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+                return path
+
+            prev_path = synth(1, os.path.join(scratch, "prev"))
+            cur_path = synth(2, os.path.join(scratch, "cur"))
+        else:
+            apply_volume_tuning(spark, sf_dir)
+            e = load_table(spark, sf_dir, "events")
+            lo, hi = e.select(F.min("ts"), F.max("ts")).first()
+            cut1 = lo + (hi - lo) * 2 / 3  # snapshot 1 = state at 2/3 of range
+
+            def snapshot(cut_expr, path: str) -> str:
+                w = Window.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+                (
+                    e.filter(F.col("ts") <= F.lit(cut_expr))
+                    .withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1)
+                    .select("user_id", "event_type", "value")
+                    .write.mode("overwrite")
+                    .parquet(path)
+                )
+                return path
+
+            prev_path = snapshot(cut1, os.path.join(scratch, "prev"))
+            cur_path = snapshot(hi, os.path.join(scratch, "cur"))
         build_s = round(time.time() - t0, 1)
         prev = spark.read.schema(row_struct).parquet(prev_path)
         cur = spark.read.schema(row_struct).parquet(cur_path)
