@@ -61,16 +61,26 @@ def read_snapshot_stream(
     path: str,
     row_struct: T.StructType,
     max_files_per_trigger: int = 1,
+    file_format: str = "json",
 ) -> DataFrame:
     """Structured Streaming source over the snapshot landing directory.
     Default one file per trigger = one snapshot per micro-batch (a snapshot
     is one file by contract; several per batch still collapse correctly to
-    the latest version)."""
-    return (
-        spark.readStream.schema(snapshot_schema(row_struct))
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .json(path)
+    the latest version, and a multi-file snapshot is safe as long as all
+    its files land before the poll that admits any of them — the version
+    gate skips nothing within one version).
+
+    ``file_format="parquet"`` is the production landing shape: a
+    jdbc_snapshot poller writes columnar snapshots (with the ``_snap_ver``
+    column stamped) instead of JSON lines — at 100 TB the decode cost and
+    size of a JSONL landing would dominate the poll. JSON remains the
+    debug/test-friendly default."""
+    if file_format not in ("json", "parquet"):
+        raise ValueError(f"unknown snapshot file_format: {file_format}")
+    reader = spark.readStream.schema(snapshot_schema(row_struct)).option(
+        "maxFilesPerTrigger", max_files_per_trigger
     )
+    return reader.parquet(path) if file_format == "parquet" else reader.json(path)
 
 
 def snapshot_diff_events(

@@ -103,6 +103,9 @@ class CdcStreamPipeline:
     # snapshot_diff only: the "db.table" mapping key the snapshots belong to
     # (defaults to the single configured mapping; required when several)
     snapshot_table: str | None = None
+    # snapshot_diff only: landing-file format — "json" (debug/test default)
+    # or "parquet" (the production shape a jdbc_snapshot poller writes)
+    snapshot_format: str = "json"
     # schema-change detection (§1.4): declared source schemas + a provider
     # returning the current schema per table; PK drift kills the query.
     declared_schemas: dict[str, TableSchema] | None = None
@@ -459,6 +462,7 @@ class CdcStreamPipeline:
                 self.events_path,
                 self.row_struct,
                 max_files_per_trigger=self.max_files_per_trigger,
+                file_format=self.snapshot_format,
             )
         elif self.row_struct is None:
             from mysql_hbase_replicator_spark.sources.cdc_events import (

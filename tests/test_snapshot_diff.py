@@ -221,3 +221,54 @@ def test_snapshot_diff_requires_unambiguous_table(
     pipe.mappings = {"a.b": student_mapping, "c.d": student_mapping}
     with pytest.raises(ValueError, match="snapshot_table"):
         pipe._snapshot_full_name()
+
+
+def test_snapshot_parquet_landing_converges(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """snapshot_format="parquet" — the production landing shape (a
+    jdbc_snapshot poller writes columnar snapshots, not JSON lines): the
+    same three-poll trace converges to the same final state as the JSONL
+    transport and the event replay."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    snap_dir = str(tmp_path / "snaps")
+    os.makedirs(snap_dir)
+
+    def write_parquet_snapshot(name: str, rows: list[dict], ver: int) -> None:
+        cols = {
+            c: [r[c] for r in rows] for c in ("sn", "id", "score", "name", "rem")
+        }
+        cols["_snap_ver"] = [ver] * len(rows)
+        table = pa.table(
+            {
+                "sn": pa.array(cols["sn"], pa.int32()),
+                "id": pa.array(cols["id"], pa.int32()),
+                "score": pa.array(cols["score"], pa.int32()),
+                "name": pa.array(cols["name"], pa.string()),
+                "rem": pa.array(cols["rem"], pa.string()),
+                "_snap_ver": pa.array(cols["_snap_ver"], pa.int64()),
+            }
+        )
+        pq.write_table(table, os.path.join(snap_dir, name))
+
+    replay = ParquetKeyedStore(str(tmp_path / "replay"), n_buckets=4)
+    for i, (snap, batch) in enumerate(zip(SNAPSHOTS, TRACE), start=1):
+        write_parquet_snapshot(f"s{i}.parquet", snap, ver=i)
+        pipe = make_pipe(spark, tmp_path, student_struct, student_mapping, snap_dir)
+        pipe.snapshot_format = "parquet"
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+        apply_cdc_batch(
+            spark,
+            events_from_rows(spark, batch, student_struct),
+            replay,
+            {"mixfs.student": student_mapping},
+        )
+        assert state(spark, pipe.store) == state(spark, replay), f"poll {i}"
+    assert state(spark, pipe.store) == [
+        (1, 1, 99, "ann", "z"),
+        (2, 9, 70, "cat", "c"),
+        (4, 4, 50, "eve", "e"),
+    ]
