@@ -292,56 +292,79 @@ def resize_media(df: DataFrame, width: int = 16, height: int = 16, decoder: str 
 
     ``decoder="fake"``: truncates the byte stream to the target size
     (deterministic, SQL-recomputable), single channel.
-    ``decoder="real"``: true nearest-neighbor resample of BMP images
-    (decode → index-sample → re-encode, all numpy); non-BMP payloads raise
-    NotImplementedError inside the UDF (audio resampling would need a DSP
-    library)."""
+    ``decoder="real"``: true nearest-neighbor resample of BMP or PNG images
+    (decode → index-sample → re-encode in the SAME container, all
+    numpy/stdlib-zlib); other payloads raise NotImplementedError inside the
+    UDF (audio resampling would need a DSP library)."""
     if decoder not in ("fake", "real"):
         raise ValueError(f"unknown decoder: {decoder}")
     real = decoder == "real"
     target = width * height
 
-    def _resize_real(b: bytes) -> bytes:
+    def _resize_real(b: bytes) -> tuple[bytes, str, int]:
+        """→ (payload, format, channels) — resampled in the source container."""
         from mysql_hbase_replicator_spark.operators.media_codecs import (
             decode_bmp,
+            decode_png,
             encode_bmp,
+            encode_png,
             sniff_format,
         )
 
-        if sniff_format(b) != "bmp":
+        fmt = sniff_format(b)
+        if fmt == "bmp":
+            pixels = decode_bmp(b)
+        elif fmt == "png":
+            pixels = decode_png(b)
+        else:
             raise NotImplementedError(
-                "decoder='real' resize supports BMP images (pure-numpy); "
-                "other formats require PIL/ffmpeg"
+                "decoder='real' resize supports BMP and PNG images "
+                "(pure-numpy/stdlib-zlib); other formats require PIL/ffmpeg"
             )
-        pixels = decode_bmp(b)
-        h0, w0, _ = pixels.shape
+        h0, w0 = pixels.shape[:2]
         ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
         xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
-        return encode_bmp(pixels[ys][:, xs])
+        resized = pixels[ys][:, xs]
+        channels = 1 if resized.ndim == 2 else resized.shape[2]
+        payload = encode_bmp(resized) if fmt == "bmp" else encode_png(resized)
+        return payload, fmt, channels
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[["media_id", "kind"]].copy()
             if real:
-                out["payload"] = pdf["payload"].map(
+                resized = pdf["payload"].map(
                     lambda b: _resize_real(bytes(b)) if b is not None else None
+                )
+                out["payload"] = resized.map(lambda r: r and r[0])
+                out["meta"] = resized.map(
+                    lambda r: {
+                        "width": width,
+                        "height": height,
+                        "channels": r[2],
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "format": r[1],
+                    }
+                    if r is not None
+                    else None
                 )
             else:
                 out["payload"] = pdf["payload"].map(
                     lambda b: bytes(b)[:target] if b is not None else None
                 )
-            out["meta"] = pdf["payload"].map(
-                lambda b: {
-                    "width": width,
-                    "height": height,
-                    "channels": 3 if real else 1,
-                    "sample_rate": None,
-                    "n_frames": None,
-                    "format": "bmp" if real else "fake-resized",
-                }
-                if b is not None
-                else None
-            )
+                out["meta"] = pdf["payload"].map(
+                    lambda b: {
+                        "width": width,
+                        "height": height,
+                        "channels": 1,
+                        "sample_rate": None,
+                        "n_frames": None,
+                        "format": "fake-resized",
+                    }
+                    if b is not None
+                    else None
+                )
             yield out
 
     return df.mapInPandas(resize_batches, MEDIA_SCHEMA)

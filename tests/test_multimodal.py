@@ -206,3 +206,29 @@ def test_real_decoder_decodes_png_end_to_end(spark):
     )
     assert sniff_format(payload) == "png"
     assert decode_png(payload).tobytes() == b"hello png"
+
+
+def test_resize_media_real_png(spark):
+    """Real nearest-neighbor resample of PNG payloads: decode -> index-
+    sample -> re-encode in the same container; the resized payload is a
+    valid PNG of the target geometry."""
+    from mysql_hbase_replicator_spark.operators.media_codecs import (
+        decode_png,
+        encode_png,
+    )
+    from mysql_hbase_replicator_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    px = (np.arange(20 * 30 * 3, dtype=np.int64) % 256).astype(np.uint8).reshape(20, 30, 3)
+    rows = [(0, "image", bytearray(encode_png(px)), (30, 20, 3, None, None, "png"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_media(media, width=8, height=6, decoder="real").collect()[0]
+    resized = decode_png(bytes(out.payload))
+    assert resized.shape == (6, 8, 3)
+    assert out.meta["format"] == "png" and out.meta["channels"] == 3
+    # nearest-neighbor ground truth
+    ys = (np.arange(6) * 20 // 6).clip(0, 19)
+    xs = (np.arange(8) * 30 // 8).clip(0, 29)
+    assert np.array_equal(resized, px[ys][:, xs])
