@@ -190,9 +190,11 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
 def decode_png(data: bytes) -> np.ndarray:
     """8-bit non-interlaced PNG bytes → uint8 array (H, W) for grayscale,
     (H, W, C) otherwise. Pure stdlib zlib inflate + numpy unfiltering —
-    filters None/Sub/Up/Average/Paeth all supported (Sub/Average/Paeth
-    carry a per-row sequential dependency, resolved pixel-by-pixel along
-    the row; None/Up are vectorized, and None is what our encoder emits)."""
+    filters None/Sub/Up/Average/Paeth all supported. None/Up/Sub rows are
+    fully vectorized (Sub is a per-lane prefix sum); Average/Paeth carry a
+    floor/select dependency along the row and fall back to a per-pixel
+    loop — foreign PNGs that filter with them decode correctly but slowly
+    (a real deployment would swap in PIL here; see _real_decode's note)."""
     if len(data) < 8 or data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG file")
     pos, end = 8, len(data)
@@ -234,14 +236,18 @@ def decode_png(data: bytes) -> np.ndarray:
             cur = row
         elif f == 2:  # Up
             cur = (row + prev) % 256
-        elif f in (1, 3, 4):  # Sub/Average/Paeth: sequential along the row
+        elif f == 1:
+            # Sub is a pure per-lane prefix sum (out[x] = row[x] + out[x-bpp])
+            # and mod distributes over addition — vectorized as cumsum per
+            # channel lane (r13 review: foreign PNGs filter nearly every
+            # row, and the Python fallback below is per-pixel)
+            cur = (row.reshape(-1, bpp).cumsum(axis=0) % 256).reshape(stride)
+        elif f in (3, 4):  # Average/Paeth: floor/select break prefix linearity
             cur = np.zeros(stride, dtype=np.int64)
             for x in range(stride):
                 a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                if f == 1:
-                    cur[x] = (row[x] + a) % 256
-                elif f == 3:
+                if f == 3:
                     cur[x] = (row[x] + (a + b) // 2) % 256
                 else:
                     c = prev[x - bpp] if x >= bpp else 0

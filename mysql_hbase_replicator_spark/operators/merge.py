@@ -286,10 +286,77 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
 
     MULTI_ACTION_MERGE = False
     SEQ_COL = "_lsm_seq"
+    LEGACY_DELTA_DIR = "_delta"  # pre-r13 layout: deltas inside the table dir
 
     def __init__(self, base_dir: str, n_buckets: int = 32, compact_every: int = 64):
         super().__init__(base_dir, n_buckets=n_buckets)
         self.compact_every = compact_every
+
+    # --- legacy-layout upgrade ------------------------------------------------
+    def _legacy_layout_present(self, name: str) -> bool:
+        """True when the table dir holds the PRE-POINTER layout: bucket
+        partition dirs directly under table_path (the rewrite store's
+        layout, also the pre-r13 LSM base) and/or a ``_delta`` dir, with a
+        registry that has never recorded a version pointer."""
+        doc = self._registry(name)
+        if doc is not None and ("base_version" in doc or "delta_version" in doc):
+            return False
+        try:
+            entries = os.listdir(self.table_path(name))
+        except OSError:
+            return False
+        return any(
+            e.startswith(f"{BUCKET_COL}=") or e == self.LEGACY_DELTA_DIR
+            for e in entries
+        )
+
+    def _maybe_migrate_legacy(self, name: str) -> None:
+        """One-time lazy upgrade of a pre-pointer table dir: bucket dirs
+        move (rename, no data rewrite) into ``base_v0``, legacy ``_delta``
+        seq dirs into ``delta_v0``, and the pointer is written. Without
+        this, a store written by the old layout — or by the REWRITE store,
+        whose layout is identical to the legacy base — would silently read
+        as empty under the pointer protocol (r13 review). The same move
+        doubles as the rewrite→LSM conversion path: reopening a
+        ParquetKeyedStore directory as a LogStructuredKeyedStore upgrades
+        it in place. Runs under the writer flock, re-checked after the
+        acquire; callers invoke it BEFORE taking the flock (not
+        re-entrant). A table crashed mid-swap by the OLD release's rename
+        protocol (live dir missing, ``.compacting`` staged) predates the
+        pointer and is not recovered here — finish it with the old release
+        first."""
+        if not self._legacy_layout_present(name):
+            return
+        with self._table_flock(name):
+            if not self._legacy_layout_present(name):
+                return  # another process migrated while we waited
+            tp = self.table_path(name)
+            base_dir = self._ver_path(name, "base", 0)
+            delta_dir = self._ver_path(name, "delta", 0)
+            moved_base = False
+            for e in os.listdir(tp):
+                if e.startswith(f"{BUCKET_COL}="):
+                    os.makedirs(base_dir, exist_ok=True)
+                    os.rename(os.path.join(tp, e), os.path.join(base_dir, e))
+                    moved_base = True
+            legacy_delta = os.path.join(tp, self.LEGACY_DELTA_DIR)
+            if os.path.isdir(legacy_delta):
+                os.makedirs(delta_dir, exist_ok=True)
+                for e in os.listdir(legacy_delta):
+                    os.rename(
+                        os.path.join(legacy_delta, e), os.path.join(delta_dir, e)
+                    )
+                shutil.rmtree(legacy_delta, ignore_errors=True)
+            doc = self._doc(name)  # carries the legacy schema/pk_cols forward
+            fields: dict = {
+                "base_version": 0 if moved_base else None,
+                "delta_version": 0,
+            }
+            if doc.get("schema") is not None:
+                fields["schema"] = doc["schema"]
+            if doc.get("pk_cols") is not None:
+                fields["pk_cols"] = doc["pk_cols"]
+            self._update_registry(name, **fields)
 
     # --- versioned-pointer registry ------------------------------------------
     def _doc(self, name: str) -> dict:
@@ -408,6 +475,7 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         sibling's posture; the old layout got this implicitly because the
         static overwrite wiped the whole table dir). Files linger one flip
         as the reader-retirement window, then the sweep drops them."""
+        self._maybe_migrate_legacy(name)
         with self._table_flock(name):
             doc = self._doc(name)
             prev_base = doc.get("base_version")
@@ -435,6 +503,7 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         pk_cols: list[str],
     ) -> None:
         actions = final.select(*sink_cols, KIND_COL)
+        self._maybe_migrate_legacy(name)
         # The append runs UNDER the per-table flock (same posture the
         # bucketed sibling adopted for ADVICE r11): the delta seq is picked
         # from a directory listing and the registry is read-modify-written —
@@ -515,23 +584,34 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
 
     # --- read path ----------------------------------------------------------
     def exists(self, name: str) -> bool:
+        self._maybe_migrate_legacy(name)
         doc = self._doc(name)
         return doc.get("base_version") is not None or self._has_delta_files(name, doc)
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
+        self._maybe_migrate_legacy(name)
         return self._read_state(spark, name)
 
     def _read_base(self, spark: SparkSession, name: str, doc: dict) -> DataFrame | None:
-        """The current base version's frame (bucket column dropped), or None
+        """The given pointer's base frame (bucket column dropped), or None
         when no base version exists or its dir holds no data files (an
-        empty compacted state writes only _SUCCESS)."""
+        empty compacted state writes only _SUCCESS). The schema comes from
+        the SAME doc snapshot as the version — never a re-read of the
+        registry file: a concurrent compact/overwrite may have flipped the
+        pointer between the caller's load and this call, and pairing the
+        NEW schema with the OLD version's files would silently null columns
+        the old files don't carry (or drop renamed ones) during exactly the
+        retirement window the protocol promises is consistent."""
         bv = doc.get("base_version")
         if bv is None:
             return None
         path = self._ver_path(name, "base", int(bv))
         if not self._dir_has_parquet(path):
             return None
-        schema = self._read_schema(name)
+        try:
+            schema = T.StructType.fromJson(doc["schema"]) if doc.get("schema") else None
+        except ValueError:
+            schema = None
         reader = (
             spark.read.schema(schema)
             if schema is not None
@@ -582,6 +662,7 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         compaction ran. Crash safety: a base_v{K+1} written but never
         flipped is overwritten by the retry (same version number recomputed
         from the unmoved pointer) or swept as an orphan."""
+        self._maybe_migrate_legacy(name)
         with self._table_flock(name):
             doc = self._doc(name)
             if not self._has_delta_files(name, doc):

@@ -131,6 +131,9 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, float, float]:
         pixels = decode_bmp(payload)
         return pixels.shape[1], pixels.shape[0], float(pixels.mean()), _entropy_u8(pixels)
     if fmt == "png":
+        # cost note: None/Up/Sub filter rows decode vectorized; foreign
+        # PNGs using Average/Paeth hit decode_png's per-pixel fallback —
+        # correct but slow at photo sizes (swap in PIL for those corpora)
         from mysql_hbase_replicator_spark.operators.media_codecs import decode_png
 
         pixels = decode_png(payload)

@@ -265,6 +265,60 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprint_cached_store(spark, sf_dir: str, tag: str, make_store, name: str, build):
+    """Shared scratch-store scaffold for queries that BUILD a keyed store
+    from the testdata (r13 review: previously copy-pasted per query): a
+    per-(app, sf_dir, tag) /tmp root under the ``spark_graft_bucketed_``
+    prefix (the shared atexit + dead-pid reaping protocol in
+    queries_extra), rebuilt only when the source parquet's fingerprint
+    changes. ``make_store(path)`` constructs the store; ``build(store)``
+    replays the trace into it. Returns the (possibly cached) store."""
+    import hashlib
+    import shutil as _shutil
+
+    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        _reap_dead_scratch_roots,
+        _register_scratch_cleanup,
+    )
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    key = hashlib.md5(
+        f"{app}:{os.path.abspath(sf_dir)}:{tag}".encode()
+    ).hexdigest()[:10]
+    root = f"/tmp/spark_graft_bucketed_{tag}_{key}"
+    _register_scratch_cleanup(root)
+    _reap_dead_scratch_roots(keep=root)
+    store = make_store(os.path.join(root, "store"))
+    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
+    marker = os.path.join(root, "_fingerprint")
+    try:
+        with open(marker) as f:
+            cached = f.read() == want
+    except OSError:
+        cached = False
+    if not (cached and store.exists(name)):
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_owner.pid"), "w") as f:
+            f.write(str(os.getpid()))
+        # rebuild from scratch; a catalog-backed store also retires its
+        # stale table entries (version dirs are about to be wiped)
+        digest = getattr(store, "_digest", None)
+        if digest is not None:
+            for r in spark.sql("SHOW TABLES").collect():
+                if r.tableName.startswith(f"lsm_{digest}_"):
+                    spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
+        _shutil.rmtree(store.table_path(name), ignore_errors=True)
+        build(store)
+        with open(marker, "w") as f:
+            f.write(want)
+    return store
+
+
 # snapshot-diff cut points: state at T1 vs state at T2 over the event stream
 SNAP_T1 = "2024-01-15 00:00:00"
 SNAP_T2 = "2024-01-30 00:00:00"
@@ -461,54 +515,15 @@ def cdc_lsm_bucketed_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFram
     tests/test_lsm_store.py). Store scratch is per-(app, sf_dir),
     fingerprint-cached and pid-reaped exactly like the bucketed facts
     layout (queries_extra.py)."""
-    import hashlib
-    import shutil as _shutil
-
-    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
     from mysql_hbase_replicator_spark.operators.merge import (
         KIND_COL,
         BucketedLogStructuredKeyedStore,
     )
-    from mysql_hbase_replicator_spark.plans.queries_extra import (
-        _reap_dead_scratch_roots,
-        _register_scratch_cleanup,
-    )
 
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    key = hashlib.md5(
-        f"{app}:{os.path.abspath(sf_dir)}:cdcstore".encode()
-    ).hexdigest()[:10]
-    # the spark_graft_bucketed_ prefix keeps these roots inside the shared
-    # atexit + dead-pid reaping protocol
-    root = f"/tmp/spark_graft_bucketed_cdc_{key}"
-    _register_scratch_cleanup(root)
-    _reap_dead_scratch_roots(keep=root)
-    store = BucketedLogStructuredKeyedStore(
-        os.path.join(root, "store"), n_buckets=8
-    )
     name = "events:state"
     sink_cols = ["user_id", "current_value", "applied_event_id", "applied_day"]
-    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
-    marker = os.path.join(root, "_fingerprint")
-    try:
-        with open(marker) as f:
-            cached = f.read() == want
-    except OSError:
-        cached = False
-    if not (cached and store.exists(name)):
-        try:
-            os.remove(marker)
-        except OSError:
-            pass
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "_owner.pid"), "w") as f:
-            f.write(str(os.getpid()))
-        # rebuild from scratch: retire any stale catalog entries + files
-        for r in spark.sql("SHOW TABLES").collect():
-            if r.tableName.startswith(f"lsm_{store._digest}_"):
-                spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
-        _shutil.rmtree(store.table_path(name), ignore_errors=True)
 
+    def build(store) -> None:
         e = load_table(spark, sf_dir, "events").withColumn(
             "_day", F.to_date("ts")
         )
@@ -542,8 +557,12 @@ def cdc_lsm_bucketed_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFram
             store.merge_actions(spark, name, actions, sink_cols, ["user_id"])
             if i == 1:  # mid-trace major compaction
                 store.compact(spark, name)
-        with open(marker, "w") as f:
-            f.write(want)
+
+    store = _fingerprint_cached_store(
+        spark, sf_dir, "cdc",
+        lambda path: BucketedLogStructuredKeyedStore(path, n_buckets=8),
+        name, build,
+    )
     return store.read(spark, name).select(*sink_cols)
 
 
@@ -589,28 +608,13 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSM store (each a single bucketed write), and the final read is the
     standard merge-on-read collapse. Store scratch is per-(app, sf_dir),
     fingerprint-cached like the bucketed CDC store."""
-    import hashlib
-
     from mysql_hbase_replicator_spark.catalog.meta import (
         HbaseCollInfo,
         HbaseTableInfo,
     )
     from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
-    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
     from mysql_hbase_replicator_spark.operators.merge import LogStructuredKeyedStore
-    from mysql_hbase_replicator_spark.plans.queries_extra import (
-        _reap_dead_scratch_roots,
-        _register_scratch_cleanup,
-    )
 
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    key = hashlib.md5(
-        f"{app}:{os.path.abspath(sf_dir)}:cdcevo".encode()
-    ).hexdigest()[:10]
-    root = f"/tmp/spark_graft_bucketed_cdcevo_{key}"
-    _register_scratch_cleanup(root)
-    _reap_dead_scratch_roots(keep=root)
-    store = LogStructuredKeyedStore(os.path.join(root, "store"), n_buckets=8)
     name = "app_events_state"
     base_cols = [
         HbaseCollInfo("user_id", "bigint(20)", "user_id", "LongType", True),
@@ -629,25 +633,7 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
               HbaseCollInfo("event_type", "varchar(20)", "etype", "StringType", False)],
     )
 
-    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
-    marker = os.path.join(root, "_fingerprint")
-    try:
-        with open(marker) as f:
-            cached = f.read() == want
-    except OSError:
-        cached = False
-    if not (cached and store.exists(name)):
-        try:
-            os.remove(marker)
-        except OSError:
-            pass
-        import shutil as _shutil
-
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "_owner.pid"), "w") as f:
-            f.write(str(os.getpid()))
-        _shutil.rmtree(store.table_path(name), ignore_errors=True)
-
+    def build(store) -> None:
         e = load_table(spark, sf_dir, "events")
         cut = int(e.agg(F.max("event_id")).first()[0]) // 2
 
@@ -678,6 +664,10 @@ def cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, to_events(e.filter(F.col("event_id") >= cut), True),
             store, {"app.events_state": widened},
         )
-        with open(marker, "w") as f:
-            f.write(want)
+
+    store = _fingerprint_cached_store(
+        spark, sf_dir, "cdcevo",
+        lambda path: LogStructuredKeyedStore(path, n_buckets=8),
+        name, build,
+    )
     return store.read(spark, name).select("user_id", "current_value", "etype")

@@ -31,7 +31,8 @@ from mysql_hbase_replicator_spark.sources.tables import load_table
     "multimodal_decode_stats",
     oracle="""
     SELECT doc_id AS media_id,
-           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CASE WHEN LENGTH(text) > 0 THEN CAST(LENGTH(text) AS BIGINT)
+                END AS n_bytes,
            LIST_AVG(LIST_TRANSFORM(RANGE(1, LENGTH(text) + 1),
                     i -> ORD(text[i]))) AS mean_intensity
     FROM documents
@@ -48,7 +49,10 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-hash-verified, not just pytest-covered. The payloads never leave
     the executors; mapInPandas processes bounded Arrow batches
     (maxRecordsPerBatch caps memory), exactly the shape a real PIL/ffmpeg
-    decode would take at 100 TB."""
+    decode would take at 100 TB. Empty or NULL documents carry no payload
+    (a 0-pixel PNG is invalid) and surface NULL stats — the oracle's CASE
+    mirrors that contract (r13 review: the previous LENGTH(text) oracle
+    would diverge as 0-vs-NULL on any corpus with an empty document)."""
     media = png_media_from_documents(load_table(spark, sf_dir, "documents"))
     return decode_media(media, decoder="real").select(
         "media_id",

@@ -255,8 +255,24 @@ class CdcStreamPipeline:
 
         full_name = self._snapshot_full_name()
         db, table = full_name.split(".", 1)
-        latest = batch_df.agg(F.max(SNAP_VER_COL)).first()[0]
+        latest, n_rows = batch_df.agg(
+            F.max(SNAP_VER_COL), F.count(F.lit(1))
+        ).first()
+        logger = logging.getLogger(__name__)
         if latest is None:
+            if n_rows:
+                # rows landed WITHOUT a version stamp: the contract is
+                # violated and every row would be dropped as the checkpoint
+                # advances past the file — say so loudly (K6's
+                # failures-never-vanish posture; the payload is a full
+                # snapshot, too heavy to dead-letter wholesale)
+                logger.warning(
+                    "snapshot batch %d: %d rows with no %s stamp — "
+                    "snapshot DISCARDED (producer contract violation)",
+                    batch_id,
+                    n_rows,
+                    SNAP_VER_COL,
+                )
             return  # empty batch (no snapshot rows admitted)
         prev_store = PrevSnapshotStore(
             os.path.join(self.checkpoint_dir, "snapshots")
@@ -267,7 +283,16 @@ class CdcStreamPipeline:
             # arbitrary order (and pollers redeliver) — applying an older
             # full snapshot would REGRESS the store; versions are monotone
             # by the producer contract, so skip and let the checkpoint
-            # advance past the file
+            # advance past the file. Normal redelivery, not an error.
+            from mysql_hbase_replicator_spark.logging_config import trace
+
+            trace(
+                logger,
+                "snapshot batch %d: version %s already applied (at %s) — skipped",
+                batch_id,
+                latest,
+                applied,
+            )
             return
         snap = batch_df.filter(F.col(SNAP_VER_COL) == F.lit(latest)).drop(
             SNAP_VER_COL

@@ -821,3 +821,72 @@ def test_lsm_reader_survives_concurrent_compaction(
     assert got == want
     # and a fresh read sees the same state through the new pointer
     assert state(spark, lsm) == want
+
+
+def test_lsm_read_base_uses_doc_snapshot_schema(spark, tmp_path):
+    """r13 review: _read_base must take the schema from the SAME doc
+    snapshot as the version it reads — re-reading the registry could pair
+    a concurrently-flipped NEWER schema with the OLD version's files,
+    nulling/dropping columns during the retirement window."""
+    from pyspark.sql import types as T
+
+    lsm = LogStructuredKeyedStore(str(tmp_path / "lsm"), n_buckets=4)
+    lsm.overwrite(
+        spark, "t", spark.createDataFrame([(1, "a")], "k int, v string"), ["k"]
+    )
+    stale_doc = lsm._doc("t")
+    # simulate a concurrent full reload that flipped the pointer to a new
+    # version with a RENAMED column set
+    new_schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("w", T.StringType())]
+    )
+    lsm._update_registry(
+        "t",
+        schema=new_schema.jsonValue(),
+        base_version=int(stale_doc["base_version"]) + 1,
+    )
+    # the stale pointer must still read ITS version's files with ITS schema
+    got = lsm._read_base(spark, "t", stale_doc)
+    assert set(got.columns) == {"k", "v"}
+    assert [tuple(r) for r in got.select("k", "v").collect()] == [(1, "a")]
+
+
+def test_lsm_migrates_legacy_layout(spark, tmp_path):
+    """r13 review: a table dir written under the pre-pointer layout (bucket
+    dirs directly in table_path + _delta/ — also exactly what the REWRITE
+    store writes) must be upgraded in place, not silently read as empty.
+    This doubles as the rewrite→LSM conversion path."""
+    from mysql_hbase_replicator_spark.operators.merge import KIND_COL
+
+    path = str(tmp_path / "store")
+    rw = ParquetKeyedStore(path, n_buckets=4)
+    rw.overwrite(
+        spark,
+        "t",
+        spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"),
+        ["k"],
+    )
+    # handcraft a legacy delta: upsert k=2 -> b2, delete k=1
+    legacy_delta = os.path.join(rw.table_path("t"), "_delta", "_lsm_seq=0")
+    spark.createDataFrame(
+        [(2, "b2", "upsert"), (1, None, "delete")], f"k int, v string, {KIND_COL} string"
+    ).write.mode("overwrite").parquet(legacy_delta)
+
+    lsm = LogStructuredKeyedStore(path, n_buckets=4)
+    assert lsm.exists("t")  # triggers the migration
+    got = sorted(tuple(r) for r in lsm.read(spark, "t").select("k", "v").collect())
+    assert got == [(2, "b2")]
+    # layout upgraded in place: versioned dirs + pointer, legacy dirs gone
+    doc = lsm._doc("t")
+    assert doc.get("base_version") == 0 and doc.get("delta_version") == 0
+    assert os.path.isdir(lsm._ver_path("t", "base", 0))
+    assert not os.path.isdir(os.path.join(lsm.table_path("t"), "_delta"))
+    assert not any(
+        e.startswith("_bucket=") for e in os.listdir(lsm.table_path("t"))
+    )
+    # and the full lifecycle keeps working on the migrated table
+    ups = spark.createDataFrame([(3, "c")], "k int, v string")
+    lsm.merge(spark, "t", ups, spark.createDataFrame([], "k int"), ["k"])
+    assert lsm.compact(spark, "t") is True
+    got2 = sorted(tuple(r) for r in lsm.read(spark, "t").select("k", "v").collect())
+    assert got2 == [(2, "b2"), (3, "c")]

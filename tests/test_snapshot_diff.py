@@ -272,3 +272,29 @@ def test_snapshot_parquet_landing_converges(
         (2, 9, 70, "cat", "c"),
         (4, 4, 50, "eve", "e"),
     ]
+
+
+def test_snapshot_without_version_stamp_warns(
+    spark, tmp_path, student_struct, student_mapping, caplog
+):
+    """A landing whose rows carry no _snap_ver (producer contract
+    violation) is discarded — but LOUDLY (r13 review: the silent return
+    let a whole snapshot vanish with zero observability)."""
+    import logging
+
+    snap_dir = str(tmp_path / "snaps")
+    os.makedirs(snap_dir)
+    with open(os.path.join(snap_dir, "bad.json"), "w") as f:
+        for r in SNAPSHOTS[0]:
+            f.write(json.dumps(r) + "\n")  # no _snap_ver stamp
+    pipe = make_pipe(spark, tmp_path, student_struct, student_mapping, snap_dir)
+    with caplog.at_level(
+        logging.WARNING, logger="mysql_hbase_replicator_spark.streaming.pipeline"
+    ):
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+    assert state(spark, pipe.store) == []  # nothing applied
+    assert any(
+        "no _snap_ver stamp" in rec.message and "DISCARDED" in rec.message
+        for rec in caplog.records
+    ), caplog.records
