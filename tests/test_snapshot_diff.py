@@ -298,3 +298,26 @@ def test_snapshot_without_version_stamp_warns(
         "no _snap_ver stamp" in rec.message and "DISCARDED" in rec.message
         for rec in caplog.records
     ), caplog.records
+
+
+def test_snapshot_diff_plan_is_single_full_outer_smj(spark, student_struct):
+    """Plan gate (the repo's test_plans.py discipline): with broadcast
+    disabled — the 100 TB regime where neither full snapshot fits — the
+    diff is ONE full-outer SortMergeJoin with exactly one exchange per
+    side on the null-safe PK keys. No nested-loop or cartesian fallback:
+    Spark rewrites eqNullSafe equi-conditions into coalesce/isnull hash
+    keys."""
+    prev = spark.createDataFrame([(1, 1, 90, "a", "r")], student_struct)
+    cur = spark.createDataFrame([(1, 1, 91, "a", "r")], student_struct)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ev = snapshot_diff_events(
+            prev, cur, student_struct, ["sn", "id"], "mixfs", "student", 1
+        )
+        plan = ev._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
