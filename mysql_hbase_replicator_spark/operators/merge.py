@@ -721,7 +721,9 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
     the ENTIRE base on pk — here neither side moves (plan-gated in
     tests/test_lsm_store.py).
 
-    Crash protocol: SNAPSHOT-POINTER, not rename dances. Base and delta
+    Crash protocol: SNAPSHOT-POINTER, like the parent since r13 (the
+    bucketed store pioneered it; the parent adopted it when the rename
+    dance proved reader-hostile). Base and delta
     live in versioned directories (``base_v{K}``/``delta_v{J}``) and the
     registry (_schema.json, written via atomic os.replace) points at the
     current versions — the mini Iceberg/Delta trade. Compaction writes
