@@ -61,7 +61,13 @@ class ParquetKeyedStore:
     def _has_data_files(self, name: str) -> bool:
         """True if any parquet data file exists (a fully-emptied table keeps
         its directory but has no files left to infer a schema from)."""
-        for _dir, _subdirs, files in os.walk(self.table_path(name)):
+        return self._dir_has_parquet(self.table_path(name))
+
+    @staticmethod
+    def _dir_has_parquet(path: str) -> bool:
+        """One definition of "holds data" for every store: a recursive walk
+        finding at least one ``.parquet`` file (ignores _SUCCESS/.crc)."""
+        for _dir, _subdirs, files in os.walk(path):
             if any(f.endswith(".parquet") for f in files):
                 return True
         return False
@@ -322,12 +328,20 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         it in place. Runs under the writer flock, re-checked after the
         acquire; callers invoke it BEFORE taking the flock (not
         re-entrant). A table crashed mid-swap by the OLD release's rename
-        protocol (live dir missing, ``.compacting`` staged) predates the
-        pointer and is not recovered here — finish it with the old release
-        first."""
-        if not self._legacy_layout_present(name):
+        protocol (live dir renamed aside, ``.compacting`` staged) is
+        FINISHED here first — the old ``_recover_locked`` semantics
+        replayed once, so the upgrade never presents a crashed table as
+        empty (r13 review: `_legacy_layout_present` returns False on a
+        missing live dir, and without this step the next batch would write
+        a fresh base_v0 and permanently orphan the crashed data)."""
+        if not (
+            self._legacy_layout_present(name)
+            or os.path.isdir(self.table_path(name) + ".compacting")
+            or os.path.isdir(self.table_path(name) + ".pre-compact")
+        ):
             return
         with self._table_flock(name):
+            self._recover_legacy_swap_locked(name)
             if not self._legacy_layout_present(name):
                 return  # another process migrated while we waited
             tp = self.table_path(name)
@@ -358,6 +372,49 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
                 fields["pk_cols"] = doc["pk_cols"]
             self._update_registry(name, **fields)
 
+    def _recover_legacy_swap_locked(self, name: str) -> None:
+        """Finish the OLD release's compaction swap (its ``_recover_locked``,
+        replayed once at upgrade; caller holds the table flock). The old
+        rename dance was: write ``<table>.compacting`` (complete iff it has
+        _SUCCESS) → rename live aside to ``<table>.pre-compact`` → rename
+        staging to live → rmtree the old dir. A crash between the renames
+        leaves NO live data; under the pointer protocol that read as an
+        empty fresh table. Resolution order: a completed staging dir is the
+        new truth when the live dir has no data; otherwise a surviving
+        ``.pre-compact`` is restored rather than deleted (defensive
+        tightening of the old protocol — never rmtree the only copy); a
+        table already carrying a version pointer treats both as stale
+        pre-upgrade garbage."""
+        tp = self.table_path(name)
+        staging = tp + ".compacting"
+        old = tp + ".pre-compact"
+        if not (os.path.isdir(staging) or os.path.isdir(old)):
+            return
+        doc = self._registry(name) or {}
+        already_pointered = "base_version" in doc or "delta_version" in doc
+        live_has_data = self._dir_has_parquet(tp)
+
+        def _promote(src: str) -> None:
+            # live may already exist holding lock/registry files — move the
+            # staged entries in rather than renaming the whole dir
+            os.makedirs(tp, exist_ok=True)
+            for e in os.listdir(src):
+                os.rename(os.path.join(src, e), os.path.join(tp, e))
+            shutil.rmtree(src, ignore_errors=True)
+
+        if os.path.isdir(staging):
+            staged_ok = os.path.exists(os.path.join(staging, "_SUCCESS"))
+            if staged_ok and not live_has_data and not already_pointered:
+                _promote(staging)
+                live_has_data = True
+            else:
+                shutil.rmtree(staging, ignore_errors=True)
+        if os.path.isdir(old):
+            if not live_has_data and not already_pointered and self._dir_has_parquet(old):
+                _promote(old)
+            else:
+                shutil.rmtree(old, ignore_errors=True)
+
     # --- versioned-pointer registry ------------------------------------------
     def _doc(self, name: str) -> dict:
         return self._registry(name) or {}
@@ -374,13 +431,6 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
 
     def _ver_path(self, name: str, kind: str, ver: int) -> str:
         return os.path.join(self.table_path(name), f"{kind}_v{ver}")
-
-    @staticmethod
-    def _dir_has_parquet(path: str) -> bool:
-        for _dir, _subdirs, files in os.walk(path):
-            if any(f.endswith(".parquet") for f in files):
-                return True
-        return False
 
     # --- delta bookkeeping --------------------------------------------------
     def _delta_path(self, name: str, doc: dict | None = None) -> str:

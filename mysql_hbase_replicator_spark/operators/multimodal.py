@@ -248,27 +248,33 @@ def png_media_from_documents(documents: DataFrame) -> DataFrame:
         from mysql_hbase_replicator_spark.operators.media_codecs import encode_png
 
         for pdf in batches:
-            def to_png(text: str | None):
-                if not text:
-                    return None
-                raw = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
-                return bytearray(encode_png(raw.reshape(1, -1)))
+            # one UTF-8 encode per row feeds BOTH the payload and the width —
+            # meta stays consistent with the pixels by construction
+            def to_png_and_meta(text: str | None):
+                raw = text.encode("utf-8") if text else b""
+                png = (
+                    bytearray(
+                        encode_png(np.frombuffer(raw, dtype=np.uint8).reshape(1, -1))
+                    )
+                    if raw
+                    else None
+                )
+                return png, {
+                    "width": len(raw) if raw else None,
+                    "height": 1 if raw else None,
+                    "channels": 1,
+                    "sample_rate": None,
+                    "n_frames": None,
+                    "format": "png",
+                }
 
+            encoded = pdf["text"].map(to_png_and_meta)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["doc_id"],
                     "kind": "image",
-                    "payload": pdf["text"].map(to_png),
-                    "meta": pdf["text"].map(
-                        lambda t: {
-                            "width": len(t.encode("utf-8")) if t else None,
-                            "height": 1 if t else None,
-                            "channels": 1,
-                            "sample_rate": None,
-                            "n_frames": None,
-                            "format": "png",
-                        }
-                    ),
+                    "payload": encoded.map(lambda pm: pm[0]),
+                    "meta": encoded.map(lambda pm: pm[1]),
                 }
             )
 

@@ -15,8 +15,11 @@ the identical ``foreachBatch → apply_cdc_batch`` path as the binlog-shaped
 sources, so mappings, counters, dead letters and checkpointing all apply
 unchanged.
 
-Contract: each snapshot is ONE file of full row images (JSON lines typed by
-``row_struct``) carrying a monotonically increasing ``_snap_ver``. The
+Contract: each snapshot is one or more files of full row images (JSON lines
+or parquet typed by ``row_struct``) carrying a monotonically increasing
+``_snap_ver`` stamp on every row. The stream is the TRIGGER; the applied
+snapshot is re-read from the landing dir at the triggering version, so file
+admission order/splitting never shapes the diff. The
 pipeline keeps the LAST APPLIED snapshot as parquet under
 ``<checkpoint>/snapshots/prev_v{K}`` with an atomically-replaced marker —
 checkpoint-scoped state, so wiping the checkpoint re-seeds the store from
@@ -64,11 +67,15 @@ def read_snapshot_stream(
     file_format: str = "json",
 ) -> DataFrame:
     """Structured Streaming source over the snapshot landing directory.
-    Default one file per trigger = one snapshot per micro-batch (a snapshot
-    is one file by contract; several per batch still collapse correctly to
-    the latest version, and a multi-file snapshot is safe as long as all
-    its files land before the poll that admits any of them — the version
-    gate skips nothing within one version).
+    Default one file per trigger = one snapshot per micro-batch; several
+    whole snapshots in one batch collapse correctly to the latest version.
+    Multi-file snapshot versions are ALSO safe, but not through batch
+    admission (``maxFilesPerTrigger`` can split one version across
+    triggers): the pipeline treats the admitted rows only as a version
+    trigger and diffs from a batch-side re-read of the landing dir, and a
+    version redelivered by its own remainder files re-diffs (equal versions
+    are not skipped) so a partial first application heals. Producers should
+    still make files visible atomically (write elsewhere + rename in).
 
     ``file_format="parquet"`` is the production landing shape: a
     jdbc_snapshot poller writes columnar snapshots (with the ``_snap_ver``
@@ -105,18 +112,28 @@ def snapshot_diff_events(
     """
     cols = [f.name for f in row_struct.fields]
     non_pk = [c for c in cols if c not in pk_cols]
-    cur_side = cur.select(*[F.col(c).alias(f"_c_{c}") for c in cols])
+    # presence = explicit per-side marker columns, NOT PK nullness: the join
+    # is null-safe on the PKs (a NULL key is a legal, matchable key value to
+    # the diff even though MySQL forbids it), so a row whose PK is NULL must
+    # still classify as "present on both sides" rather than being re-emitted
+    # as a ghost insert with NULL images on every poll (r13 review)
+    cur_side = cur.select(
+        *[F.col(c).alias(f"_c_{c}") for c in cols], F.lit(True).alias("_c_present")
+    )
     if prev is None:
         joined = cur_side.select(
             *[F.lit(None).cast(f.dataType).alias(f"_p_{f.name}") for f in row_struct.fields],
+            F.lit(None).cast("boolean").alias("_p_present"),
             "*",
         )
     else:
-        prev_side = prev.select(*[F.col(c).alias(f"_p_{c}") for c in cols])
+        prev_side = prev.select(
+            *[F.col(c).alias(f"_p_{c}") for c in cols], F.lit(True).alias("_p_present")
+        )
         on = [F.col(f"_p_{c}").eqNullSafe(F.col(f"_c_{c}")) for c in pk_cols]
         joined = prev_side.join(cur_side, _and_all(on), "full_outer")
-    in_prev = _and_all([F.col(f"_p_{c}").isNotNull() for c in pk_cols])
-    in_cur = _and_all([F.col(f"_c_{c}").isNotNull() for c in pk_cols])
+    in_prev = F.col("_p_present").isNotNull()
+    in_cur = F.col("_c_present").isNotNull()
     changed = (
         _or_all(
             [~F.col(f"_p_{c}").eqNullSafe(F.col(f"_c_{c}")) for c in non_pk]

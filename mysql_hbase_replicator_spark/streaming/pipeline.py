@@ -255,47 +255,68 @@ class CdcStreamPipeline:
 
         full_name = self._snapshot_full_name()
         db, table = full_name.split(".", 1)
-        latest, n_rows = batch_df.agg(
-            F.max(SNAP_VER_COL), F.count(F.lit(1))
+        latest, n_rows, n_unstamped = batch_df.agg(
+            F.max(SNAP_VER_COL),
+            F.count(F.lit(1)),
+            F.count(F.when(F.col(SNAP_VER_COL).isNull(), 1)),
         ).first()
         logger = logging.getLogger(__name__)
+        if n_unstamped:
+            # rows landed WITHOUT a version stamp: the contract is violated
+            # and those rows are dropped as the checkpoint advances past the
+            # file — say so loudly in the all-null AND the mixed case (K6's
+            # failures-never-vanish posture; the payload is a full snapshot,
+            # too heavy to dead-letter wholesale)
+            logger.warning(
+                "snapshot batch %d: %d of %d rows with no %s stamp — "
+                "unstamped rows DISCARDED (producer contract violation)",
+                batch_id,
+                n_unstamped,
+                n_rows,
+                SNAP_VER_COL,
+            )
         if latest is None:
-            if n_rows:
-                # rows landed WITHOUT a version stamp: the contract is
-                # violated and every row would be dropped as the checkpoint
-                # advances past the file — say so loudly (K6's
-                # failures-never-vanish posture; the payload is a full
-                # snapshot, too heavy to dead-letter wholesale)
-                logger.warning(
-                    "snapshot batch %d: %d rows with no %s stamp — "
-                    "snapshot DISCARDED (producer contract violation)",
-                    batch_id,
-                    n_rows,
-                    SNAP_VER_COL,
-                )
-            return  # empty batch (no snapshot rows admitted)
+            return  # empty batch (no stamped snapshot rows admitted)
         prev_store = PrevSnapshotStore(
             os.path.join(self.checkpoint_dir, "snapshots")
         )
         applied = prev_store.applied_snap_ver()
-        if applied is not None and int(latest) <= applied:
-            # stale landing: Spark's file source breaks equal-mtime ties in
-            # arbitrary order (and pollers redeliver) — applying an older
-            # full snapshot would REGRESS the store; versions are monotone
-            # by the producer contract, so skip and let the checkpoint
-            # advance past the file. Normal redelivery, not an error.
+        if applied is not None and int(latest) < applied:
+            # strictly-stale landing: Spark's file source breaks equal-mtime
+            # ties in arbitrary order (and pollers redeliver) — applying an
+            # older full snapshot would REGRESS the store; versions are
+            # monotone by the producer contract, so skip and let the
+            # checkpoint advance past the file. Normal redelivery, not an
+            # error. EQUAL versions are NOT skipped: a multi-file snapshot
+            # split across triggers redelivers its own version, and the
+            # re-diff below heals any partial first application.
             from mysql_hbase_replicator_spark.logging_config import trace
 
             trace(
                 logger,
-                "snapshot batch %d: version %s already applied (at %s) — skipped",
+                "snapshot batch %d: version %s older than applied %s — skipped",
                 batch_id,
                 latest,
                 applied,
             )
             return
-        snap = batch_df.filter(F.col(SNAP_VER_COL) == F.lit(latest)).drop(
-            SNAP_VER_COL
+        # Diff from a batch-side RE-READ of the landing dir at version
+        # `latest`, not from the admitted batch rows: the file source caps
+        # admission (maxFilesPerTrigger), so a multi-file snapshot version
+        # can straddle micro-batches — diffing the admitted subset would
+        # emit the missing files' rows as spurious DELETES (r13 review).
+        # The re-read sees every file of the version on disk at apply time;
+        # files that land even later redeliver the version through the
+        # stream, hit the equal-version path above, and the re-diff against
+        # the staged same-version snapshot emits exactly the healing events.
+        # Cost envelope: one scan of the landing dir per batch (parquet
+        # prunes non-matching files on the constant _snap_ver row-group
+        # stats; the JSON debug shape re-decodes — production landings are
+        # parquet and pollers prune applied files).
+        snap = (
+            self._read_snapshot_landing()
+            .filter(F.col(SNAP_VER_COL) == F.lit(latest))
+            .drop(SNAP_VER_COL)
         )
         # stage first: the diff then scans parquet (one write of the small
         # snapshot instead of recomputing the stream source twice), and the
@@ -314,6 +335,21 @@ class CdcStreamPipeline:
             for key, seconds in result.apply_latency_s.items():
                 self.latency_rings.setdefault(key, deque(maxlen=10)).append(seconds)
         self._trace_batch(batch_id, result)
+
+    def _read_snapshot_landing(self) -> DataFrame:
+        """BATCH read of the whole snapshot landing dir with the stream's
+        schema and format — `_apply_snapshot_batch` diffs from this view so
+        a snapshot version is always applied from every file present on
+        disk, independent of how the file source split its admission across
+        triggers."""
+        from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+            snapshot_schema,
+        )
+
+        reader = self.spark.read.schema(snapshot_schema(self.row_struct))
+        if self.snapshot_format == "parquet":
+            return reader.parquet(self.events_path)
+        return reader.json(self.events_path)
 
     def _snapshot_pk_cols(self) -> list[str]:
         """SOURCE-side PK column names for the diff join (the mapping's key

@@ -890,3 +890,91 @@ def test_lsm_migrates_legacy_layout(spark, tmp_path):
     assert lsm.compact(spark, "t") is True
     got2 = sorted(tuple(r) for r in lsm.read(spark, "t").select("k", "v").collect())
     assert got2 == [(2, "b2"), (3, "c")]
+
+
+def _legacy_table(spark, path: str, rows, n_buckets: int = 4) -> ParquetKeyedStore:
+    rw = ParquetKeyedStore(path, n_buckets=n_buckets)
+    rw.overwrite(
+        spark, "t", spark.createDataFrame(rows, "k int, v string"), ["k"]
+    )
+    return rw
+
+
+def test_lsm_finishes_legacy_crash_after_live_moved_aside(spark, tmp_path):
+    """r13 review: a table crashed by the OLD release's rename protocol
+    between its two swap renames — live dir renamed to .pre-compact,
+    completed staging still at .compacting — silently read as EMPTY under
+    the pointer upgrade (and the next batch would orphan the data forever).
+    The upgrade must finish the old recovery first: completed staging is
+    the new truth."""
+    import shutil
+
+    path = str(tmp_path / "store")
+    rw = _legacy_table(spark, path, [(1, "a"), (2, "b")])
+    tp = rw.table_path("t")
+    # the compacted state the old release staged (here: same rows re-written)
+    staging = tp + ".compacting"
+    shutil.copytree(tp, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    os.rename(tp, tp + ".pre-compact")  # crash after rename 1, before rename 2
+
+    lsm = LogStructuredKeyedStore(path, n_buckets=4)
+    assert lsm.exists("t")
+    got = sorted(tuple(r) for r in lsm.read(spark, "t").select("k", "v").collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert not os.path.isdir(tp + ".compacting")
+    assert not os.path.isdir(tp + ".pre-compact")
+    assert lsm._doc("t").get("delta_version") == 0  # migrated to the pointer
+
+
+def test_lsm_restores_pre_compact_when_staging_incomplete(spark, tmp_path):
+    """Defensive tightening of the old protocol: live dir gone, staging has
+    NO _SUCCESS — the .pre-compact dir is the only surviving copy and must
+    be restored, never rmtree'd."""
+    import shutil
+
+    path = str(tmp_path / "store")
+    rw = _legacy_table(spark, path, [(1, "a"), (2, "b")])
+    tp = rw.table_path("t")
+    staging = tp + ".compacting"
+    os.makedirs(staging)  # incomplete: no _SUCCESS, no data
+    os.rename(tp, tp + ".pre-compact")
+
+    lsm = LogStructuredKeyedStore(path, n_buckets=4)
+    got = sorted(tuple(r) for r in lsm.read(spark, "t").select("k", "v").collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert not os.path.isdir(tp + ".compacting")
+    assert not os.path.isdir(tp + ".pre-compact")
+
+
+def test_lsm_sweeps_stale_crash_dirs_on_pointered_table(spark, tmp_path):
+    """Crash dirs predating the pointer upgrade on a table that ALREADY
+    migrated are stale garbage: the pointer data wins and the leftovers are
+    swept, never promoted over it."""
+    import shutil
+
+    path = str(tmp_path / "store")
+    rw = _legacy_table(spark, path, [(9, "stale")])
+    tp = rw.table_path("t")
+    stale = str(tmp_path / "stale_copy")
+    shutil.copytree(tp, stale)
+
+    lsm = LogStructuredKeyedStore(path, n_buckets=4)
+    assert lsm.exists("t")  # migrates to the pointer layout
+    lsm.merge(
+        spark,
+        "t",
+        spark.createDataFrame([(1, "live")], "k int, v string"),
+        spark.createDataFrame([], "k int"),
+        ["k"],
+    )
+    # now drop pre-upgrade crash leftovers beside the pointered table
+    shutil.copytree(stale, tp + ".compacting")
+    open(os.path.join(tp + ".compacting", "_SUCCESS"), "w").close()
+    shutil.copytree(stale, tp + ".pre-compact")
+
+    lsm2 = LogStructuredKeyedStore(path, n_buckets=4)
+    got = sorted(tuple(r) for r in lsm2.read(spark, "t").select("k", "v").collect())
+    assert got == [(1, "live"), (9, "stale")]
+    assert not os.path.isdir(tp + ".compacting")
+    assert not os.path.isdir(tp + ".pre-compact")

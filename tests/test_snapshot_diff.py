@@ -321,3 +321,108 @@ def test_snapshot_diff_plan_is_single_full_outer_smj(spark, student_struct):
     assert "SortMergeJoin" in plan and "FullOuter" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_null_pk_row_is_matchable_not_ghost_insert(spark, student_struct):
+    """A row whose PK column is legitimately NULL must classify by the
+    side-presence markers, not PK nullness (r13 review: isNotNull presence
+    turned an unchanged NULL-PK row into a before=NULL/after=NULL 'insert'
+    on every poll). Unchanged NULL-PK row → no event; a non-key change on
+    it → one update with both images."""
+    rows = [(None, 1, 90, "ann", "a"), (1, 1, 80, "bob", "b")]
+    prev = spark.createDataFrame(rows, student_struct)
+    same = spark.createDataFrame(rows, student_struct)
+    assert (
+        snapshot_diff_events(
+            prev, same, student_struct, ["sn", "id"], "mixfs", "student", 2
+        ).count()
+        == 0
+    )
+    cur = spark.createDataFrame(
+        [(None, 1, 95, "ann", "a"), (1, 1, 80, "bob", "b")], student_struct
+    )
+    evs = snapshot_diff_events(
+        prev, cur, student_struct, ["sn", "id"], "mixfs", "student", 2
+    ).collect()
+    assert len(evs) == 1
+    assert evs[0]["op"] == "update"
+    assert tuple(evs[0]["before"]) == (None, 1, 90, "ann", "a")
+    assert tuple(evs[0]["after"]) == (None, 1, 95, "ann", "a")
+
+
+def test_multifile_snapshot_version_split_across_triggers(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """One snapshot version landed as TWO files with maxFilesPerTrigger=1:
+    the file source admits them in separate micro-batches, so diffing the
+    admitted rows would apply a PARTIAL snapshot (spurious deletes) and the
+    old equal-version skip would then drop the remainder forever (r13
+    review). The pipeline must diff from the landing-dir re-read instead
+    and converge to the full snapshot."""
+    snap_dir = str(tmp_path / "snaps")
+    os.makedirs(snap_dir)
+    write_snapshot(snap_dir, "s1_part0.json", SNAPSHOTS[0][:2], ver=1)
+    write_snapshot(snap_dir, "s1_part1.json", SNAPSHOTS[0][2:], ver=1)
+    pipe = make_pipe(spark, tmp_path, student_struct, student_mapping, snap_dir)
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert state(spark, pipe.store) == sorted(tuple(r.values()) for r in SNAPSHOTS[0])
+    # the first trigger applies the FULL version via the landing re-read;
+    # the redelivered remainder re-diffs to an empty event set
+    assert pipe.total_counts() == {"mixfs.student.insert": 3}
+
+
+def test_late_remainder_file_of_applied_version_heals(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """A remainder file of an ALREADY-APPLIED version landing later (the
+    producer was still writing the multi-file snapshot when the first poll
+    caught it): the equal-version re-diff against the staged partial
+    snapshot emits exactly the missing rows — the store heals instead of
+    skipping the version as 'already applied'."""
+    snap_dir = str(tmp_path / "snaps")
+    os.makedirs(snap_dir)
+    write_snapshot(snap_dir, "s1_part0.json", SNAPSHOTS[0][:2], ver=1)
+    pipe = make_pipe(spark, tmp_path, student_struct, student_mapping, snap_dir)
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert len(state(spark, pipe.store)) == 2  # partial version on disk so far
+
+    write_snapshot(snap_dir, "s1_part1.json", SNAPSHOTS[0][2:], ver=1)
+    pipe2 = make_pipe(spark, tmp_path, student_struct, student_mapping, snap_dir)
+    q2 = pipe2.start(available_now=True)
+    q2.awaitTermination(120)
+    assert state(spark, pipe2.store) == sorted(
+        tuple(r.values()) for r in SNAPSHOTS[0]
+    )
+    assert pipe2.total_counts() == {"mixfs.student.insert": 1}
+
+
+def test_mixed_stamped_and_unstamped_rows_warn(
+    spark, tmp_path, student_struct, student_mapping, caplog
+):
+    """Unstamped rows sharing a batch with stamped ones must be reported
+    too (r13 review: the warning only fired when ALL rows were unstamped —
+    the mixed case silently dropped the violating rows). The stamped
+    snapshot still applies."""
+    import logging
+
+    snap_dir = str(tmp_path / "snaps")
+    os.makedirs(snap_dir)
+    with open(os.path.join(snap_dir, "mixed.json"), "w") as f:
+        for r in SNAPSHOTS[0][:2]:
+            f.write(json.dumps({**r, "_snap_ver": 1}) + "\n")
+        f.write(json.dumps(SNAPSHOTS[0][2]) + "\n")  # no stamp
+    pipe = make_pipe(spark, tmp_path, student_struct, student_mapping, snap_dir)
+    with caplog.at_level(
+        logging.WARNING, logger="mysql_hbase_replicator_spark.streaming.pipeline"
+    ):
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+    assert any(
+        "no _snap_ver stamp" in rec.message and "DISCARDED" in rec.message
+        for rec in caplog.records
+    ), caplog.records
+    assert state(spark, pipe.store) == sorted(
+        tuple(r.values()) for r in SNAPSHOTS[0][:2]
+    )
