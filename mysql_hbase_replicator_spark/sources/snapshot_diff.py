@@ -211,7 +211,7 @@ class PrevSnapshotStore:
 
     def applied_snap_ver(self) -> int | None:
         """The highest ``_snap_ver`` already folded into the store. The
-        pipeline SKIPS any snapshot at or below it: Spark's file source
+        pipeline SKIPS any snapshot strictly below it: Spark's file source
         breaks equal-mtime ties in arbitrary order and a poller can
         redeliver old landings, and applying snapshot N-1 after N would
         REGRESS the store to stale state (measured: two same-second files
@@ -221,6 +221,24 @@ class PrevSnapshotStore:
             return int(v) if v is not None else None
         except (ValueError, TypeError):
             return None
+
+    def files_map(self) -> dict[str, int]:
+        """Landing-file basename → highest ``_snap_ver`` seen in that file.
+        Each file is admitted by the stream exactly once, so merging every
+        batch's per-file versions at flip time accumulates a complete map —
+        the pipeline's landing re-read then skips files whose recorded max
+        version is strictly below the triggering one, keeping the per-poll
+        scan O(current version + unseen files) instead of O(all history)."""
+        files = self._marker().get("files")
+        if not isinstance(files, dict):
+            return {}
+        out = {}
+        for k, v in files.items():
+            try:
+                out[str(k)] = int(v)
+            except (ValueError, TypeError):
+                continue
+        return out
 
     def _ver_path(self, ver: int) -> str:
         return os.path.join(self.root, f"prev_v{ver}")
@@ -245,11 +263,29 @@ class PrevSnapshotStore:
         ).parquet(path)
         return nxt, path
 
-    def flip(self, version: int, snap_ver: int) -> None:
+    def flip(
+        self,
+        version: int,
+        snap_ver: int,
+        file_vers: dict[str, int] | None = None,
+        landing_files: list[str] | None = None,
+    ) -> None:
+        """Atomically advance the marker. ``file_vers`` merges this batch's
+        per-file max versions into the files map; ``landing_files`` (the
+        current landing listing, when the caller has one) prunes map entries
+        for files the producer has deleted, bounding the marker's size by
+        the live landing."""
         os.makedirs(self.root, exist_ok=True)
+        files = self.files_map()
+        if file_vers:
+            for k, v in file_vers.items():
+                files[k] = max(int(v), files.get(k, 0))
+        if landing_files is not None:
+            live = set(landing_files)
+            files = {k: v for k, v in files.items() if k in live}
         tmp = self._marker_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "snap_ver": snap_ver}, f)
+            json.dump({"version": version, "snap_ver": snap_ver, "files": files}, f)
         os.replace(tmp, self._marker_path())
         # sweep: keep current and current-1 (the replayed batch may still
         # re-read its diff inputs); older versions are garbage

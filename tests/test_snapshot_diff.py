@@ -426,3 +426,35 @@ def test_mixed_stamped_and_unstamped_rows_warn(
     assert state(spark, pipe.store) == sorted(
         tuple(r.values()) for r in SNAPSHOTS[0][:2]
     )
+
+
+def test_landing_rescan_prunes_already_applied_files(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """The landing re-read must scan only files that can still carry the
+    triggering version: files whose recorded max version is strictly older
+    are excluded (their content is already folded in), unseen files are
+    kept. Keeps the per-poll scan O(one snapshot), not O(all history)."""
+    from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+        PrevSnapshotStore,
+    )
+
+    snap_dir = str(tmp_path / "snaps")
+    os.makedirs(snap_dir)
+    for v in (1, 2, 3):
+        write_snapshot(snap_dir, f"s{v}.json", SNAPSHOTS[v - 1], ver=v)
+    pipe = make_pipe(spark, tmp_path, student_struct, student_mapping, snap_dir)
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    store = PrevSnapshotStore(os.path.join(pipe.checkpoint_dir, "snapshots"))
+    # the files map learned every admitted landing's version
+    assert store.files_map() == {"s1.json": 1, "s2.json": 2, "s3.json": 3}
+    # a version-4 trigger scans only files that may carry it: the (unseen)
+    # new landing; v1-v3 files are pruned
+    write_snapshot(snap_dir, "s4.json", SNAPSHOTS[2], ver=4)
+    paths, names = pipe._snapshot_landing_files(store, 4, {"s4.json": 4})
+    assert sorted(os.path.basename(p) for p in paths) == ["s4.json"]
+    assert sorted(names) == ["s1.json", "s2.json", "s3.json", "s4.json"]
+    # an equal-version redelivery keeps the version's own files
+    paths3, _ = pipe._snapshot_landing_files(store, 3, {})
+    assert sorted(os.path.basename(p) for p in paths3) == ["s3.json", "s4.json"]
