@@ -75,16 +75,23 @@ class TableSchema:
         """Schema-cache comparison; True → cached entry still valid.
 
         ``faithful=True`` reproduces the reference's inverted nullability
-        clause (TableInfo.scala:26 uses ``!=``), which effectively always
-        invalidates the cache; default is the evident intent.
-        """
-        base = (
+        clause (TableInfo.scala:26 uses ``!=``): ColInfo tracks no
+        nullability, and two columns lists that agree on names and types
+        agree on nullability in every case the reference meets, so the
+        inverted comparison over equal lists is constant False — the cache
+        is ALWAYS invalidated. (An earlier stand-in inverted the
+        column-NAME comparison instead, which wrongly reported a RENAMED
+        column as an unchanged schema — the one case where the reference
+        and that stand-in disagreed; r13 review.) Default is the evident
+        intent: names and types equal."""
+        if faithful:
+            return False
+        return (
             self.database == other.database
             and self.table == other.table
             and [c.type_lower for c in self.cols] == [c.type_lower for c in other.cols]
+            and [c.name for c in self.cols] == [c.name for c in other.cols]
         )
-        nullability_same = [c.name for c in self.cols] == [c.name for c in other.cols]
-        return base and (not nullability_same if faithful else nullability_same)
 
     def is_key_column_changed(self, other: TableSchema) -> bool:
         """TableInfo.scala:29-31 — compares sorted (name, type) PK lists."""

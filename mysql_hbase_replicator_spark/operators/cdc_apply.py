@@ -309,13 +309,30 @@ def apply_cdc_batch(
             )
             .collect()
         )
-        latest_pos = max(
-            (r["maxpos"] for r in stats if r["maxpos"] is not None), default=None
+        # Driver-side max over the collected (o, value) structs: compare via
+        # a None-safe key, NOT tuple order — a group whose ord is NULL (a
+        # legacy seq-less file sharing a batch with seq-stamped ones, or an
+        # event line missing `position`) yields Row(o=None, ...), and Python
+        # raises TypeError on None<int, wedging the stream in a
+        # crash-replay loop (r13 review). None sorts below every real ord.
+        def _none_safe_max(rows, field, field_default):
+            def key(r):
+                o, v = r["o"], r[field]
+                return (
+                    o is not None,
+                    o if o is not None else 0,
+                    v is not None,
+                    v if v is not None else field_default,
+                )
+
+            return max(rows, key=key, default=None)
+
+        latest_pos = _none_safe_max(
+            [r["maxpos"] for r in stats if r["maxpos"] is not None], "position", 0
         )
         result.checkpoint_position = latest_pos["position"] if latest_pos else None
-        latest_file = max(
-            (r["maxfile"] for r in stats if r["maxfile"] is not None),
-            default=None,
+        latest_file = _none_safe_max(
+            [r["maxfile"] for r in stats if r["maxfile"] is not None], "filename", ""
         )
         if latest_file is not None:
             result.checkpoint_filename = latest_file["filename"]
@@ -335,7 +352,13 @@ def apply_cdc_batch(
                 continue
             n_row_events += r["n"]
             if r["_full_name"] in mapped:
-                result.applied_counts[f"{r['_full_name']}.{r['op']}"] = r["n"]
+                # the JMX-analog counter reports events APPLIED: the group's
+                # dead-lettered rows were diverted, never merged — counting
+                # them here made applied+dead sum past the batch size (r13
+                # review). All-dead groups contribute no counter entry.
+                n_applied = r["n"] - r["n_dead"]
+                if n_applied:
+                    result.applied_counts[f"{r['_full_name']}.{r['op']}"] = n_applied
                 tables_in_batch.add(r["_full_name"])
                 dead_counts[r["_full_name"]] = (
                     dead_counts.get(r["_full_name"], 0) + r["n_dead"]
@@ -450,9 +473,18 @@ def _apply_table(
     if small:
         ev = ev.coalesce(4)
     # generic multi-table mode: images arrive as JSON strings; parse them
-    # against THIS table's declared source schema before the typed kernel
+    # against THIS table's declared source schema before the typed kernel.
+    # The RAW strings are kept aside first: the dead-letter payload must
+    # preserve the delivery verbatim — serializing the post-parse structs
+    # instead destroys any source value the current (possibly wrong)
+    # mapping mistyped or didn't declare, which is exactly the data a
+    # replay-after-mapping-fix needs back (r13 review).
     dtypes = dict(ev.dtypes)
-    if dtypes.get("before") == "string":
+    raw_json_images = dtypes.get("before") == "string"
+    if raw_json_images:
+        ev = ev.withColumn("_raw_before", F.col("before")).withColumn(
+            "_raw_after", F.col("after")
+        )
         struct = source_struct(info)
         ev = ev.withColumn("before", F.from_json("before", struct)).withColumn(
             "after", F.from_json("after", struct)
@@ -480,12 +512,30 @@ def _apply_table(
     if n_dead:
         dead = ev.filter(~F.col("_valid"))
         result.dead_letter_count += n_dead
+        # payload: the delivery verbatim. Generic mode embeds the RAW image
+        # strings (pre-parse); typed mode serializes the typed structs,
+        # which ARE the delivery there.
+        payload = (
+            F.concat(
+                F.lit('{"before":'),
+                F.coalesce(F.col("_raw_before"), F.lit("null")),
+                F.lit(',"after":'),
+                F.coalesce(F.col("_raw_after"), F.lit("null")),
+                F.lit("}"),
+            )
+            if raw_json_images
+            else F.to_json(F.struct("before", "after"))
+        )
         dead.select(
             F.col("position"),
+            # stream order survives the queue: without seq a replay's K5
+            # collapse falls back to position order, which is invalid when
+            # binlog positions reset per file (r13 review)
+            *([F.col("seq")] if "seq" in dead.columns else []),
             F.col("op"),
             F.lit(info.full_name).alias("table_name"),
             F.lit("sql statement does not contain all primary keys").alias("reason"),
-            F.to_json(F.struct("before", "after")).alias("payload"),
+            payload.alias("payload"),
             # preserved verbatim so a replay re-applies the event exactly as
             # received — the included-columns gate and binlog file included
             F.col("included_before"),
@@ -650,11 +700,42 @@ def replay_dead_letters(
     ):
         if c not in dl.columns:
             dl = dl.withColumn(c, F.lit(None).cast(t))
+    # Re-queue (K6: failures never vanish) everything the drain cannot
+    # apply, VERBATIM from the queue rows: ingest-level dead letters whose
+    # op is not a row op (e.g. corrupt Debezium envelopes queued by
+    # debezium_dead_letters), and rows for tables absent from the CURRENT
+    # mappings — apply_cdc_batch would merely count those as
+    # skipped_unmapped while the drain's cleanup deleted their queue dirs,
+    # silently destroying a decommissioned-then-remapped table's failures
+    # (r13 review).
+    mapped_names = list(mappings)
+    requeue = dl.filter(
+        ~F.col("op").isin(*ROW_OPS) | ~F.col("table_name").isin(*mapped_names)
+    )
+    n_requeue = requeue.count()
+    if n_requeue:
+        requeue.write.mode("overwrite").parquet(
+            dead_letter_batch_path(store, f"requeue-{uuid.uuid4().hex[:12]}")
+        )
+    live = dl.filter(
+        F.col("op").isin(*ROW_OPS) & F.col("table_name").isin(*mapped_names)
+    )
+    # stream order survives the round trip: queued rows carry seq when their
+    # source stamped it — re-emit it VERBATIM (caller-owned type: long
+    # offset or ts/file/pos struct; the kernel only needs orderability) so
+    # the replay's K5 collapse keeps seq order (positions reset per binlog
+    # file). Only when some row actually carries one: an all-null seq
+    # column would OUST the position fallback in apply_cdc_batch and break
+    # ordering for position-only queues.
+    has_seq = "seq" in dl.columns and live.filter(
+        F.col("seq").isNotNull()
+    ).limit(1).count() > 0
     # route through the generic JSON path so each table parses against its
     # CURRENT mapping schema. get_json_object lifts the sub-objects back out
     # of the payload as JSON text per row, executor-side.
-    ev_df = dl.select(
+    ev_df = live.select(
         F.col("position").cast("long").alias("position"),
+        *([F.col("seq")] if has_seq else []),
         F.col("op").cast("string").alias("op"),
         F.substring_index("table_name", ".", 1).alias("db"),
         F.substring_index("table_name", ".", -1).alias("table"),
@@ -675,29 +756,18 @@ def replay_dead_letters(
     # multi-row event, which the byte-level dropDuplicates above already
     # collapsed under the old scheme too.
     ev_df = ev_df.dropDuplicates()
-    # ingest-level dead letters (e.g. corrupt Debezium envelopes queued by
-    # debezium_dead_letters) carry a non-row op ("?"/unknown) and a raw
-    # payload the row path can't interpret — re-queue them verbatim instead
-    # of letting the drain discard them (K6: failures never vanish)
-    uninterpretable = dl.filter(~F.col("op").isin(*ROW_OPS))
-    n_uninterp = uninterpretable.count()
-    if n_uninterp:
-        uninterpretable.write.mode("overwrite").parquet(
-            dead_letter_batch_path(store, f"requeue-{uuid.uuid4().hex[:12]}")
-        )
-        ev_df = ev_df.filter(F.col("op").isin(*ROW_OPS))
     if ev_df.isEmpty():
         for d in drain_dirs:
             shutil.rmtree(d)
-        if n_uninterp:
+        if n_requeue:
             result = CdcBatchResult()
-            result.dead_letter_count = n_uninterp
+            result.dead_letter_count = n_requeue
             return result
         return None
     result = apply_cdc_batch(
         spark, ev_df, store, mappings, k3_mode=k3_mode, advance_checkpoint=False
     )
-    result.dead_letter_count += n_uninterp
+    result.dead_letter_count += n_requeue
     for d in drain_dirs:
         shutil.rmtree(d)
     return result

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -74,11 +75,22 @@ class RestartPolicy:
     reset_after_s: float = 300.0
 
 
+# SupervisorReport.errors retention: reset_after_s makes the restart loop
+# deliberately unbounded for a long-lived stream, and a
+# StreamingQueryException message embeds the full JVM+Python traceback
+# (multi-KB) — an uncapped list accumulates months of flaps in driver
+# memory. The last ERRORS_KEPT entries (each capped at ERROR_CHARS chars)
+# cover every diagnostic consumer (report.errors[-1], the exhausted/fatal
+# messages) with bounded footprint.
+ERRORS_KEPT = 100
+ERROR_CHARS = 4000
+
+
 @dataclass
 class SupervisorReport:
     attempts: int = 0
     restarts: int = 0
-    errors: list[str] = field(default_factory=list)
+    errors: "deque[str]" = field(default_factory=lambda: deque(maxlen=ERRORS_KEPT))
     outcome: str = "clean"  # clean | fatal | exhausted
 
 
@@ -106,7 +118,7 @@ def supervise(
             query.awaitTermination()
             return report
         except Exception as exc:  # StreamingQueryException or startup failure
-            report.errors.append(f"{type(exc).__name__}: {exc}")
+            report.errors.append(f"{type(exc).__name__}: {exc}"[:ERROR_CHARS])
             if is_fatal(exc):
                 report.outcome = "fatal"
                 logger.error(

@@ -744,3 +744,148 @@ def test_drain_collapses_cross_token_replay_duplicates(
     res = replay_dead_letters(spark, store, mappings)
     assert res is not None and res.dead_letter_count == 1  # one failure
     assert spark.read.parquet(str(dl_dir)).count() == 1  # re-queued ONCE
+
+
+# --- r13 review regressions: dead-letter fidelity, ordering, counters ------
+def test_applied_counts_exclude_dead_lettered_events(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """The JMX-analog counter reports events APPLIED: a dead-lettered row
+    was diverted, never merged — counting it made applied+dead sum past the
+    batch size (r13 review)."""
+    events = [
+        ev(1, "insert", after=row(1, 1, 90, "ann", "a")),
+        ev(2, "insert", after=row(2, None, 50, "eve", "e")),  # missing PK
+    ]
+    _store, result = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert result.dead_letter_count == 1
+    assert result.applied_counts == {"mixfs.student.insert": 1}
+
+
+def test_checkpoint_stats_survive_mixed_null_ord(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """A batch mixing seq-stamped and seq-less events (a legacy file sharing
+    a trigger with stamped ones) must not crash the driver-side checkpoint
+    max — Python tuple comparison raises TypeError on None<int (r13 review:
+    the crash wedged the stream in a replay loop)."""
+    events = [
+        {**ev(900, "insert", after=row(1, 1, 10, "a", None)), "seq": None},
+        {**ev(50, "update", before=row(1, 1, 10, "a", None),
+              after=row(1, 1, 20, "b", None)), "seq": 5},
+    ]
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    result = apply_cdc_batch(
+        spark,
+        events_from_rows(spark, events, student_struct),
+        store,
+        {"mixfs.student": student_mapping},
+    )
+    # the stamped event is the latest by ord; its position is the checkpoint
+    assert result.checkpoint_position == 50
+
+
+def test_dead_letter_preserves_raw_payload_for_replay(spark, tmp_path):
+    """Generic-mode dead letters must queue the DELIVERY verbatim, not the
+    post-parse images: a PK mistyped by the current mapping parses to NULL,
+    and queueing the parsed struct destroys the original value — the replay
+    after the operator fixes the type would then re-queue forever (r13
+    review)."""
+    from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
+    from mysql_hbase_replicator_spark.operators.cdc_apply import replay_dead_letters
+    from pyspark.sql import functions as F
+
+    def mapping(id_type_db, id_type_spark):
+        return HbaseTableInfo(
+            dbName="mixfs", dbTableName="codes", hbaseTableName="mixfs:codes",
+            hbaseNameSpace="mixfs", sparkTableName="codes", bytesUtils="Binary",
+            cols=[
+                HbaseCollInfo("id", id_type_db, "id", id_type_spark, True),
+                HbaseCollInfo("label", "varchar(10)", "label", "StringType", False),
+            ],
+        )
+
+    bad = mapping("int(11)", "IntegerType")     # source actually sends strings
+    # generic stream shape: images are raw JSON strings
+    ev_df = spark.createDataFrame(
+        [(1, "insert", "mixfs", "codes", None, '{"id": "A7", "label": "x"}',
+          None, None, None)],
+        "position long, op string, db string, table string, before string, "
+        "after string, included_before array<string>, "
+        "included_after array<string>, filename string",
+    )
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    r1 = apply_cdc_batch(spark, ev_df, store, {"mixfs.codes": bad})
+    assert r1.dead_letter_count == 1  # "A7" parsed to NULL under int
+
+    # the queue holds the ORIGINAL string, not the nulled parse
+    dl = spark.read.parquet(str(tmp_path / "store" / "_dead_letter"))
+    payload = dl.select("payload").first()["payload"]
+    assert '"A7"' in payload
+
+    fixed = mapping("varchar(10)", "StringType")
+    res = replay_dead_letters(spark, store, {"mixfs.codes": fixed})
+    assert res is not None and res.dead_letter_count == 0
+    got = store.read(spark, "mixfs:codes").select("id", "label").collect()
+    assert [(r.id, r.label) for r in got] == [("A7", "x")]
+
+
+def test_dead_letter_replay_keeps_seq_order(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """Stream order must survive the queue round trip: binlog positions
+    reset per file, so a replay collapsing by position would let the OLDER
+    image win (r13 review: the queue dropped seq)."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import replay_dead_letters
+
+    events = [
+        # both lack sn → dead-lettered under the (sn,id) PK; position order
+        # (900 > 50) is the WRONG order, seq order (100 < 200) is right
+        {**ev(900, "insert", after=row(None, 7, 10, "old", None)), "seq": 100,
+         "filename": "binlog.000001"},
+        {**ev(50, "update", before=row(None, 7, 10, "old", None),
+              after=row(None, 7, 20, "new", None)), "seq": 200,
+         "filename": "binlog.000002"},
+    ]
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    r1 = apply_cdc_batch(
+        spark,
+        events_from_rows(spark, events, student_struct),
+        store,
+        {"mixfs.student": student_mapping},
+    )
+    assert r1.dead_letter_count == 2
+
+    res = replay_dead_letters(spark, store, {"mixfs.student": _pk_id_only_mapping()})
+    assert res is not None and res.dead_letter_count == 0
+    got = store.read(spark, "mixfs:student2").select("id", "score", "name").collect()
+    assert [(r.id, r.score, r.name) for r in got] == [(7, 20, "new")]
+
+
+def test_replay_requeues_unmapped_table_dead_letters(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """K6: a drain must never destroy dead letters for tables absent from
+    the CURRENT mappings (r13 review: apply counted them skipped_unmapped
+    while the drain deleted their queue dirs). They re-queue and apply on a
+    later drain that maps the table."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import replay_dead_letters
+
+    events = [
+        ev(1, "insert", after=row(None, 7, 50, "eve", None)),  # missing sn
+    ]
+    store, r1 = run_batch(spark, tmp_path, student_struct, student_mapping, events)
+    assert r1.dead_letter_count == 1
+
+    # drain with a DIFFERENT table mapped: student's letter must survive
+    other = _pk_id_only_mapping()
+    other.dbTableName = "other"
+    other.dbName = "mixfs"
+    res = replay_dead_letters(spark, store, {"mixfs.other": other})
+    assert res is not None and res.dead_letter_count == 1  # requeued, not lost
+
+    # a later drain with student mapped applies it
+    res2 = replay_dead_letters(spark, store, {"mixfs.student": _pk_id_only_mapping()})
+    assert res2 is not None and res2.dead_letter_count == 0
+    got = store.read(spark, "mixfs:student2").select("id", "name").collect()
+    assert [(r.id, r.name) for r in got] == [(7, "eve")]

@@ -109,3 +109,22 @@ def test_kernel_applies_add_column_trace(spark, tmp_path, student_struct, studen
         for r in store.read(spark, name).collect()
     }
     assert got2 == got
+
+
+def test_same_data_faithful_always_invalidates(spark):
+    """The reference's inverted nullability clause (TableInfo.scala:26 uses
+    ``!=``) makes same_data constant-False over nullability-equal column
+    lists — faithful mode must reproduce that, including for a RENAMED
+    column (r13 review: the earlier stand-in inverted the NAME comparison
+    and reported a rename as an unchanged schema)."""
+    a = schema_of(ColInfo("id", "int", True), ColInfo("name", "varchar(10)", False))
+    renamed = schema_of(
+        ColInfo("id", "int", True), ColInfo("full_name", "varchar(10)", False)
+    )
+    same = schema_of(ColInfo("id", "int", True), ColInfo("name", "varchar(10)", False))
+    # evident intent: rename invalidates, identical stays valid
+    assert a.same_data(same) is True
+    assert a.same_data(renamed) is False
+    # faithful: ALWAYS invalidates — identical AND renamed
+    assert a.same_data(same, faithful=True) is False
+    assert a.same_data(renamed, faithful=True) is False

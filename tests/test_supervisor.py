@@ -194,3 +194,50 @@ def test_supervised_stream_fatal_overflow_terminates(
     assert "DeadLetterOverflowError" in f"{type(exc_info.value).__name__}: {exc_info.value}"
     assert sleeps == []  # never restarted
     assert DeadLetterOverflowError is not None  # imported contract stays
+
+
+def test_error_history_is_bounded():
+    """reset_after_s makes the restart loop deliberately unbounded for a
+    long-lived stream; the report must not accumulate months of multi-KB
+    tracebacks in driver memory (r13 review) — only the last ERRORS_KEPT
+    entries are retained, each capped at ERROR_CHARS chars."""
+    from mysql_hbase_replicator_spark.streaming.supervisor import (
+        ERROR_CHARS,
+        ERRORS_KEPT,
+        RestartPolicy,
+        supervise,
+    )
+
+    n_failures = ERRORS_KEPT + 37
+    state = {"n": 0}
+    big = "x" * (ERROR_CHARS * 3)
+
+    class _Query:
+        def awaitTermination(self):
+            return None
+
+    def start_query():
+        if state["n"] < n_failures:
+            state["n"] += 1
+            raise IOError(f"flap {state['n']} {big}")
+        return _Query()
+
+    # fake clock: every run looks healthy for > reset_after_s, so the
+    # budget refills forever — the unbounded-loop regime under test
+    t = {"now": 0.0}
+
+    def clock():
+        t["now"] += 1000.0
+        return t["now"]
+
+    report = supervise(
+        start_query,
+        RestartPolicy(max_restarts=3, backoff_initial_s=0.0, reset_after_s=300.0),
+        sleep=lambda _s: None,
+        clock=clock,
+    )
+    assert report.outcome == "clean"
+    assert report.restarts == n_failures
+    assert len(report.errors) == ERRORS_KEPT  # bounded, oldest evicted
+    assert all(len(e) <= ERROR_CHARS for e in report.errors)
+    assert f"flap {n_failures} " in report.errors[-1]
