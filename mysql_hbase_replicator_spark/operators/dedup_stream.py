@@ -98,14 +98,24 @@ class IncrementalDeduper:
             else:
                 shutil.rmtree(retired)  # promotion completed; copy is stale
 
-    def _compact_dir(self, live_dir: str, partition_cols: list[str]) -> int:
-        """Atomic swap: stage → retire old → promote staged → drop retired."""
+    def _compact_dir(
+        self, live_dir: str, partition_cols: list[str], dedupe: bool = False
+    ) -> int:
+        """Atomic swap: stage → retire old → promote staged → drop retired.
+        ``dedupe`` drops exact-duplicate rows during the rewrite — the
+        shingle store can accumulate a doc's set twice when a crash between
+        process_batch's two appends is replayed (see the append-order note
+        there); the band index tolerates duplicates (candidates are
+        distinct'd) so it skips the shuffle."""
         self._recover(live_dir)
         if not self._parquet_files(live_dir):
             return 0
         staging, retired = live_dir + ".compacting", live_dir + ".retired"
+        frame = self.spark.read.parquet(live_dir)
+        if dedupe:
+            frame = frame.distinct()
         (
-            self.spark.read.parquet(live_dir)
+            frame
             .repartition(self.n_compact_partitions, *partition_cols)
             .write.mode("overwrite")
             .parquet(staging)
@@ -121,7 +131,7 @@ class IncrementalDeduper:
         band-index file count."""
         n = self._compact_dir(self.index_dir, ["band_idx", "band_hash"])
         if self.rerank_threshold is not None:
-            self._compact_dir(self.shingle_dir, ["doc_id"])
+            self._compact_dir(self.shingle_dir, ["doc_id"], dedupe=True)
         return n
 
     def _index(self) -> DataFrame | None:
@@ -158,9 +168,21 @@ class IncrementalDeduper:
             return cands.select("doc_id").distinct()
 
         cands = cands.distinct()
-        # prior-side shingles: current batch (in-batch priors) + the store
+        # prior-side shingles: current batch (in-batch priors) + the store.
+        # The store side drops doc_ids present in the batch FIRST: an
+        # at-least-once source redelivers admitted docs, and a doc whose
+        # shingles appear on both sides would have n_common and n_b doubled
+        # — inflating Jaccard past the threshold for every pair involving
+        # it, falsely rejecting genuine sub-threshold neighbours (r13
+        # review). The batch doc-id set is small → broadcast anti-join.
         store = self._shingle_store()
-        prior_sh = hashed if store is None else hashed.unionByName(store)
+        if store is None:
+            prior_sh = hashed
+        else:
+            batch_ids = hashed.select("doc_id").distinct()
+            prior_sh = hashed.unionByName(
+                store.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+            )
         prior_sh = prior_sh.select(F.col("doc_id").alias("prior_id"), "h0")
         inter = (
             cands.join(hashed, "doc_id")
@@ -200,11 +222,23 @@ class IncrementalDeduper:
             dups = self._rejected(bands, hashed).localCheckpoint(eager=True)
             admitted = docs.join(dups, "doc_id", "left_anti")
             new_bands = bands.join(dups, "doc_id", "left_anti")
-            new_bands.write.mode("append").parquet(self.index_dir)
+            # Append order matters for crash safety (r13 review): SHINGLES
+            # FIRST. Bands-first left a window where a crash between the two
+            # appends stored bands with no shingles — the doc then
+            # band-matched ITSELF on the replay (rejected, so its shingles
+            # were never stored) and every future true near-dup of it
+            # band-collided into a candidate pair whose Jaccard join found
+            # no prior shingles: near-dups admitted forever. Shingles-first
+            # inverts the failure: the replayed doc has no bands yet, is
+            # re-admitted, and completes the index — the only residue is a
+            # duplicated shingle set, which briefly OVER-rejects borderline
+            # neighbours (conservative) and is healed by the next
+            # compaction's distinct().
             if self.rerank_threshold is not None:
                 hashed.join(dups, "doc_id", "left_anti").write.mode("append").parquet(
                     self.shingle_dir
                 )
+            new_bands.write.mode("append").parquet(self.index_dir)
             if len(self._data_files()) > self.max_files:
                 self.compact()
             return admitted

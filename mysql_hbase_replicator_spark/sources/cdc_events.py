@@ -95,10 +95,21 @@ def events_from_rows(
     return spark.createDataFrame(data, schema)
 
 
-def read_event_log(spark: SparkSession, path: str, row_struct: T.StructType) -> DataFrame:
+def read_event_log(
+    spark: SparkSession,
+    path: str,
+    row_struct: T.StructType,
+    with_seq: bool = False,
+) -> DataFrame:
     """Batch-read a CDC event directory (json lines, the self-contained
-    binlog stand-in per SURVEY §2.1 S1)."""
-    return spark.read.schema(cdc_event_schema(row_struct)).json(path)
+    binlog stand-in per SURVEY §2.1 S1). ``with_seq=True`` scans the
+    globally monotonic ``seq`` column — sources whose rotates land
+    mid-batch MUST stamp it (see the module table); without the knob the
+    typed readers silently dropped a stamped seq and the kernel fell back
+    to position order (r13 review). Opt-in for the same reason as
+    ``cdc_json_event_schema``: an all-NULL seq from legacy files would
+    oust the position fallback."""
+    return spark.read.schema(cdc_event_schema(row_struct, with_seq=with_seq)).json(path)
 
 
 def read_event_stream(
@@ -106,13 +117,15 @@ def read_event_stream(
     path: str,
     row_struct: T.StructType,
     max_files_per_trigger: int = 16,
+    with_seq: bool = False,
 ) -> DataFrame:
     """Structured Streaming source over the same event directory. Resume
     comes from checkpointLocation (S2) — no hand-rolled position row.
     ``max_files_per_trigger`` bounds micro-batch size (latency/throughput
-    knob; 1 = one event file per micro-batch, the latency-bench setting)."""
+    knob; 1 = one event file per micro-batch, the latency-bench setting).
+    ``with_seq``: see ``read_event_log``."""
     return (
-        spark.readStream.schema(cdc_event_schema(row_struct))
+        spark.readStream.schema(cdc_event_schema(row_struct, with_seq=with_seq))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .json(path)
     )

@@ -94,8 +94,8 @@ def debezium_to_cdc_events(
 
     - ``seq_col`` given: used verbatim, caller-owned TYPE included — the
       kernel only needs ``seq`` to be orderable (max-struct + window
-      orderBy), so a caller may pass the Kafka partition offset (a long;
-      ``read_debezium_stream`` does — Debezium keys records by PK, so a
+      orderBy), so a caller may pass the Kafka partition offset (a long —
+      Debezium keys records by PK, so a
       per-partition offset totally orders each key's history) or an
       order-preserving STRUCT like ``(ts_ms, file, pos)`` — the
       window-free form ``CdcStreamPipeline`` passes per micro-batch (the
@@ -187,12 +187,27 @@ def read_debezium_stream(
     spark, brokers: str, topic: str, starting_offsets: str = "earliest"
 ) -> DataFrame:
     """The production source: a Kafka Debezium topic as a streaming frame of
-    CDC events, ready for CdcStreamPipeline's generic multi-table kernel.
-    ``seq`` is the Kafka partition offset — the true arrival order, and a
-    total order per PK because Debezium partitions records by key.
+    RAW envelope lines (one ``value`` string column), shaped as the drop-in
+    replacement for ``CdcStreamPipeline(source_format="debezium")``'s file
+    reader — route it through the pipeline, whose per-batch split parses
+    once and DEAD-LETTERS corrupt/unknown envelopes (K6). An earlier form
+    returned ``debezium_to_cdc_events`` directly, which silently dropped
+    every envelope that failed to parse — failures must queue, never vanish
+    (r13 review; Rep.scala:67-97 parity).
+
+    Ordering note for multi-partition topics: Debezium keys records by PK,
+    so each key's history is totally ordered within its partition and the
+    kernel's K5 per-key collapse stays correct; the FILE/POSITION
+    checkpoint, however, is taken from the globally latest event by seq and
+    becomes advisory across partitions — resume truth under Kafka is the
+    stream's checkpointLocation (S2), and exact reference checkpoint parity
+    needs a single-partition topic (the reference consumes one binlog
+    socket = one total order).
+
     Requires the spark-sql-kafka package on the cluster (not present in the
     test sandbox — the envelope transformation above is what the tests
-    cover; this assembly mirrors sources/jdbc.py's option-assembly pattern)."""
+    cover; this assembly mirrors sources/jdbc.py's option-assembly
+    pattern)."""
     raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", brokers)
@@ -200,4 +215,4 @@ def read_debezium_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    return debezium_to_cdc_events(raw, seq_col=F.col("offset"))
+    return raw.select(F.col("value").cast("string").alias("value"))

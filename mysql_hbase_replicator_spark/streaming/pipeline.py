@@ -607,6 +607,7 @@ class CdcStreamPipeline:
                 self.events_path,
                 self.row_struct,
                 max_files_per_trigger=self.max_files_per_trigger,
+                with_seq=self.stream_with_seq,
             )
         writer = (
             stream.writeStream.queryName(query_name)

@@ -47,6 +47,7 @@ class StatusServer:
                 elif self.path == "/":
                     snap = outer.snapshot()
                     lines = [
+                        f"checkpoint_filename: {snap['checkpoint_filename']}",
                         f"checkpoint_position: {snap['checkpoint_position']}",
                         f"batches: {snap['batches']}",
                         f"dead_letter: {snap['dead_letter']}",
@@ -73,12 +74,19 @@ class StatusServer:
         bean dump (per-`db.table.op` counts + position + batch stats)."""
         results = list(getattr(self.pipeline, "results", []))
         listener = getattr(self.pipeline, "listener", None)
+        # the LATEST batch's checkpoint pair, not max(position): binlog
+        # positions reset per file, so after a rotate the max is the OLD
+        # file's larger offset frozen forever (r13 review) — and a bare
+        # position is ambiguous without its filename (the reference's
+        # status shows both, StatusServlet.java:61-104)
+        latest = next(
+            (r for r in reversed(results) if r.checkpoint_position is not None),
+            None,
+        )
         return {
             "counts": self.pipeline.total_counts(),
-            "checkpoint_position": max(
-                (r.checkpoint_position for r in results if r.checkpoint_position is not None),
-                default=None,
-            ),
+            "checkpoint_position": latest.checkpoint_position if latest else None,
+            "checkpoint_filename": latest.checkpoint_filename if latest else None,
             "batches": len(results),
             "dead_letter": sum(r.dead_letter_count for r in results),
             "skipped_unmapped": sum(r.skipped_unmapped for r in results),
@@ -96,5 +104,11 @@ class StatusServer:
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
+        # shutdown() waits on an event that only serve_forever's exit sets:
+        # calling it before start() (thread never runs serve_forever) blocks
+        # the caller forever (r13 review). A started-but-not-yet-serving
+        # thread is fine — serve_forever checks the shutdown request on
+        # entry and sets the event immediately.
+        if self._thread.is_alive():
+            self._server.shutdown()
         self._server.server_close()

@@ -889,3 +889,26 @@ def test_replay_requeues_unmapped_table_dead_letters(
     assert res2 is not None and res2.dead_letter_count == 0
     got = store.read(spark, "mixfs:student2").select("id", "name").collect()
     assert [(r.id, r.name) for r in got] == [(7, "eve")]
+
+
+def test_typed_readers_scan_seq_when_asked(spark, tmp_path, student_struct):
+    """Typed-mode sources whose rotates land mid-batch MUST stamp seq; the
+    typed readers silently dropped a stamped seq column before the with_seq
+    knob existed (r13 review), reverting the kernel to position order."""
+    import json as _json
+    import os
+
+    from mysql_hbase_replicator_spark.sources.cdc_events import read_event_log
+
+    path = str(tmp_path / "events")
+    os.makedirs(path)
+    with open(os.path.join(path, "b1.json"), "w") as f:
+        f.write(_json.dumps({
+            "position": 900, "op": "insert", "db": "mixfs", "table": "student",
+            "after": {"sn": 1, "id": 1, "score": 10, "name": "a", "rem": None},
+            "seq": 7, "filename": "binlog.000001",
+        }) + "\n")
+    without = read_event_log(spark, path, student_struct)
+    assert "seq" not in without.columns  # opt-in stays opt-in
+    with_seq = read_event_log(spark, path, student_struct, with_seq=True)
+    assert [r.seq for r in with_seq.collect()] == [7]

@@ -746,3 +746,71 @@ def test_chunk_dedup_semantics_on_constructed_corpus(spark):
     assert out[3].n_tokens_kept == 3                    # only the short tail
     total_kept = sum(r.n_tokens_kept for r in out.values())
     assert total_kept == 2 * w + 3                      # distinct chunk tokens
+
+
+def test_incremental_dedup_redelivery_does_not_inflate_jaccard(spark, tmp_path):
+    """At-least-once redelivery of an admitted doc must not double its
+    shingles on the prior side (batch copy ∪ store copy) — the doubled
+    n_common/n_b inflated Jaccard past the threshold and falsely rejected
+    genuine sub-threshold neighbours (r13 review)."""
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while seven wizards brew coffee strong a under pale"
+    )
+    half = (  # exact shingle jaccard 0.414 vs base (see the rerank test)
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "parquet codegen broadcast shuffle adaptive pruning catalyst tungsten"
+    )
+    rr = IncrementalDeduper(spark, str(tmp_path / "rr"), rerank_threshold=0.6)
+    rr.process_batch(spark.createDataFrame([(1, base)], "doc_id long, text string"))
+    # redelivered admitted doc rides along with a genuinely-new neighbour
+    kept = sorted(
+        r.doc_id
+        for r in rr.process_batch(
+            spark.createDataFrame([(1, base), (10, half)], "doc_id long, text string")
+        ).collect()
+    )
+    # doc 1 is a self-dup (correctly rejected); half is 0.414 < 0.6 → kept
+    assert kept == [10]
+
+
+def test_incremental_dedup_replay_completes_crashed_append(spark, tmp_path):
+    """Crash between process_batch's two appends: shingles land, bands do
+    not (the new shingles-FIRST order). The replayed batch must re-admit
+    the doc and complete the index — under the old bands-first order the
+    replayed doc band-matched itself, found no stored shingles, was
+    rejected, and every future true near-dup of it was admitted forever
+    (r13 review). The duplicated shingle residue over-rejects borderline
+    neighbours until compact() heals it."""
+    import shutil
+
+    from mysql_hbase_replicator_spark.operators.dedup_stream import IncrementalDeduper
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "while seven wizards brew coffee strong a under pale"
+    )
+    half = (
+        "the quick brown fox jumps over the lazy dog near the old river bank "
+        "parquet codegen broadcast shuffle adaptive pruning catalyst tungsten"
+    )
+    near = base.rsplit(" ", 1)[0] + " dim"
+    rr = IncrementalDeduper(spark, str(tmp_path / "rr"), rerank_threshold=0.6)
+    b1 = spark.createDataFrame([(1, base)], "doc_id long, text string")
+    rr.process_batch(b1)
+    # simulate the crash window: band append never happened
+    shutil.rmtree(rr.index_dir)
+    # replay re-admits the doc (no self-band-match) and completes the index
+    assert [r.doc_id for r in rr.process_batch(b1).collect()] == [1]
+    # a true near-dup is now caught — the detection hole is closed
+    b2 = spark.createDataFrame([(20, near)], "doc_id long, text string")
+    assert rr.process_batch(b2).count() == 0
+    # residue: base's shingles are stored twice → the borderline neighbour
+    # is over-rejected (conservative) until compaction dedupes the store
+    b3 = spark.createDataFrame([(30, half)], "doc_id long, text string")
+    assert rr.process_batch(b3).count() == 0
+    rr.compact()
+    b4 = spark.createDataFrame([(40, half)], "doc_id long, text string")
+    assert [r.doc_id for r in rr.process_batch(b4).collect()] == [40]

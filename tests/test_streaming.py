@@ -306,3 +306,47 @@ def test_pipeline_store_kind_option(spark, tmp_path, student_struct, student_map
             mappings={"mixfs.student": student_mapping},
             checkpoint_dir=str(tmp_path / "ckpt_y"),
         )
+
+
+def test_status_reports_latest_checkpoint_pair_not_max():
+    """Binlog positions reset per file: after a rotate the status surface
+    must show the LATEST batch's (filename, position) pair, not the
+    all-time max position (r13 review: max froze the old file's larger
+    offset forever, and the filename was missing entirely — the reference
+    shows both, StatusServlet.java:61-104)."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import CdcBatchResult
+    from mysql_hbase_replicator_spark.streaming.status import StatusServer
+
+    r1 = CdcBatchResult()
+    r1.checkpoint_position, r1.checkpoint_filename = 90_000, "binlog.000001"
+    r2 = CdcBatchResult()
+    r2.checkpoint_position, r2.checkpoint_filename = 400, "binlog.000002"
+
+    class FakePipe:
+        results = [r1, r2]
+
+        def total_counts(self):
+            return {}
+
+    srv = StatusServer(FakePipe(), port=0)
+    try:
+        snap = srv.snapshot()
+        assert snap["checkpoint_position"] == 400
+        assert snap["checkpoint_filename"] == "binlog.000002"
+    finally:
+        srv.stop()
+
+
+def test_status_stop_before_start_returns():
+    """stop() without start() must not block forever: BaseServer.shutdown
+    waits on an event only serve_forever's exit sets (r13 review)."""
+    from mysql_hbase_replicator_spark.streaming.status import StatusServer
+
+    class FakePipe:
+        results = []
+
+        def total_counts(self):
+            return {}
+
+    srv = StatusServer(FakePipe(), port=0)
+    srv.stop()  # would deadlock without the is_alive() guard
