@@ -98,7 +98,11 @@ def process_line(catalog: MappingCatalog, line: str, out=print, spark=None, stor
             if df is None:
                 out(f"no replicated data for {n}")
                 continue
-            df.createOrReplaceTempView(info.sparkTableName)
+            # ONE registration path: the library's map_to_spark applies the
+            # declared casts over the sink-named store frame — the CLI
+            # previously registered the raw frame, so the two paths could
+            # expose different types for the same table (r13 review)
+            catalog.map_to_spark(spark, n, df)
             out(f"{n} mapped to Spark as {info.sparkTableName}")
         return True
     out(f"{line.strip()} is not supported")
@@ -113,7 +117,13 @@ def main() -> None:
             line = input("Mysql2Hbase> ")
         except EOFError:
             break
-        if not process_line(catalog, line):
+        try:
+            keep_going = process_line(catalog, line)
+        except Exception as exc:  # an admin REPL outlives a bad command
+            # (e.g. one corrupt mapping file crashing LIST — r13 review)
+            print(f"error: {exc}")
+            continue
+        if not keep_going:
             break
 
 

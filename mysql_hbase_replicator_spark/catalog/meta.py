@@ -154,12 +154,22 @@ class MappingCatalog:
         return False
 
     def reload(self) -> None:
-        """Full-scan load (``getHbaseTableInfoMap``, HBaseTableUtils.scala:81-93)."""
+        """Full-scan load (``getHbaseTableInfoMap``, HBaseTableUtils.scala:81-93).
+        A file that fails to parse raises with ITS NAME in the message
+        (r13 review: the bare json error left the operator guessing which
+        of N files was corrupt). Raising — not skipping — is deliberate:
+        ``mapped_tables`` feeds the replication filter, and silently
+        dropping a table from it would stop replicating it."""
         self._relation_map = {}
         for fn in os.listdir(self.store_dir):
             if fn.endswith(".json"):
-                with open(os.path.join(self.store_dir, fn)) as f:
-                    info = HbaseTableInfo.from_json(f.read())
+                try:
+                    with open(os.path.join(self.store_dir, fn)) as f:
+                        info = HbaseTableInfo.from_json(f.read())
+                except Exception as exc:
+                    raise ValueError(
+                        f"corrupt mapping file {fn!r} in {self.store_dir}: {exc}"
+                    ) from exc
                 self._relation_map[info.full_name] = info
 
     def mapped_tables(self) -> set[str]:
@@ -171,15 +181,27 @@ class MappingCatalog:
     # --- Spark registration (Hbase2CataLog.scala:19-27) --------------------
     def map_to_spark(self, spark: SparkSession, full_name: str, source: DataFrame | str) -> DataFrame:
         """Register the mapped table under ``sparkTableName`` with the
-        declared column renames + types applied. ``source`` is the replicated
-        store (DataFrame or parquet path)."""
+        declared types applied. ``source`` (DataFrame or parquet path) may
+        be either shape: the REPLICATED store, whose columns already carry
+        the SINK names (the kernel renamed at write time), or a
+        source-shaped frame still carrying db column names (renamed here).
+        Resolved per column by presence, sink name first — the previous
+        source-name-only projection crashed the view for any store-shaped
+        frame of a mapping with renamed columns (r13 review; the canonical
+        student mapping masked it because its names are identical). The
+        declared cast is re-applied defensively: a store read without a
+        schema doc falls back to mergeSchema, where drifted file types
+        would otherwise leak into SQL."""
         info = self.get(full_name)
         if info is None:
             raise KeyError(f"No table named {full_name} found")
         df = spark.read.parquet(source) if isinstance(source, str) else source
+        cols = set(df.columns)
         projected = df.select(
             *[
-                F.col(c.dbColumnName)
+                F.col(
+                    c.hbaseColumnName if c.hbaseColumnName in cols else c.dbColumnName
+                )
                 .cast(spark_type_from_name(c.hbaseColumnType, restrict_to_six=False))
                 .alias(c.hbaseColumnName)
                 for c in info.cols

@@ -61,13 +61,18 @@ _INTENDED_RULES: list[tuple[str, str]] = [
     (r"bit\(1\)", "BooleanType"),
     (r"bit(\(\d+\))?", "StringType"),
     (r"bool(ean)?", "BooleanType"),
-    (r"tinyint(\(\d+\))?( unsigned)?", "IntegerType"),
-    (r"smallint.*unsigned", "IntegerType"),
+    # trailing ( zerofill)? everywhere the smallint/mediumint families'
+    # `.*` already tolerates it — without it `int(10) unsigned zerofill`
+    # fell to the StringType catch-all while `smallint(5) unsigned
+    # zerofill` mapped to IntegerType (r13 review: integers silently
+    # replicated stringified)
+    (r"tinyint(\(\d+\))?( unsigned)?( zerofill)?", "IntegerType"),
+    (r"smallint.*unsigned.*", "IntegerType"),
     (r"smallint.*", "IntegerType"),
-    (r"mediumint.*unsigned", "IntegerType"),
+    (r"mediumint.*unsigned.*", "IntegerType"),
     (r"mediumint.*", "IntegerType"),
-    (r"(int|integer)(\(\d+\))? unsigned", "LongType"),
-    (r"(int|integer)(\(\d+\))?", "IntegerType"),
+    (r"(int|integer)(\(\d+\))? unsigned( zerofill)?", "LongType"),
+    (r"(int|integer)(\(\d+\))?( zerofill)?", "IntegerType"),
     (r"bigint.*", "LongType"),  # unsigned bigint kept Long, as the reference does
     (r"float.*", "FloatType"),
     (r"double.*|real.*", "DoubleType"),

@@ -2,6 +2,13 @@
 functions, no Python). Elements are cast to double before any arithmetic and
 accumulated left-to-right, which makes the results bit-identical to a
 sequential fold (and hence to the DuckDB oracle's list_sum).
+
+PRECONDITION for the bit-identity claim: non-null elements and equal-length
+vectors (the `embeddings` corpus guarantees both). The engines diverge
+outside it — a NULL element poisons Spark's fold to NULL while DuckDB's
+LIST_SUM skips NULLs; mismatched lengths make zip_with pad with NULL (Spark
+→ NULL total) while the oracle's out-of-range index yields a skipped NULL
+(→ partial sum). Pipelines over untrusted vectors must filter/pad first.
 """
 
 from __future__ import annotations

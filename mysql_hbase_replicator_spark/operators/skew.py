@@ -52,13 +52,21 @@ def salted_join(
             f"the build side is replicated {n_salts}x, so build-side-preserving "
             f"joins would duplicate unmatched rows once per salt"
         )
+    if n_salts < 1:
+        # pmod(x, 0) is NULL with ANSI off — the join would silently return
+        # empty instead of erroring (r13 review)
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if SALT in skewed.columns or SALT in other.columns:
         raise ValueError(f"column {SALT} already present")
+    # salt on a per-ROW nonce, not row content: hot keys are hot precisely
+    # because many rows share a key (and often the full row — e.g. a probe
+    # pre-projected to its join keys), so a content hash lands them all in
+    # ONE lane while the build side still pays n_salts-fold replication —
+    # strictly worse than not salting (r13 review). Consecutive per-partition
+    # ids round-robin the lanes evenly.
     probe = skewed.withColumn(
         SALT,
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)).cast(
-            "int"
-        ),
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     build = other.withColumn(
         SALT, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
@@ -167,9 +175,10 @@ def adaptive_salted_join(
     w = F.coalesce(F.col(WIDTH), F.lit(1))
     probe = (
         skewed.join(F.broadcast(widths), on, "left")
+        # per-row nonce, not content hash — see salted_join
         .withColumn(
             SALT,
-            F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), w).cast("int"),
+            F.pmod(F.monotonically_increasing_id(), w).cast("int"),
         )
         .drop(WIDTH)
     )

@@ -105,6 +105,16 @@ def get_spark(
     a no-op — all engine code therefore also works on a caller's session.
     """
     n = cpus or DEFAULT_CPUS
+    # lazy default: the env override must short-circuit the volume walk —
+    # os.environ.get's default argument evaluated the full os.walk of
+    # sf_dir even when SPARK_GRAFT_INIT_PARTITIONS was set (and even when
+    # getOrCreate returns an existing session, r13 review)
+    _env_init = os.environ.get("SPARK_GRAFT_INIT_PARTITIONS")
+    init_partitions = (
+        _env_init
+        if _env_init
+        else str(volume_tuned_partitions(sf_dir, n) if sf_dir else n)
+    )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{n}]")
@@ -132,10 +142,7 @@ def get_spark(
         # for A/B probes.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-            os.environ.get(
-                "SPARK_GRAFT_INIT_PARTITIONS",
-                str(volume_tuned_partitions(sf_dir, n) if sf_dir else n),
-            ),
+            init_partitions,
         )
         # --- python/JVM transport ----------------------------------------
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -169,3 +169,40 @@ def test_salt_empty_probe_and_empty_build(spark):
     assert adaptive_salted_join(p, empty_b, ["k"]).count() == 0
     # left joins against an empty build keep every probe row
     assert adaptive_salted_join(p, empty_b, ["k"], how="left").count() == 1_000
+
+
+def test_salted_join_spreads_identical_probe_rows(spark):
+    """The salt must be a per-row nonce, not a content hash: a hot key's
+    rows are often byte-identical (e.g. a probe pre-projected to its join
+    keys), and a content hash landed them all in ONE lane while the build
+    side still paid n_salts-fold replication (r13 review). Verified via the
+    same salt expression the join applies; correctness of the join result
+    is asserted alongside."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.operators.skew import SALT, salted_join
+
+    probe = spark.range(10_000).select(
+        F.lit(1).alias("k"), F.lit("x").alias("v")
+    )  # 10k byte-identical rows of one hot key
+    build = spark.createDataFrame([(1, "dim")], "k int, d string")
+    joined = salted_join(probe, build, ["k"], n_salts=8)
+    assert joined.count() == 10_000  # exact join semantics preserved
+    # lane spread: re-derive the salt the join assigns
+    salted = probe.withColumn(
+        SALT, F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int")
+    )
+    n_lanes = salted.select(SALT).distinct().count()
+    assert n_lanes == 8, f"identical rows collapsed into {n_lanes} lane(s)"
+
+
+def test_salted_join_rejects_zero_salts(spark):
+    """n_salts=0 made the probe salt pmod(x, 0) = NULL (ANSI off) and the
+    join silently returned empty (r13 review) — must raise instead."""
+    import pytest
+
+    from mysql_hbase_replicator_spark.operators.skew import salted_join
+
+    probe = spark.createDataFrame([(1, "a")], "k int, v string")
+    with pytest.raises(ValueError, match="n_salts"):
+        salted_join(probe, probe.select("k"), ["k"], n_salts=0)

@@ -125,3 +125,79 @@ def test_cli_map_unmap_end_to_end(spark, tmp_path, student_struct, student_mappi
 
     process_line(catalog, "UNMAP mixfs.student", out=outputs.append, spark=spark, store=store)
     assert not spark.catalog.tableExists("student2")
+
+
+# --- r13 review regressions --------------------------------------------------
+def test_map_to_spark_accepts_store_shaped_frames(spark, tmp_path):
+    """The replicated store carries SINK column names (the kernel renamed
+    at write time) — map_to_spark must accept that shape too; the
+    source-name-only projection crashed for any renamed mapping (r13
+    review; the canonical student mapping masked it because its names are
+    identical)."""
+    cat = MappingCatalog(str(tmp_path / "meta"))
+    cat.add(
+        HbaseTableInfo(
+            "db", "t", "db:t", "db", "t_view2", "Binary",
+            [
+                HbaseCollInfo("user_id", "bigint(20)", "userid", "LongType", True),
+                HbaseCollInfo("score", "int(11)", "score", "IntegerType", False),
+            ],
+        )
+    )
+    store_shaped = spark.createDataFrame([(1, 10)], "userid long, score int")
+    cat.map_to_spark(spark, "db.t", store_shaped)
+    got = spark.sql("SELECT userid, score FROM t_view2").collect()
+    assert [(r.userid, r.score) for r in got] == [(1, 10)]
+    cat.unmap_from_spark(spark, "db.t")
+
+
+def test_cli_map_applies_declared_casts(spark, tmp_path):
+    """CLI MAP and library map_to_spark must be ONE registration path: the
+    CLI previously registered the raw store frame, exposing drifted types
+    the declared casts would have fixed (r13 review)."""
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+
+    cat = MappingCatalog(str(tmp_path / "meta"))
+    cat.add(
+        HbaseTableInfo(
+            "db", "t", "db:t", "db", "t_view3", "Binary",
+            [HbaseCollInfo("id", "bigint(20)", "id", "LongType", True)],
+        )
+    )
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=2)
+    # drifted narrow type in the store files: declared LongType, written int
+    store.overwrite(spark, "db:t", spark.createDataFrame([(7,)], "id int"), ["id"])
+    out: list[str] = []
+    assert process_line(cat, "MAP db.t", out=out.append, spark=spark, store=store)
+    assert any("mapped to Spark" in s for s in out), out
+    [row] = spark.sql("SELECT id FROM t_view3").collect()
+    assert row.id == 7
+    assert dict(spark.table("t_view3").dtypes)["id"] == "bigint"  # cast applied
+    cat.unmap_from_spark(spark, "db.t")
+
+
+def test_reload_names_the_corrupt_mapping_file(tmp_path):
+    """One corrupt .json in the store dir must fail loudly WITH THE FILE
+    NAME (r13 review) — and raising (not skipping) is deliberate: silently
+    dropping a table from mapped_tables() would stop replicating it."""
+    import pytest
+
+    cat = MappingCatalog(str(tmp_path / "meta"))
+    with open(tmp_path / "meta" / "broken.json", "w") as f:
+        f.write("{not json")
+    with pytest.raises(ValueError, match="broken.json"):
+        cat.list_names()
+
+
+def test_intended_mode_tolerates_zerofill():
+    """`int(10) unsigned zerofill` fell through to the StringType catch-all
+    while the smallint family's `.*` tolerated it — integers silently
+    replicated stringified (r13 review)."""
+    from mysql_hbase_replicator_spark.functions.types import mysql_type_to_spark_name
+
+    f = lambda s: mysql_type_to_spark_name(s, mode="intended")
+    assert f("int(10) unsigned zerofill") == "LongType"
+    assert f("int(10) zerofill") == "IntegerType"
+    assert f("integer unsigned zerofill") == "LongType"
+    assert f("tinyint(4) unsigned zerofill") == "IntegerType"
+    assert f("smallint(5) unsigned zerofill") == "IntegerType"
