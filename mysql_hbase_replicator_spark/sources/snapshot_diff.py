@@ -263,6 +263,25 @@ class PrevSnapshotStore:
         ).parquet(path)
         return nxt, path
 
+    def record_files(self, file_vers: dict[str, int]) -> None:
+        """Merge per-file versions into the marker WITHOUT advancing the
+        applied pointer. The stale-skip path calls this: a landing admitted
+        after a newer version never applies (and so never flips), but its
+        file must still enter the map or every future re-read keeps
+        scanning it as 'unseen' (r13: surfaced as a landing-order-dependent
+        pruning leak)."""
+        if not file_vers:
+            return
+        marker = self._marker()
+        files = self.files_map()
+        for k, v in file_vers.items():
+            files[k] = max(int(v), files.get(k, 0))
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({**marker, "files": files}, f)
+        os.replace(tmp, self._marker_path())
+
     def flip(
         self,
         version: int,

@@ -318,6 +318,10 @@ class CdcStreamPipeline:
                 latest,
                 applied,
             )
+            # the skipped files still enter the pruning map: a landing that
+            # never applies would otherwise stay "unseen" and be re-read on
+            # every future poll
+            prev_store.record_files(file_vers)
             return
         # Diff from a batch-side RE-READ of the landing at version `latest`,
         # not from the admitted batch rows: the file source caps admission

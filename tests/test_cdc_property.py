@@ -189,3 +189,77 @@ def test_random_trace_lsm_stores_match_oracle(
         ev_df = events_from_rows(spark, batches[-1], student_struct)
         apply_cdc_batch(spark, ev_df, store, {"mixfs.student": student_mapping})
         assert spark_final_state(spark, store) == expected, cls.__name__
+
+
+def _replay_state(events: list[dict]) -> list[dict]:
+    """Driver-side sequential fold of a valid trace → full row images of the
+    final state (the snapshot a poller would capture)."""
+    state: dict[tuple, dict] = {}
+    for e in events:
+        if e["op"] == "insert":
+            a = e["after"]
+            state[(a["sn"], a["id"])] = a
+        elif e["op"] == "update":
+            b, a = e["before"], e["after"]
+            state.pop((b["sn"], b["id"]), None)
+            state[(a["sn"], a["id"])] = a
+        else:
+            b = e["before"]
+            state.pop((b["sn"], b["id"]), None)
+    return list(state.values())
+
+
+@given(trace=cdc_trace(), split=st.integers(0, 100))
+@settings(
+    max_examples=_N_EXAMPLES or 5,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_trace_snapshot_polling_matches_event_replay(
+    spark, tmp_path_factory, student_struct, student_mapping, trace, split
+):
+    """Transport equivalence for S1 (r13): polling FULL-STATE snapshots
+    through the diff kernel must converge the store to the same state as
+    event replay of the trace, for random valid traces and any poll cut —
+    including the PK-collision-heavy shapes the generator forces (a key
+    deleted and re-inserted between polls, PK-changing updates that swap
+    two keys' images). Re-applying the last diff must be a no-op
+    (at-least-once)."""
+    from mysql_hbase_replicator_spark.operators.cdc_apply import apply_cdc_batch
+    from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+    from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+        snapshot_diff_events,
+    )
+
+    tmp = tmp_path_factory.mktemp("snapprop")
+    cut = (split * len(trace)) // 101
+    row = lambda d: tuple(d.get(f.name) for f in student_struct.fields)
+    snaps = []
+    for upto in (trace[:cut], trace):
+        st_rows = [row(d) for d in _replay_state(upto)]
+        snaps.append(
+            spark.createDataFrame(st_rows, student_struct)
+            if st_rows
+            else spark.createDataFrame([], student_struct)
+        )
+
+    store = ParquetKeyedStore(str(tmp / "store"), n_buckets=4)
+    mappings = {"mixfs.student": student_mapping}
+    prev = None
+    for i, snap in enumerate(snaps, start=1):
+        ev = snapshot_diff_events(
+            prev, snap, student_struct, ["sn", "id"], "mixfs", "student", position=i
+        )
+        apply_cdc_batch(spark, ev, store, mappings)
+        prev = snap
+
+    expected = duckdb_final_state(trace)
+    assert spark_final_state(spark, store) == expected
+
+    # at-least-once: re-applying the final poll's diff is a no-op
+    ev = snapshot_diff_events(
+        snaps[0], snaps[1], student_struct, ["sn", "id"], "mixfs", "student", position=2
+    )
+    apply_cdc_batch(spark, ev, store, mappings)
+    assert spark_final_state(spark, store) == expected
