@@ -86,11 +86,22 @@ class TableSchema:
         intent: names and types equal."""
         if faithful:
             return False
+        # evident intent: every field that changes decode semantics — name,
+        # type, the PK flag (the closest analog of the nullability the
+        # reference compares: PK promote/demote with unchanged names/types
+        # must invalidate, r13 review), and enum labels (a re-ordered ENUM
+        # decodes every subsequent row image differently)
         return (
             self.database == other.database
             and self.table == other.table
-            and [c.type_lower for c in self.cols] == [c.type_lower for c in other.cols]
-            and [c.name for c in self.cols] == [c.name for c in other.cols]
+            and [
+                (c.name, c.type_lower, c.is_primary_key, tuple(c.enum_values))
+                for c in self.cols
+            ]
+            == [
+                (c.name, c.type_lower, c.is_primary_key, tuple(c.enum_values))
+                for c in other.cols
+            ]
         )
 
     def is_key_column_changed(self, other: TableSchema) -> bool:

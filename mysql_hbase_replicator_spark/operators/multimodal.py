@@ -27,6 +27,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# module-level: the codecs are pure numpy/stdlib (cheap import, re-imported
+# once per executor) — the previous per-ROW function-local imports executed
+# a sys.modules lookup inside loops over millions of payloads (r13 review)
+from mysql_hbase_replicator_spark.operators.media_codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff_format,
+)
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -73,11 +86,6 @@ def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFr
     """Deterministic media rows for tests. Kinds "image"/"audio" carry opaque
     seeded bytes (for the fake decoder); kinds "bmp"/"wav" carry REAL files
     built by the pure-numpy encoders, so decoder="real" has true payloads."""
-    from mysql_hbase_replicator_spark.operators.media_codecs import (
-        encode_bmp,
-        encode_wav,
-    )
-
     rows = []
     for i in range(n):
         if kind == "bmp":
@@ -98,11 +106,16 @@ def synthesize_media(spark: SparkSession, n: int, kind: str = "image") -> DataFr
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def _fake_decode(payload: bytes) -> tuple[float, float]:
-    """Deterministic pseudo-decode: byte statistics as 'pixels'."""
+def _fake_decode(payload: bytes) -> tuple[float | None, float | None]:
+    """Deterministic pseudo-decode: byte statistics as 'pixels'. An EMPTY
+    (non-NULL) payload yields NULL stats, matching the oracle's LIST_AVG
+    over an empty list — numpy's mean of an empty array is NaN plus a
+    RuntimeWarning, which value-hash-diverges (r13 review)."""
     arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size == 0:
+        return None, None
     hist = np.bincount(arr, minlength=256).astype(np.float64)
-    p = hist / max(len(arr), 1)
+    p = hist / len(arr)
     nz = p[p > 0]
     entropy = float(-(nz * np.log2(nz)).sum())
     return float(arr.mean()), entropy
@@ -120,12 +133,6 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, float, float]:
     Images: mean/entropy over decoded RGB pixels. Audio: mean over the int16
     samples, entropy over their little-endian byte view. Anything else needs
     a codec library this container doesn't ship → NotImplementedError."""
-    from mysql_hbase_replicator_spark.operators.media_codecs import (
-        decode_bmp,
-        decode_wav,
-        sniff_format,
-    )
-
     fmt = sniff_format(payload)
     if fmt == "bmp":
         pixels = decode_bmp(payload)
@@ -134,8 +141,6 @@ def _real_decode(payload: bytes) -> tuple[int | None, int | None, float, float]:
         # cost note: None/Up/Sub filter rows decode vectorized; foreign
         # PNGs using Average/Paeth hit decode_png's per-pixel fallback —
         # correct but slow at photo sizes (swap in PIL for those corpora)
-        from mysql_hbase_replicator_spark.operators.media_codecs import decode_png
-
         pixels = decode_png(payload)
         return pixels.shape[1], pixels.shape[0], float(pixels.mean()), _entropy_u8(pixels)
     if fmt == "wav":
@@ -245,8 +250,6 @@ def png_media_from_documents(documents: DataFrame) -> DataFrame:
     too. Empty documents carry a NULL payload (a 0-pixel PNG is invalid)."""
 
     def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from mysql_hbase_replicator_spark.operators.media_codecs import encode_png
-
         for pdf in batches:
             # one UTF-8 encode per row feeds BOTH the payload and the width —
             # meta stays consistent with the pixels by construction
@@ -312,14 +315,6 @@ def resize_media(df: DataFrame, width: int = 16, height: int = 16, decoder: str 
 
     def _resize_real(b: bytes) -> tuple[bytes, str, int]:
         """→ (payload, format, channels) — resampled in the source container."""
-        from mysql_hbase_replicator_spark.operators.media_codecs import (
-            decode_bmp,
-            decode_png,
-            encode_bmp,
-            encode_png,
-            sniff_format,
-        )
-
         fmt = sniff_format(b)
         if fmt == "bmp":
             pixels = decode_bmp(b)

@@ -96,7 +96,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS FLOAT) AS val
         FROM h, UNNEST(RANGE(0, 16)) AS t(i)
     )
-    SELECT media_id, CAST(COUNT(*) AS INT) AS feature_dim,
+    SELECT media_id,
+           -- NULL-text guard (r13 review): the RANGE cross join still emits
+           -- 16 rows for a NULL hx, but Spark's size(NULL feature) is NULL —
+           -- count VALUES, not rows, and null out the all-NULL group
+           CASE WHEN COUNT(val) = 0 THEN NULL
+                ELSE CAST(COUNT(*) AS INT) END AS feature_dim,
            ROUND(LIST_SUM(LIST(CAST(val AS DOUBLE) * CAST(val AS DOUBLE)
                                ORDER BY i)), 6) AS feature_norm_sq
     FROM v
@@ -130,7 +135,11 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_resize_stats",
     oracle="""
     SELECT doc_id AS media_id,
-           CAST(LEAST(LENGTH(text), 256) AS BIGINT) AS n_bytes,
+           -- NULL-text guard (r13 review): DuckDB's LEAST SKIPS NULLs, so
+           -- LEAST(LENGTH(NULL), 256) is 256 while Spark's NULL payload
+           -- yields NULL n_bytes
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(LEAST(LENGTH(text), 256) AS BIGINT) END AS n_bytes,
            LIST_AVG(LIST_TRANSFORM(RANGE(1, LEAST(LENGTH(text), 256) + 1),
                     i -> ORD(text[i]))) AS mean_intensity
     FROM documents

@@ -11,7 +11,6 @@ pushdown at the parquet reader (verify with ``df.explain('formatted')`` —
 
 from __future__ import annotations
 
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -28,7 +27,6 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -48,7 +46,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
-            return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            # FLOOR division, not DIV: DIV truncates toward zero, which for
+            # a pre-epoch nano value (ts < 0, ts % 1000 != 0) lands one
+            # microsecond ABOVE DuckDB's TIMESTAMP_NS → TIMESTAMP floor
+            # (r13 review; latent — the corpus is all 2024). pmod keeps the
+            # arithmetic in exact longs.
+            return df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.expr("(ts - pmod(ts, 1000)) DIV 1000")
+                ),
+            )
         if isinstance(ts_type, TimestampNTZType):
             # session tz is UTC everywhere in this engine, so NTZ → LTZ is
             # value-preserving; cast keeps downstream dtypes identical

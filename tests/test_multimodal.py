@@ -232,3 +232,45 @@ def test_resize_media_real_png(spark):
     ys = (np.arange(6) * 20 // 6).clip(0, 19)
     xs = (np.arange(8) * 30 // 8).clip(0, 29)
     assert np.array_equal(resized, px[ys][:, xs])
+
+
+def test_multimodal_queries_match_oracle_on_null_and_empty_docs(spark, tmp_path):
+    """Latent-contract check (r13 review): the multimodal query/oracle pairs
+    must stay value-equal on corpora containing NULL and EMPTY documents —
+    the shipped corpus has neither, so the sweep can't catch divergence
+    here. Pinned divergences: DuckDB's LEAST skips NULLs (n_bytes 256 vs
+    NULL), the RANGE cross join emits 16 feature rows for NULL text (vs
+    Spark's NULL size), and numpy's mean of an empty payload is NaN (vs
+    LIST_AVG's NULL)."""
+    import duckdb
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from verify_local import compare
+
+    import __spark_entry__ as se
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world", 11, "en"),
+            (2, None, None, None),   # NULL text
+            (3, "", 0, "en"),        # empty text
+        ],
+        "doc_id long, text string, n_chars long, lang string",
+    )
+    sf = str(tmp_path / "sf_null")
+    docs.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    qs, oracles = se.queries(), se.oracle_sql()
+    for name in (
+        "multimodal_decode_stats",
+        "multimodal_resize_stats",
+        "multimodal_feature_extract",
+    ):
+        sdf = qs[name](spark, sf).toPandas()
+        odf = con.sql(oracles[name]).df()
+        assert not compare(name, sdf, odf), f"{name} diverges on NULL/empty docs"

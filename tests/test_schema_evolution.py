@@ -117,14 +117,39 @@ def test_same_data_faithful_always_invalidates(spark):
     lists — faithful mode must reproduce that, including for a RENAMED
     column (r13 review: the earlier stand-in inverted the NAME comparison
     and reported a rename as an unchanged schema)."""
-    a = schema_of(ColInfo("id", "int", True), ColInfo("name", "varchar(10)", False))
+    a = schema_of(ColInfo("id", "int", is_primary_key=True), ColInfo("name", "varchar(10)"))
     renamed = schema_of(
-        ColInfo("id", "int", True), ColInfo("full_name", "varchar(10)", False)
+        ColInfo("id", "int", is_primary_key=True), ColInfo("full_name", "varchar(10)")
     )
-    same = schema_of(ColInfo("id", "int", True), ColInfo("name", "varchar(10)", False))
+    same = schema_of(ColInfo("id", "int", is_primary_key=True), ColInfo("name", "varchar(10)"))
     # evident intent: rename invalidates, identical stays valid
     assert a.same_data(same) is True
     assert a.same_data(renamed) is False
     # faithful: ALWAYS invalidates — identical AND renamed
     assert a.same_data(same, faithful=True) is False
     assert a.same_data(renamed, faithful=True) is False
+
+
+def test_same_data_detects_pk_and_enum_drift(spark):
+    """PK promote/demote and ENUM label changes alter decode semantics with
+    names and types unchanged — same_data must invalidate the cache for
+    them (r13 review: only names+types were compared, so a stale cache
+    survived exactly the drift check_key_unchanged exists to catch)."""
+    a = schema_of(
+        ColInfo("sn", "int(11)", is_primary_key=True),
+        ColInfo("id", "int(11)", is_primary_key=True),
+        ColInfo("kind", "enum('a','b')", enum_values=("a", "b")),
+    )
+    demoted = schema_of(
+        ColInfo("sn", "int(11)", is_primary_key=True),
+        ColInfo("id", "int(11)"),  # no longer PK; name/type unchanged
+        ColInfo("kind", "enum('a','b')", enum_values=("a", "b")),
+    )
+    relabeled = schema_of(
+        ColInfo("sn", "int(11)", is_primary_key=True),
+        ColInfo("id", "int(11)", is_primary_key=True),
+        ColInfo("kind", "enum('a','b')", enum_values=("b", "a")),  # re-ordered
+    )
+    assert a.same_data(a) is True
+    assert a.same_data(demoted) is False
+    assert a.same_data(relabeled) is False
