@@ -172,38 +172,40 @@ def _jaccard_sql_base(max_doc_id: int | None = None) -> str:
 """
 
 
-def _jaccard_pairs(
-    spark: SparkSession,
-    sf_dir: str,
-    candidates: DataFrame | None = None,
-    max_doc_id: int | None = None,
-) -> DataFrame:
-    """Exact shingle-Jaccard for all co-shingled pairs (or only `candidates`
-    (doc_a, doc_b) if given).
-
-    With candidates the intersection is computed per candidate pair —
-    candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b, same shingle) — so cost is
-    O(|candidates| × shingles/doc), NOT the all-pairs shingle join. That
-    asymmetry is the whole point of LSH: the quadratic join runs only in the
-    exact baseline."""
+def _shingle_inter_counts(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """The shared all-pairs skeleton of the exact-baseline set measures:
+    co-shingled pair intersections ``inter(doc_a, doc_b, n_common)`` plus
+    per-doc shingle counts — _jaccard_pairs and dedup_containment_pairs
+    differ only in the final measure over these two frames (r13 review:
+    the skeleton was duplicated, so a cap/distinctness change in one
+    silently diverged the other)."""
     sh = shingle_pairs(spark, sf_dir, max_doc_id=max_doc_id)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    if candidates is not None:
-        inter = (
-            candidates.join(a, "doc_a")
-            .join(b, ["doc_b", "shingle"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
-    else:
-        inter = (
-            a.join(b, "shingle")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("n_common"))
-        )
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return inter, counts
+
+
+def _jaccard_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    max_doc_id: int | None = None,
+) -> DataFrame:
+    """Exact shingle-Jaccard for all co-shingled pairs of the (capped)
+    baseline block — the quadratic join deliberately runs ONLY here. The
+    production path re-ranks LSH candidates via the h0-keyed, broadcast-
+    pruned `_jaccard_from_hashed` instead (a former `candidates` parameter
+    here was dead code pointing maintainers at a slower string-keyed
+    re-rank, r13 review)."""
+    inter, counts = _shingle_inter_counts(spark, sf_dir, max_doc_id)
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
     return (
@@ -251,8 +253,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     *exact* near-dup measure the MinHash path approximates; quadratic in
     co-shingled docs, so the registered form bounds its input to the first
     EXACT_BASELINE_MAX_DOCS ids (see the constant's note) — at production
-    scale the exact measure is only ever run on LSH candidates
-    (_jaccard_pairs(candidates=...), as dedup_minhash_lsh does)."""
+    scale the exact measure is only ever run on LSH candidates, via the
+    h0-keyed broadcast-pruned `_jaccard_from_hashed` (as dedup_minhash_lsh
+    does)."""
     return (
         _jaccard_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
         .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
@@ -772,12 +775,7 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     the function, mirroring how the CDC kernel exposes its counters
     (operators/cdc_apply.py) rather than widening data schemas.
     """
-    strong = (
-        _jaccard_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    comp, n_rounds = _min_label_components(strong)
+    comp, n_rounds = _exact_strong_components(spark, sf_dir)
     # executed-round observability (VERDICT r4 #5): ride on the function,
     # not the oracle-pinned result schema
     dedup_connected_components.last_rounds = n_rounds
@@ -786,6 +784,31 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+def _strong_edges_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE strong-edge definition of the exact-baseline cluster family —
+    exact Jaccard >= 0.5 over the capped block, the single Spark-side twin
+    of _CC_ORACLE_CTE's edge set. One definition only (r13 review: the
+    cluster query and the histogram each built it inline, so a threshold
+    or cap change in one silently diverged the other from their SHARED
+    oracle CTE)."""
+    return (
+        _jaccard_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+
+
+def _exact_strong_components(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Label-propagation components over the shared exact strong edges —
+    the kernel the cluster query, both survivor policies, and the
+    histogram compose. Returns (comp(doc_id, cluster_id), rounds). The
+    survivor queries call THIS rather than dedup_connected_components:
+    that query's cluster_size groupBy+join was pure discarded work for
+    them, and its rounds metric was being overwritten under the wrong
+    query's name (r13 review)."""
+    return _min_label_components(_strong_edges_exact(spark, sf_dir))
 
 
 def _min_label_components(strong: DataFrame) -> tuple[DataFrame, int]:
@@ -895,7 +918,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates. The oracle reuses the exact same recursive-closure CTE as
     the cluster query, so both verdicts come from one shared edge
     definition."""
-    comp = dedup_connected_components(spark, sf_dir)
+    comp, _ = _exact_strong_components(spark, sf_dir)
     drops = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < EXACT_BASELINE_MAX_DOCS
@@ -937,7 +960,7 @@ def dedup_survivors_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     part."""
     from pyspark.sql import Window
 
-    comp = dedup_connected_components(spark, sf_dir)
+    comp, _ = _exact_strong_components(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < EXACT_BASELINE_MAX_DOCS
     )
@@ -1104,12 +1127,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles over ever-smaller frames — at 100 TB the second groupBy input
     is the cluster count, and the output is bounded by the largest cluster
     size."""
-    strong = (
-        _jaccard_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b")
-    )
-    comp, _ = _min_label_components(strong)
+    comp, _ = _exact_strong_components(spark, sf_dir)
     sizes = comp.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
@@ -1491,18 +1509,12 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same quadratic-by-nature shape as dedup_ngram_jaccard, so the
     registered form carries the identical EXACT_BASELINE_MAX_DOCS input cap
-    (see that constant's note); the production path at scale is this same
-    measure computed per LSH candidate pair (swap the numerator join onto
-    band candidates exactly as _jaccard_pairs(candidates=...) does)."""
-    sh = shingle_pairs(spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS)
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    (see that constant's note) and composes the SAME `_shingle_inter_counts`
+    skeleton — only the final measure differs; the production path at
+    scale computes this measure per LSH candidate pair via an h0-keyed
+    re-rank (the `_jaccard_from_hashed` shape with a `least` denominator)."""
+    inter, counts = _shingle_inter_counts(
+        spark, sf_dir, max_doc_id=EXACT_BASELINE_MAX_DOCS
     )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))

@@ -22,7 +22,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -228,7 +228,7 @@ def _ann_lsh_oracle_sql() -> str:
 @query("similarity_ann_lsh", oracle=_ann_lsh_oracle_sql())
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH: each vector
-    lands in LSH_TABLES buckets (6 sign bits each); candidates = vectors
+    lands in LSH_TABLES buckets (LSH_BITS sign bits each); candidates = vectors
     sharing any (table, bucket) with a query; exact cosine re-rank on the
     deduped candidate set. At 100 TB the candidate generation is an equi-join
     on (table, bucket) — shuffle on a small key, no all-pairs product.
@@ -295,6 +295,22 @@ def _l2_sq(a: Column, b: Column) -> Column:
     )
 
 
+def _quantized_mean(col: Column, count: Column) -> Column:
+    """Order-free exact mean: quantize each member to a 1e-9 grid
+    (floor(val*1e9) is pure IEEE double arithmetic — bit-identical in any
+    IEEE-754 engine, including the DuckDB oracle), sum the grid points as
+    exact integer decimals (associative + commutative → shuffle-order-
+    independent; decimal(38) holds ~1e29 members of |val|<=1 without
+    overflow), divide once. ONE definition (r13 review: three literal
+    copies had to stay character-identical for oracle parity)."""
+    return (
+        F.sum(
+            F.floor(col.cast("double") * F.lit(1000000000.0)).cast("decimal(38,0)")
+        ).cast("double")
+        / count.cast("double")
+    ) / F.lit(1000000000.0)
+
+
 def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     """Nearest-centroid assignment with NO row explosion: the centroid set is
     one broadcast row holding array<struct<cid,c>>; per corpus row an
@@ -322,27 +338,10 @@ def _kmeans_step(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     return (
         assigned.select("cell", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("cell", "pos")
-        # order-free exact mean with NO per-group materialization: quantize
-        # each member to a 1e-9 grid (floor(val*1e9) is pure IEEE double
-        # arithmetic — bit-identical in any IEEE-754 engine, including the
-        # DuckDB oracle), sum the grid points as exact integer decimals
-        # (associative + commutative → shuffle-order-independent; decimal(38)
-        # holds ~1e29 members of |val|≤1 without overflow), divide once.
-        # Memory per group is O(1) — the round-1 sorted-fold collect_list was
-        # an OOM risk on hot cells at scale.
-        .agg(
-            (
-                (
-                    F.sum(
-                        F.floor(F.col("val").cast("double") * F.lit(1000000000.0)).cast(
-                            "decimal(38,0)"
-                        )
-                    ).cast("double")
-                    / F.count("val").cast("double")
-                )
-                / F.lit(1000000000.0)
-            ).alias("v")
-        )
+        # order-free exact mean with NO per-group materialization (see
+        # _quantized_mean) — memory per group is O(1); the round-1
+        # sorted-fold collect_list was an OOM risk on hot cells at scale.
+        .agg(_quantized_mean(F.col("val"), F.count("val")).alias("v"))
         .groupBy("cell")
         .agg(
             F.transform(
@@ -445,6 +444,129 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e)
 
 
+def _ivf_probe(
+    assigned: DataFrame, cents: DataFrame, n_queries: int, nprobe: int
+) -> DataFrame:
+    """Query-side probe set: each query's nprobe nearest cells by exact
+    L2 against the broadcast centroid row → (query_id, cell). ONE
+    definition shared by ivf_topk and the composed IVF-PQ (r13 review:
+    the block was duplicated character-for-character, and the oracle
+    bit-exactness contract means a drift in either copy silently breaks
+    the other's parity)."""
+    return (
+        assigned.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            F.col("cents"),
+                            lambda c: F.struct(
+                                _l2_sq(F.col("embedding"), c["c"]).alias("d"),
+                                c["cid"].alias("cid"),
+                            ),
+                        )
+                    ),
+                    1,
+                    nprobe,
+                )
+            ).alias("probe"),
+        )
+        .select("query_id", F.col("probe")["cid"].alias("cell"))
+    )
+
+
+def _pq_encode_corpus(e: DataFrame, cbs: DataFrame, pq_m: int, pq_subdim: int) -> DataFrame:
+    """Corpus → PQ codes (vec_id, codes): per subspace, the index of the
+    nearest codeword. Map-only over a broadcast codebook row; shared by
+    pq_topk and IVF-PQ."""
+    code_cols = []
+    for m in range(pq_m):
+        svec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
+        code_cols.append(
+            F.array_min(
+                F.transform(
+                    F.col("cbs")[m],
+                    # bound immediately by F.transform, so loop capture is safe
+                    lambda w, i: F.struct(_l2_sq(svec, w).alias("d"), i.alias("idx")),
+                )
+            )["idx"]
+        )
+    return e.crossJoin(F.broadcast(cbs)).select(
+        "vec_id", F.array(*code_cols).alias("codes")
+    )
+
+
+def _pq_query_row(
+    e: DataFrame, cbs: DataFrame, n_queries: int, pq_m: int, pq_subdim: int
+) -> DataFrame:
+    """Query rows with their precomputed PQ_M×PQ_K asymmetric distance
+    tables: (query_id, q_emb, q_nsq, dtab). Shared by pq_topk and IVF-PQ."""
+    dtab_cols = []
+    for m in range(pq_m):
+        qsvec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
+        dtab_cols.append(F.transform(F.col("cbs")[m], lambda w: _l2_sq(qsvec, w)))
+    return (
+        e.filter(F.col("vec_id") < n_queries)
+        .crossJoin(F.broadcast(cbs))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nsq").alias("q_nsq"),
+            F.array(*dtab_cols).alias("dtab"),
+        )
+    )
+
+
+def _adc_dist() -> Column:
+    """The ADC sum: PQ_M table lookups folded in subspace order — reads
+    `codes` and `dtab` from the enclosing frame."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.col("dtab"),
+            lambda code, row: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _adc_candidates(adc: DataFrame, pq_cand: int) -> DataFrame:
+    """Per-query top-pq_cand by ADC distance (ties on vec_id) →
+    (query_id, vec_id)."""
+    wc = Window.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= pq_cand)
+        .select("query_id", "vec_id")
+    )
+
+
+def _exact_rerank(e: DataFrame, cand: DataFrame, qrow: DataFrame, top_k: int) -> DataFrame:
+    """Exact-cosine re-rank of a small candidate set against the raw
+    vectors → the standard (query_id, neighbor_id, cosine, rank) result."""
+    sims = (
+        e.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(qrow.select("query_id", "q_emb", "q_nsq")), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
+            ).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     e: DataFrame,
     ivf_k: int = IVF_K,
@@ -469,29 +591,7 @@ def ivf_topk(
     cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
     assigned = _assign_cells(e, cents).localCheckpoint(eager=True)
 
-    probed = (
-        assigned.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.col("cents"),
-                            lambda c: F.struct(
-                                _l2_sq(F.col("embedding"), c["c"]).alias("d"),
-                                c["cid"].alias("cid"),
-                            ),
-                        )
-                    ),
-                    1,
-                    nprobe,
-                )
-            ).alias("probe"),
-        )
-        .select("query_id", F.col("probe")["cid"].alias("cell"))
-    )
+    probed = _ivf_probe(assigned, cents, n_queries, nprobe)
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -574,19 +674,7 @@ def _pq_codebooks(e: DataFrame, pq_m: int = PQ_M, pq_k: int = PQ_K) -> DataFrame
     cbs = (
         assigned.select("sub", "cell", F.posexplode("svec").alias("pos", "val"))
         .groupBy("sub", "cell", "pos")
-        .agg(
-            (
-                (
-                    F.sum(
-                        F.floor(F.col("val").cast("double") * F.lit(1000000000.0)).cast(
-                            "decimal(38,0)"
-                        )
-                    ).cast("double")
-                    / F.count("val").cast("double")
-                )
-                / F.lit(1000000000.0)
-            ).alias("v")
-        )
+        .agg(_quantized_mean(F.col("val"), F.count("val")).alias("v"))
         .groupBy("sub", "cell")
         .agg(
             F.transform(
@@ -741,79 +829,14 @@ def pq_topk(
     in tests runs pq_k=256 on the sf0.1 corpus."""
     pq_subdim = EMB_DIM // pq_m
     cbs = _pq_codebooks(e, pq_m=pq_m, pq_k=pq_k)
-
-    code_cols = []
-    for m in range(pq_m):
-        svec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
-        code_cols.append(
-            F.array_min(
-                F.transform(
-                    F.col("cbs")[m],
-                    # bound immediately by F.transform, so loop capture is safe
-                    lambda w, i: F.struct(_l2_sq(svec, w).alias("d"), i.alias("idx")),
-                )
-            )["idx"]
-        )
-    coded = e.crossJoin(F.broadcast(cbs)).select(
-        "vec_id", F.array(*code_cols).alias("codes")
-    )
-
-    dtab_cols = []
-    for m in range(pq_m):
-        qsvec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
-        dtab_cols.append(F.transform(F.col("cbs")[m], lambda w: _l2_sq(qsvec, w)))
-    qrow = (
-        e.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cbs))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nsq").alias("q_nsq"),
-            F.array(*dtab_cols).alias("dtab"),
-        )
-    )
-
+    coded = _pq_encode_corpus(e, cbs, pq_m, pq_subdim)
+    qrow = _pq_query_row(e, cbs, n_queries, pq_m, pq_subdim)
     adc = (
         coded.crossJoin(F.broadcast(qrow.select("query_id", "dtab")))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("dtab"),
-                    lambda code, row: F.element_at(row, code + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dist"),
-        )
+        .select("query_id", "vec_id", _adc_dist().alias("dist"))
     )
-    wc = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-    cand = (
-        adc.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= pq_cand)
-        .select("query_id", "vec_id")
-    )
-
-    sims = (
-        e.join(F.broadcast(cand), "vec_id")
-        .join(F.broadcast(qrow.select("query_id", "q_emb", "q_nsq")), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_from_parts(
-                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
-            ).alias("cosine"),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= top_k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_rerank(e, _adc_candidates(adc, pq_cand), qrow, top_k)
 
 
 EMB_DUP_THRESHOLD = 0.4  # near-dup cosine gate (corpus cosines cluster ~0.43-0.51)
@@ -1008,15 +1031,7 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            (
-                (
-                    F.sum(
-                        F.floor(F.col("d") * F.lit(1000000000.0)).cast("decimal(38,0)")
-                    ).cast("double")
-                    / F.count(F.lit(1)).cast("double")
-                )
-                / F.lit(1000000000.0)
-            ).alias("mean_dist_sq"),
+            _quantized_mean(F.col("d"), F.count(F.lit(1))).alias("mean_dist_sq"),
         )
         .select(
             F.col("cell").cast("int").alias("cell"), "n_vectors", "mean_dist_sq"
@@ -1241,59 +1256,11 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
     assigned = _assign_cells(e, cents).localCheckpoint(eager=True)
-    probed = (
-        assigned.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.explode(
-                F.slice(
-                    F.array_sort(
-                        F.transform(
-                            F.col("cents"),
-                            lambda c: F.struct(
-                                _l2_sq(F.col("embedding"), c["c"]).alias("d"),
-                                c["cid"].alias("cid"),
-                            ),
-                        )
-                    ),
-                    1,
-                    IVF_NPROBE,
-                )
-            ).alias("probe"),
-        )
-        .select("query_id", F.col("probe")["cid"].alias("cell"))
-    )
-    # ---- PQ encode (verbatim PQ path) ----
+    probed = _ivf_probe(assigned, cents, N_QUERIES, IVF_NPROBE)
+    # ---- PQ encode (the pq_topk builders, shared verbatim) ----
     cbs = _pq_codebooks(e)
-    code_cols = []
-    for m in range(PQ_M):
-        svec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        code_cols.append(
-            F.array_min(
-                F.transform(
-                    F.col("cbs")[m],
-                    lambda w, i: F.struct(_l2_sq(svec, w).alias("d"), i.alias("idx")),
-                )
-            )["idx"]
-        )
-    coded = e.crossJoin(F.broadcast(cbs)).select(
-        "vec_id", F.array(*code_cols).alias("codes")
-    )
-    dtab_cols = []
-    for m in range(PQ_M):
-        qsvec = F.slice(F.col("embedding"), m * PQ_SUBDIM + 1, PQ_SUBDIM)
-        dtab_cols.append(F.transform(F.col("cbs")[m], lambda w: _l2_sq(qsvec, w)))
-    qrow = (
-        e.filter(F.col("vec_id") < N_QUERIES)
-        .crossJoin(F.broadcast(cbs))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nsq").alias("q_nsq"),
-            F.array(*dtab_cols).alias("dtab"),
-        )
-    )
+    coded = _pq_encode_corpus(e, cbs, PQ_M, PQ_SUBDIM)
+    qrow = _pq_query_row(e, cbs, N_QUERIES, PQ_M, PQ_SUBDIM)
     # ---- candidates = corpus vectors in probed cells, ADC-ranked ----
     cand0 = (
         assigned.join(F.broadcast(probed), "cell")
@@ -1303,40 +1270,6 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         cand0.join(coded, "vec_id")
         .join(F.broadcast(qrow.select("query_id", "dtab")), "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            F.aggregate(
-                F.zip_with(
-                    F.col("codes"),
-                    F.col("dtab"),
-                    lambda code, row: F.element_at(row, code + 1),
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("dist"),
-        )
+        .select("query_id", "vec_id", _adc_dist().alias("dist"))
     )
-    wc = Window.partitionBy("query_id").orderBy("dist", "vec_id")
-    cand = (
-        adc.withColumn("rn", F.row_number().over(wc))
-        .filter(F.col("rn") <= PQ_CAND)
-        .select("query_id", "vec_id")
-    )
-    sims = (
-        e.join(F.broadcast(cand), "vec_id")
-        .join(F.broadcast(qrow.select("query_id", "q_emb", "q_nsq")), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            cosine_from_parts(
-                dot(F.col("q_emb"), F.col("embedding")), F.col("q_nsq"), F.col("nsq")
-            ).alias("cosine"),
-        )
-    )
-    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sims.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _exact_rerank(e, _adc_candidates(adc, PQ_CAND), qrow, TOP_K)

@@ -80,11 +80,12 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the stage scales linearly with corpus bytes."""
     d = load_table(spark, sf_dir, "documents")
     grams = F.regexp_extract_all(F.col("text"), F.lit(_2GRAM_RX), 1)
-    n = F.size(grams)
-    n_dist = F.size(F.array_distinct(grams))
     return (
         d.select("doc_id", grams.alias("grams"))
-        .filter(n > 0)
+        # filter on the PROJECTED column: predicating on the pre-projection
+        # expression resolved via missing-reference fallback and re-ran the
+        # 2-gram regex per row just for the test (r13 review)
+        .filter(F.size("grams") > 0)
         .select(
             "doc_id",
             F.size("grams").alias("n_grams"),
@@ -921,24 +922,7 @@ def corpus_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by chunk text — identical grouping absent a 128-bit
     collision)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_W))).cast("int")
-    chunk = F.array_join(F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " ")
-    chunks = toks.select(
-        "doc_id",
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        F.xxhash64(chunk).alias("_h1"),
-        F.xxhash64(F.lit(1), chunk).alias("_h2"),
-        F.least(F.lit(CHUNK_W), F.size("t") - F.col("i") * CHUNK_W).alias("n_toks"),
-    )
-    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "chunk_idx")
-    marked = chunks.select(
-        "doc_id", "n_toks", F.row_number().over(w).alias("rn")
-    )
+    marked = _chunk_marked(d)
     kept = F.when(F.col("rn") == 1, 1).otherwise(0)
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -1017,6 +1001,49 @@ def corpus_len_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 NOVELTY_W = 3
 
 
+def _chunk_marked(d):
+    """Chunk fingerprint + first-occurrence marking shared by
+    corpus_chunk_dedup and pipeline_curation_v2 (r13 review: the pipeline
+    inlined a copy, so a chunking/hashing change in one query silently
+    diverged the composed pipeline from its independently-verified
+    sub-query): non-overlapping CHUNK_W-token chunks, 128-bit fingerprint
+    (two independently-seeded xxhash64s — never the chunk text, the r6
+    17x shuffle fix), rn=1 marks each chunk's first corpus-wide occurrence
+    by (doc_id, chunk_idx). Returns (doc_id, n_toks, rn)."""
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_W))).cast("int")
+    chunk = F.array_join(F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " ")
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.xxhash64(chunk).alias("_h1"),
+        F.xxhash64(F.lit(1), chunk).alias("_h2"),
+        F.least(F.lit(CHUNK_W), F.size("t") - F.col("i") * CHUNK_W).alias("n_toks"),
+    )
+    w = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "chunk_idx")
+    return chunks.select("doc_id", "n_toks", F.row_number().over(w).alias("rn"))
+
+
+def _novelty_scored(d):
+    """Per-doc-gram novelty flags shared by corpus_ngram_novelty and
+    pipeline_curation_v2: (doc_id, novel) rows, one per gram occurrence,
+    novel=1 iff this doc is the gram's corpus-wide MIN(doc_id)."""
+    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
+
+    ng = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), k=NOVELTY_W)).alias("gram")
+    )
+    firsts = ng.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return ng.join(firsts, "gram").select(
+        "doc_id",
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0).alias("novel"),
+    )
+
+
 @query(
     "corpus_ngram_novelty",
     oracle=f"""
@@ -1055,21 +1082,14 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same quantity every dedup join here shuffles on. The ratio is
     bigint/bigint evaluated in double — exact on both engines."""
     d = load_table(spark, sf_dir, "documents")
-    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
-
-    ng = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k=NOVELTY_W)).alias("gram")
-    )
-    firsts = ng.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     return (
-        ng.join(firsts, "gram")
+        _novelty_scored(d)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.sum(novel).alias("n_novel"),
+            F.sum("novel").alias("n_novel"),
             (
-                F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double")
+                F.sum("novel").cast("double") / F.count(F.lit(1)).cast("double")
             ).alias("novelty"),
         )
     )
@@ -1139,42 +1159,19 @@ def pipeline_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     No stage widens: scores are one row per doc before the gates. The mean
     novelty is ROUNDed (summation-order ulps against a 1e-6 grid)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
-    n_chunks = F.ceil(F.size("t") / F.lit(float(CHUNK_W))).cast("int")
-    chunk = F.array_join(F.slice(F.col("t"), F.col("i") * CHUNK_W + 1, CHUNK_W), " ")
-    chunks = toks.select(
-        "doc_id",
-        F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "i"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "chunk_idx",
-        # 128-bit chunk fingerprint instead of shuffling chunk text — same
-        # r6 fix as corpus_chunk_dedup (17x at the sf~10 probe otherwise)
-        F.xxhash64(chunk).alias("_h1"),
-        F.xxhash64(F.lit(1), chunk).alias("_h2"),
-        F.least(F.lit(CHUNK_W), F.size("t") - F.col("i") * CHUNK_W).alias("n_toks"),
-    )
-    wch = Window.partitionBy("_h1", "_h2").orderBy("doc_id", "chunk_idx")
-    marked = chunks.select("doc_id", "n_toks", F.row_number().over(wch).alias("rn"))
-    keptstats = marked.groupBy("doc_id").agg(
+    # the two sub-pipelines ARE the shared builders — this query verifies
+    # their composition, not a re-implementation (r13 review)
+    keptstats = _chunk_marked(d).groupBy("doc_id").agg(
         F.sum("n_toks").alias("n_tokens_total"),
         F.sum(F.when(F.col("rn") == 1, F.col("n_toks")).otherwise(0)).alias(
             "n_tokens_kept"
         ),
     )
-    from mysql_hbase_replicator_spark.operators.dedup import word_shingles
-
-    ng = d.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), k=NOVELTY_W)).alias("gram")
-    )
-    firsts = ng.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
     nov = (
-        ng.join(firsts, "gram")
+        _novelty_scored(d)
         .groupBy("doc_id")
         .agg(
-            (F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            (F.sum("novel").cast("double") / F.count(F.lit(1)).cast("double")).alias(
                 "novelty"
             )
         )
