@@ -1250,9 +1250,12 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-corpus_vocab_growth.__doc__ = corpus_vocab_growth.__doc__.replace(
-    "{B}", str(VOCAB_BUCKET)
-)
+# guarded: under `python -OO` docstrings are None (r13 review — the bare
+# .replace crashed load_all_queries and with it the whole driver)
+if corpus_vocab_growth.__doc__:
+    corpus_vocab_growth.__doc__ = corpus_vocab_growth.__doc__.replace(
+        "{B}", str(VOCAB_BUCKET)
+    )
 
 
 @query(

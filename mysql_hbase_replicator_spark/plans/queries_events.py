@@ -143,45 +143,75 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_funnel_conversion",
     oracle="""
-    WITH u AS (
+    WITH v AS (
         SELECT user_id,
-               MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
-               MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
-               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+               MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view
         FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, v.t_view,
+               MIN(CASE WHEN e.event_type = 'click'
+                         AND CAST(e.ts AS TIMESTAMP) > v.t_view
+                        THEN CAST(e.ts AS TIMESTAMP) END) AS t_click
+        FROM events e JOIN v USING (user_id)
+        GROUP BY e.user_id, v.t_view
+    ),
+    p AS (
+        SELECT c.user_id, c.t_view, c.t_click,
+               MIN(CASE WHEN e.event_type = 'purchase'
+                         AND CAST(e.ts AS TIMESTAMP) > c.t_click
+                        THEN CAST(e.ts AS TIMESTAMP) END) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        GROUP BY c.user_id, c.t_view, c.t_click
     )
     SELECT COUNT(*) AS n_users,
            COUNT(t_view) AS stage_view,
-           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS stage_click,
-           CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
-                         THEN 1 ELSE 0 END) AS BIGINT) AS stage_purchase
-    FROM u
+           COUNT(t_click) AS stage_click,
+           COUNT(t_purchase) AS stage_purchase
+    FROM p
     """,
 )
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel (first view → first click after it → first purchase
-    after that) counted per user. One shuffle on user_id collapses each user
-    to a 3-timestamp row via conditional MIN — the standard trick that makes
-    funnels a single-pass aggregate instead of a self-join per stage; the
-    final global rollup is a 1-row reduce. Scale: per-user state is O(1),
-    skew-free (conditional mins combine map-side)."""
-    e = load_table(spark, sf_dir, "events")
+    """Ordered funnel counted per user — genuinely SEQUENTIAL: first view,
+    then the first click AFTER that view, then the first purchase AFTER
+    that click. The previous form compared global per-stage minima
+    ("first click > first view"), which drops a user whose earliest click
+    predates their first view even when a qualifying later click exists
+    (r13 review: the docstring promised sequential semantics the
+    implementation didn't have, and the oracle faithfully encoded the same
+    approximation so the hash check couldn't catch it).
 
-    def first_ts(et: str):
-        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+    Scale shape: three chained conditional-min windows over ONE user_id
+    partitioning — each stage's threshold is the previous stage's window
+    column, so no self-join per stage and the exchange is planned once;
+    the per-user collapse and the 1-row rollup follow. Per-user state is
+    O(1), skew-free (mins combine map-side)."""
+    from pyspark.sql.window import Window
 
-    u = e.groupBy("user_id").agg(
-        first_ts("view").alias("t_view"),
-        first_ts("click").alias("t_click"),
-        first_ts("purchase").alias("t_purchase"),
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id")
+    et, ts = F.col("event_type"), F.col("ts")
+    staged = (
+        e.withColumn("t_view", F.min(F.when(et == "view", ts)).over(w))
+        .withColumn(
+            "t_click",
+            F.min(F.when((et == "click") & (ts > F.col("t_view")), ts)).over(w),
+        )
+        .withColumn(
+            "t_purchase",
+            F.min(F.when((et == "purchase") & (ts > F.col("t_click")), ts)).over(w),
+        )
     )
-    c2 = F.col("t_click") > F.col("t_view")
-    c3 = c2 & (F.col("t_purchase") > F.col("t_click"))
+    u = staged.groupBy("user_id").agg(
+        F.max("t_view").alias("t_view"),  # constant per user; max = the value
+        F.max("t_click").alias("t_click"),
+        F.max("t_purchase").alias("t_purchase"),
+    )
     return u.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("t_view").alias("stage_view"),
-        F.sum(F.when(c2, 1).otherwise(0)).alias("stage_click"),
-        F.sum(F.when(c3, 1).otherwise(0)).alias("stage_purchase"),
+        F.count("t_click").alias("stage_click"),
+        F.count("t_purchase").alias("stage_purchase"),
     )
 
 
@@ -355,6 +385,32 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSION_GAP_US = 1_800_000_000
 
 
+def _sessionized(e, *cols, cast_int: bool = False):
+    """The 30-minute gaps-and-islands session ordinal — ONE definition of
+    the gap rule and its (ts, event_id) tiebreak, shared by
+    events_sessionize_ids / events_top_sessions / events_session_paths
+    (r13 review: three byte-near-identical copies meant a gap-rule change
+    had to land in six places counting the oracles). One (user_id)
+    shuffle: the lag and the running sum share partitioning and ordering,
+    so Spark evaluates them over one sort; per-user state is O(1).
+    Returns ``e.select(*cols, session_num)``."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    snum = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    if cast_int:
+        snum = snum.cast("int")
+    return e.select(*cols, snum.alias("session_num"))
+
+
 @query(
     "events_sessionize_ids",
     oracle=f"""
@@ -386,24 +442,8 @@ def events_sessionize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     Window node pair over one sort, and per-user state is O(1). Gap
     arithmetic is integer micros (unix_micros / EPOCH_US) on both engines —
     no float boundary risk."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
-    return e.select(
-        "event_id",
-        "user_id",
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("int")
-        .alias("session_num"),
-    )
+    return _sessionized(e, "event_id", "user_id", cast_int=True)
 
 
 # rolling distinct cardinality: Spark has no COUNT(DISTINCT) OVER, so the
@@ -613,24 +653,8 @@ def events_top_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup share the (user_id) partitioning — one shuffle reused across the
     window and the aggregate; the global top-k is a TakeOrderedAndProject
     over the tiny per-session table, never a full sort."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
-    s = e.select(
-        "user_id",
-        "ts",
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("int")
-        .alias("session_num"),
-    )
+    s = _sessionized(e, "user_id", "ts", cast_int=True)
     sess = s.groupBy("user_id", "session_num").agg(
         F.count(F.lit(1)).cast("int").alias("n_events"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
@@ -919,22 +943,7 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    is_new = F.when(
-        prev.isNull()
-        | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
-        1,
-    ).otherwise(0)
-    s = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "event_type",
-        F.sum(is_new)
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .alias("session_num"),
-    )
+    s = _sessionized(e, "user_id", "event_id", "ts", "event_type")
     wr = Window.partitionBy("user_id", "session_num").orderBy("ts", "event_id")
     r = s.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") <= PATH_LEN)
     paths = (
@@ -956,9 +965,13 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-events_session_paths.__doc__ = events_session_paths.__doc__.replace(
-    "{TOP_N}", str(TOP_PATHS_N)
-).replace("{LEN}", str(PATH_LEN))
+# docstring placeholder substitution — guarded: under `python -OO`
+# docstrings strip to None and the bare .replace crashed the module import
+# (and with it load_all_queries / the whole driver, r13 review)
+if events_session_paths.__doc__:
+    events_session_paths.__doc__ = events_session_paths.__doc__.replace(
+        "{TOP_N}", str(TOP_PATHS_N)
+    ).replace("{LEN}", str(PATH_LEN))
 
 
 @query(
@@ -1218,7 +1231,7 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS h,
                value, event_id,
                ROW_NUMBER() OVER (PARTITION BY DATE_TRUNC('hour', CAST(ts AS TIMESTAMP))
-                                  ORDER BY value, event_id) AS rn,
+                                  ORDER BY value NULLS LAST, event_id) AS rn,
                COUNT(*) OVER (PARTITION BY DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)))
                    AS n
         FROM events
@@ -1251,7 +1264,11 @@ def events_hourly_p95_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     h = F.date_trunc("hour", F.col("ts"))
-    wh = Window.partitionBy(h).orderBy("value", "event_id")
+    # NULLS LAST on both engines: Spark's ASC default is NULLS FIRST while
+    # DuckDB's is NULLS LAST — an hour containing NULL values would shift
+    # the ceil(0.95·n) pick to a smaller value on the Spark side only
+    # (r13 review; latent — the generator emits no NULL values)
+    wh = Window.partitionBy(h).orderBy(F.asc_nulls_last("value"), "event_id")
     ranked = e.select(
         h.alias("h"),
         "value",

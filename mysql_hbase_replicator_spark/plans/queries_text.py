@@ -246,6 +246,32 @@ def pipeline_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_TOP_N = 3
 
 
+def _tfidf_weighted_terms(
+    d, df_prune_inv: int | None = None
+):
+    """The log-free TF-IDF weight pipeline — tokenize → tf → df → N_docs →
+    wt = tf*N/df — shared by text_tfidf_top_terms and
+    text_tfidf_cosine_pairs (r13 review: two copies of the cross-engine
+    exactness contract). ``df_prune_inv`` keeps only terms with
+    df*prune <= N (the cosine query's common-term prune); None keeps all.
+    Returns (doc_id, term, wt)."""
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = tf.join(df, "term").crossJoin(F.broadcast(n))
+    if df_prune_inv is not None:
+        w = w.filter(F.col("df") * df_prune_inv <= F.col("n_docs"))
+    return w.select(
+        "doc_id",
+        "term",
+        (
+            (F.col("tf") * F.col("n_docs")).cast("double")
+            / F.col("df").cast("double")
+        ).alias("wt"),
+    )
+
+
 @query(
     "text_tfidf_top_terms",
     oracle=f"""
@@ -284,22 +310,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions by doc_id. No step holds more than (distinct terms per doc)
     rows per key."""
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (
-                (F.col("tf") * F.col("n_docs")).cast("double")
-                / F.col("df").cast("double")
-            ).alias("tfidf"),
-        )
-    )
+    scored = _tfidf_weighted_terms(d).withColumnRenamed("wt", "tfidf")
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
@@ -575,31 +586,22 @@ def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SimHash, embedding-LSH) are verified against; identical cap in the
     oracle, no-op at every test SF (< 10k docs). No all-pairs product
     anywhere; norms are one (doc_id) aggregate."""
-    from pyspark.sql import Window  # noqa: F401  (parallel import style with tfidf_top_terms)
-
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") < _TFIDF_MAX_DOCS
     )
-    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    w = (
-        tf.join(df, "term")
-        .crossJoin(F.broadcast(n))
-        .filter(F.col("df") * TFIDF_DF_PRUNE_INV <= F.col("n_docs"))
-        .select(
-            "doc_id",
-            "term",
-            (
-                (F.col("tf") * F.col("n_docs")).cast("double")
-                / F.col("df").cast("double")
-            ).alias("wt"),
-        )
-    )
+    w = _tfidf_weighted_terms(d, df_prune_inv=TFIDF_DF_PRUNE_INV)
 
     def q9(x):
-        return F.floor(x * F.lit(_Q9)).cast("decimal(38,0)")
+        # exact floor WITHOUT long saturation (r13 review): Spark's
+        # floor(double) returns BIGINT, clamping above ~9.2e18 where the
+        # oracle's FLOOR stays double-exact. Below 2^53 the long floor is
+        # exact; at or above 2^53 the double is already integral, so the
+        # decimal cast (HALF_UP over a zero fraction) IS the floor —
+        # matching DuckDB's FLOOR(double)::DECIMAL in both regimes.
+        y = x * F.lit(_Q9)
+        return F.when(
+            y < F.lit(float(2**53)), F.floor(y).cast("decimal(38,0)")
+        ).otherwise(y.cast("decimal(38,0)"))
 
     norms = w.groupBy("doc_id").agg(F.sum(q9(F.col("wt") * F.col("wt"))).alias("n9"))
     a = w.select(F.col("doc_id").alias("doc_a"), "term", F.col("wt").alias("wa"))
