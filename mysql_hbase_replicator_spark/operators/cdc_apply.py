@@ -315,12 +315,34 @@ def apply_cdc_batch(
         # event line missing `position`) yields Row(o=None, ...), and Python
         # raises TypeError on None<int, wedging the stream in a
         # crash-replay loop (r13 review). None sorts below every real ord.
+        # ... and the guard must be RECURSIVE: the ord may itself be a
+        # struct (the Debezium pipeline's (ts_ms, file, pos) seq) whose
+        # members can be NULL, or one batch can mix long ords with struct
+        # ords (a replay straddling a source swap) — a flat None check
+        # still raises TypeError on Row-vs-int or None-inside-Row
+        # comparison, re-creating the same wedge one level down (ADVICE
+        # r13). Type-tagged tuples make every pair comparable: None < any
+        # value; unlike types order by tag, never by raw comparison.
+        def _cmp_key(o):
+            if o is None:
+                return (0,)
+            if isinstance(o, bool):
+                return (1, int(o))
+            if isinstance(o, (int, float)):
+                return (1, o)
+            if isinstance(o, str):
+                return (2, o)
+            if isinstance(o, (bytes, bytearray)):
+                return (3, bytes(o))
+            if isinstance(o, (tuple, list)):  # Row subclasses tuple
+                return (4, tuple(_cmp_key(x) for x in o))
+            return (2, str(o))
+
         def _none_safe_max(rows, field, field_default):
             def key(r):
-                o, v = r["o"], r[field]
+                v = r[field]
                 return (
-                    o is not None,
-                    o if o is not None else 0,
+                    _cmp_key(r["o"]),
                     v is not None,
                     v if v is not None else field_default,
                 )

@@ -294,9 +294,26 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
     SEQ_COL = "_lsm_seq"
     LEGACY_DELTA_DIR = "_delta"  # pre-r13 layout: deltas inside the table dir
 
-    def __init__(self, base_dir: str, n_buckets: int = 32, compact_every: int = 64):
+    def __init__(
+        self,
+        base_dir: str,
+        n_buckets: int = 32,
+        compact_every: int = 64,
+        keep_versions: int = 1,
+    ):
         super().__init__(base_dir, n_buckets=n_buckets)
         self.compact_every = compact_every
+        # reader-retirement depth (r13 verdict #3): how many RETIRED
+        # versions of base/delta stay on disk behind the current pointer.
+        # The default (1) is the documented one-flip window — a lazy
+        # DataFrame that resolved the previous pointer finishes its scan;
+        # readers held across >= keep_versions+1 compactions can hit
+        # FileNotFoundException (the standard retention trade — Delta's
+        # VACUUM horizon). Raise it when consumers hold frames across
+        # multiple flips (e.g. a slow downstream join over a hot store).
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1 (got {keep_versions})")
+        self.keep_versions = keep_versions
 
     # --- legacy-layout upgrade ------------------------------------------------
     def _legacy_layout_present(self, name: str) -> bool:
@@ -338,6 +355,7 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
             self._legacy_layout_present(name)
             or os.path.isdir(self.table_path(name) + ".compacting")
             or os.path.isdir(self.table_path(name) + ".pre-compact")
+            or os.path.exists(self.table_path(name) + ".promoting")
         ):
             return
         with self._table_flock(name):
@@ -388,19 +406,56 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         tp = self.table_path(name)
         staging = tp + ".compacting"
         old = tp + ".pre-compact"
-        if not (os.path.isdir(staging) or os.path.isdir(old)):
+        marker = tp + ".promoting"
+        if not (
+            os.path.isdir(staging) or os.path.isdir(old) or os.path.exists(marker)
+        ):
             return
         doc = self._registry(name) or {}
         already_pointered = "base_version" in doc or "delta_version" in doc
-        live_has_data = self._dir_has_parquet(tp)
 
         def _promote(src: str) -> None:
             # live may already exist holding lock/registry files — move the
-            # staged entries in rather than renaming the whole dir
+            # staged entries in rather than renaming the whole dir. The move
+            # is one rename PER ENTRY, so a crash mid-promote leaves live
+            # holding a partial copy and src the remainder — without a
+            # record of the in-flight promote, the next recovery pass would
+            # see live_has_data=True and rmtree the remainder (silent data
+            # loss, ADVICE r13). The `.promoting` marker names the source
+            # suffix BEFORE the first rename; recovery resumes the move
+            # instead of judging live/src as independent candidates.
+            tmp = marker + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(src[len(tp):])  # ".compacting" | ".pre-compact"
+            os.replace(tmp, marker)
             os.makedirs(tp, exist_ok=True)
             for e in os.listdir(src):
                 os.rename(os.path.join(src, e), os.path.join(tp, e))
             shutil.rmtree(src, ignore_errors=True)
+            os.remove(marker)
+
+        # Resume an interrupted promote FIRST: until the in-flight move
+        # finishes, _dir_has_parquet(tp) reflects a partial copy and must
+        # not drive any delete decision. Each entry moves via a single
+        # atomic rename, so resuming simply moves whatever remains in src
+        # (entries already promoted are no longer listed there).
+        if os.path.exists(marker):
+            try:
+                with open(marker) as f:
+                    suffix = f.read().strip()
+            except OSError:
+                suffix = ""
+            src = tp + suffix if suffix in (".compacting", ".pre-compact") else ""
+            if src and os.path.isdir(src):
+                _promote(src)
+            else:
+                # promote had completed (src swept) or the marker is
+                # unreadable garbage — clear it and fall through
+                try:
+                    os.remove(marker)
+                except OSError:
+                    pass
+        live_has_data = self._dir_has_parquet(tp)
 
         if os.path.isdir(staging):
             staged_ok = os.path.exists(os.path.join(staging, "_SUCCESS"))
@@ -479,13 +534,13 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
 
     def _stale_version_dirs(self, name: str) -> list[tuple[str, int, str]]:
         """Version dirs the pointer no longer references AND that are
-        outside the N-1 reader-retirement window — the immediately-previous
-        version of base and delta is RETAINED so a reader that resolved the
-        old pointer finishes its scan; only N-2 and older, plus
-        never-referenced crash orphans (e.g. a base_v99 left by a crashed
-        compaction that never flipped), qualify. Returns (kind, ver, path)
-        for the subclass-specific drop (the bucketed sibling also drops its
-        catalog entries)."""
+        outside the ``keep_versions`` reader-retirement window — the
+        ``keep_versions`` immediately-previous versions of base and delta
+        are RETAINED so a reader that resolved an old pointer finishes its
+        scan; only older ones, plus never-referenced crash orphans (e.g. a
+        base_v99 left by a crashed compaction that never flipped), qualify.
+        Returns (kind, ver, path) for the subclass-specific drop (the
+        bucketed sibling also drops its catalog entries)."""
         doc = self._doc(name)
         keep: set[tuple[str, int]] = set()
         for kind, cur in (
@@ -494,9 +549,9 @@ class LogStructuredKeyedStore(ParquetKeyedStore):
         ):
             if cur is None:
                 continue
-            keep.add((kind, int(cur)))
-            if int(cur) > 0:
-                keep.add((kind, int(cur) - 1))
+            for back in range(self.keep_versions + 1):
+                if int(cur) - back >= 0:
+                    keep.add((kind, int(cur) - back))
         try:
             entries = os.listdir(self.table_path(name))
         except OSError:
@@ -1204,7 +1259,11 @@ STORE_KINDS: dict[str, type[ParquetKeyedStore]] = {
 
 
 def make_store(
-    kind: str, base_dir: str, n_buckets: int = 32, compact_every: int = 64
+    kind: str,
+    base_dir: str,
+    n_buckets: int = 32,
+    compact_every: int = 64,
+    keep_versions: int = 1,
 ) -> ParquetKeyedStore:
     """Construct a keyed store by kind name (see STORE_KINDS)."""
     try:
@@ -1215,4 +1274,9 @@ def make_store(
         ) from None
     if cls is ParquetKeyedStore:
         return cls(base_dir, n_buckets=n_buckets)
-    return cls(base_dir, n_buckets=n_buckets, compact_every=compact_every)
+    return cls(
+        base_dir,
+        n_buckets=n_buckets,
+        compact_every=compact_every,
+        keep_versions=keep_versions,
+    )

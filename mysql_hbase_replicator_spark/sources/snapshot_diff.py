@@ -51,6 +51,15 @@ from pyspark.sql import types as T
 SNAP_VER_COL = "_snap_ver"
 
 
+class SnapshotRetentionError(RuntimeError):
+    """The producer deleted/rotated a landing file between stream admission
+    and apply: the batch-side re-read of the triggering snapshot version saw
+    FEWER rows than the stream admitted for it. Diffing that partial view
+    would emit spurious DELETEs for every missing row (ADVICE r13), so the
+    pipeline fails loudly instead — the retention contract is that a landing
+    file persists until its version has been applied (the marker flip)."""
+
+
 def snapshot_schema(row_struct: T.StructType) -> T.StructType:
     """Snapshot-file schema: the source row image plus the snapshot version
     stamp (monotone per landing; the producer's poll counter)."""
@@ -88,6 +97,34 @@ def read_snapshot_stream(
         "maxFilesPerTrigger", max_files_per_trigger
     )
     return reader.parquet(path) if file_format == "parquet" else reader.json(path)
+
+
+def read_snapshot_trigger_stream(
+    spark: SparkSession,
+    root: str,
+    max_files_per_trigger: int = 1,
+    file_format: str = "json",
+) -> DataFrame:
+    """Trigger-only stream over a MULTI-TABLE landing root (r13 verdict #2):
+    ``root/<db.table>/<files>``, one subdir per mapped table — the reference
+    routes EVERY mapped table from one binlog stream
+    (MySQLExtractor.scala:225-236), and this is the polling transport's
+    equivalent: one Structured Streaming query triggers the per-table
+    applies. Because per-table row schemas differ, the stream projects ONLY
+    the ``_snap_ver`` stamp (every landing file carries it regardless of
+    table) plus the implicit file provenance; the pipeline attributes each
+    admitted file to its table by parent-dir name and re-reads that table's
+    landing batch-side with the table's own schema. Projecting one shared
+    column is what lets heterogeneous parquet/JSON files share a single
+    stream source."""
+    if file_format not in ("json", "parquet"):
+        raise ValueError(f"unknown snapshot file_format: {file_format}")
+    schema = T.StructType([T.StructField(SNAP_VER_COL, T.LongType(), True)])
+    reader = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    glob = os.path.join(root, "*")
+    return reader.parquet(glob) if file_format == "parquet" else reader.json(glob)
 
 
 def snapshot_diff_events(
@@ -189,8 +226,14 @@ class PrevSnapshotStore:
 
     MARKER = "_current.json"
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, keep_versions: int = 1):
         self.root = root
+        # retired prev-snapshot versions retained behind the marker (r13
+        # verdict #3 — same knob as the LSM stores' reader-retirement
+        # window); 1 = the replayed batch can still re-read its diff inputs
+        if keep_versions < 1:
+            raise ValueError(f"keep_versions must be >= 1 (got {keep_versions})")
+        self.keep_versions = keep_versions
 
     def _marker_path(self) -> str:
         return os.path.join(self.root, self.MARKER)
@@ -306,10 +349,11 @@ class PrevSnapshotStore:
         with open(tmp, "w") as f:
             json.dump({"version": version, "snap_ver": snap_ver, "files": files}, f)
         os.replace(tmp, self._marker_path())
-        # sweep: keep current and current-1 (the replayed batch may still
-        # re-read its diff inputs); older versions are garbage
+        # sweep: keep current and the keep_versions most recent retired
+        # dirs (default 1: the replayed batch may still re-read its diff
+        # inputs); older versions are garbage
         for e in os.listdir(self.root):
             if e.startswith("prev_v") and e[len("prev_v"):].isdigit():
                 v = int(e[len("prev_v"):])
-                if v < version - 1:
+                if v < version - self.keep_versions:
                     shutil.rmtree(os.path.join(self.root, e), ignore_errors=True)

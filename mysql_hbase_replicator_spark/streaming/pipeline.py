@@ -103,6 +103,18 @@ class CdcStreamPipeline:
     # snapshot_diff only: the "db.table" mapping key the snapshots belong to
     # (defaults to the single configured mapping; required when several)
     snapshot_table: str | None = None
+    # snapshot_diff only: MULTI-TABLE mode (r13 verdict #2) — the reference
+    # routes every mapped table from ONE binlog stream
+    # (MySQLExtractor.scala:225-236); the polling transport reaches parity
+    # by keying per-table source row schemas here ("db.table" → struct) and
+    # pointing events_path at a landing ROOT holding one subdir per full
+    # name (<events_path>/<db.table>/). One streaming query triggers all
+    # tables; each table diffs/applies through its own PrevSnapshotStore
+    # under <checkpoint>/snapshots/<db.table>, and the store-level
+    # high-watermark advances to the MIN applied snapshot version across
+    # ALL configured tables (SURVEY §7's multi-table ordering rule —
+    # a position is checkpointed only once every table reached it).
+    row_structs: dict[str, T.StructType] | None = None
     # snapshot_diff only: landing-file format — "json" (debug/test default)
     # or "parquet" (the production shape a jdbc_snapshot poller writes)
     snapshot_format: str = "json"
@@ -214,14 +226,21 @@ class CdcStreamPipeline:
         self._lineage = token
         return token
 
-    def _apply_kernel(self, events: DataFrame, batch_id: int) -> CdcBatchResult:
+    def _apply_kernel(
+        self,
+        events: DataFrame,
+        batch_id: int,
+        advance_checkpoint: bool = True,
+        mappings: dict[str, HbaseTableInfo] | None = None,
+    ) -> CdcBatchResult:
         return apply_cdc_batch(
             self.spark,
             events,
             self.store,
-            self.mappings,
+            self.mappings if mappings is None else mappings,
             k3_mode=self.k3_mode,
             max_dead_letter=self.max_dead_letter,
+            advance_checkpoint=advance_checkpoint,
             # lineage-scoped stable per-batch token: a replayed micro-batch
             # overwrites its own dead-letter subdirs instead of appending
             # duplicates, while batches of a DIFFERENT checkpoint lineage
@@ -234,8 +253,10 @@ class CdcStreamPipeline:
             return self.snapshot_table
         if len(self.mappings) != 1:
             raise ValueError(
-                "snapshot_diff mode needs snapshot_table when more than one "
-                f"mapping is configured (have {sorted(self.mappings)})"
+                "single-table snapshot_diff mode needs snapshot_table when "
+                f"more than one mapping is configured (have "
+                f"{sorted(self.mappings)}); for one pipeline over several "
+                "tables, pass row_structs and a per-table landing root"
             )
         return next(iter(self.mappings))
 
@@ -246,39 +267,141 @@ class CdcStreamPipeline:
         then flip the prev-snapshot pointer. Pointer-after-apply makes the
         at-least-once replay converge: re-diff vs old = identical events
         over an idempotent MERGE; re-diff vs new = empty diff (see
-        sources/snapshot_diff.py)."""
+        sources/snapshot_diff.py).
+
+        ONE action over the (small, admission-capped) batch, grouped by
+        (source file, version): yields each admitted file's max version —
+        merged into the prev-store's files map at flip so later landing
+        re-reads can SKIP files whose recorded versions are all strictly
+        older than the trigger (each file is admitted exactly once, so the
+        map converges on the full landing history at zero extra scan cost) —
+        plus the per-version admitted row counts the retention guard
+        compares against the re-read (ADVICE r13).
+
+        MULTI-TABLE mode (``row_structs`` set): the admitted files are
+        attributed to their table by parent-dir name and each table present
+        in the batch runs the same single-table procedure against its own
+        landing subdir and prev-snapshot store; the store-level
+        high-watermark then advances to the min applied version across ALL
+        configured tables."""
+        from mysql_hbase_replicator_spark.sources.snapshot_diff import SNAP_VER_COL
+
+        per_file = (
+            batch_df.groupBy(
+                F.input_file_name().alias("_file"),
+                F.col(SNAP_VER_COL).alias("_v"),
+            )
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        if self.row_structs is None:
+            self._apply_snapshot_one(self._snapshot_full_name(), per_file, batch_id)
+            return
+        by_table: dict[str, list] = {}
+        unattributed = 0
+        for r in per_file:
+            full = self._landing_table_of(r["_file"])
+            if not full:
+                unattributed += int(r["_n"])
+                continue
+            by_table.setdefault(full, []).append(r)
+        if unattributed:
+            logging.getLogger(__name__).warning(
+                "snapshot batch %d: %d rows without file provenance ignored "
+                "(multi-table landing needs a file-based source)",
+                batch_id,
+                unattributed,
+            )
+        unknown = sorted(set(by_table) - set(self.row_structs))
+        if unknown:
+            raise ValueError(
+                f"landing subdir(s) {unknown} have no row_structs entry "
+                f"(configured: {sorted(self.row_structs)})"
+            )
+        # deterministic per-batch table order; each table's events still
+        # apply in snapshot-version order because versions are per-table
+        for full in sorted(by_table):
+            self._apply_snapshot_one(full, by_table[full], batch_id)
+        self._advance_global_snapshot_watermark()
+
+    def _snapshot_store_root(self, full_name: str) -> str:
+        base = os.path.join(self.checkpoint_dir, "snapshots")
+        return base if self.row_structs is None else os.path.join(base, full_name)
+
+    def _snapshot_landing_dir(self, full_name: str) -> str:
+        return (
+            self.events_path
+            if self.row_structs is None
+            else os.path.join(self.events_path, full_name)
+        )
+
+    def _snapshot_row_struct(self, full_name: str) -> T.StructType:
+        return (
+            self.row_struct if self.row_structs is None else self.row_structs[full_name]
+        )
+
+    def _advance_global_snapshot_watermark(self) -> None:
+        """Multi-table S5 parity: ``_checkpoint.json``'s high-watermark is
+        the MIN applied snapshot version across every configured table — a
+        version counts as replicated only once ALL tables folded it (the
+        reference's single binlog position plays the same role across its
+        mapped tables, HbaseApplier.scala:138-153). Any un-seeded table
+        pins the watermark: nothing is written until every table applied
+        at least one snapshot. Observability only — resume truth is the
+        streaming checkpoint, exactly as in single-table mode."""
+        from mysql_hbase_replicator_spark.operators.cdc_apply import (
+            _write_checkpoint,
+            read_checkpoint_state,
+        )
+        from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+            PrevSnapshotStore,
+        )
+
+        vers = []
+        for full in self.row_structs or {}:
+            v = PrevSnapshotStore(self._snapshot_store_root(full)).applied_snap_ver()
+            if v is None:
+                return
+            vers.append(v)
+        if not vers:
+            return
+        state = read_checkpoint_state(self.store) or {}
+        _write_checkpoint(self.store, min(vers), state.get("filename"))
+
+    def _apply_snapshot_one(
+        self, full_name: str, per_file: list, batch_id: int
+    ) -> CdcBatchResult | None:
+        """The single-table snapshot apply: latest-version gate → landing
+        re-read (pruned by the files map) → stage → retention guard → diff →
+        kernel → pointer flip. ``per_file`` is this table's slice of the
+        batch's (file, version, row-count) groups."""
         from mysql_hbase_replicator_spark.sources.snapshot_diff import (
             SNAP_VER_COL,
             PrevSnapshotStore,
+            SnapshotRetentionError,
             snapshot_diff_events,
         )
 
-        full_name = self._snapshot_full_name()
         db, table = full_name.split(".", 1)
-        # ONE action over the (small, admission-capped) batch, grouped by
-        # source file: besides the version/row/violation totals this yields
-        # each admitted file's max version — merged into the prev-store's
-        # files map at flip so later landing re-reads can SKIP files whose
-        # recorded versions are all strictly older than the trigger (each
-        # file is admitted exactly once, so the map converges on the full
-        # landing history at zero extra scan cost)
-        per_file = (
-            batch_df.groupBy(F.input_file_name().alias("_file"))
-            .agg(
-                F.max(SNAP_VER_COL).alias("_v"),
-                F.count(F.lit(1)).alias("_n"),
-                F.count(F.when(F.col(SNAP_VER_COL).isNull(), 1)).alias("_nu"),
-            )
-            .collect()
-        )
+        row_struct = self._snapshot_row_struct(full_name)
+        landing_dir = self._snapshot_landing_dir(full_name)
         latest = max((r["_v"] for r in per_file if r["_v"] is not None), default=None)
         n_rows = sum(r["_n"] for r in per_file)
-        n_unstamped = sum(r["_nu"] for r in per_file)
-        file_vers = {
-            self._landing_basename(r["_file"]): int(r["_v"])
-            for r in per_file
-            if r["_v"] is not None
-        }
+        n_unstamped = sum(r["_n"] for r in per_file if r["_v"] is None)
+        # files map entries: max stamped version per basename; a file with
+        # ONLY unstamped rows records version 0 so it still enters the
+        # pruning map (ADVICE r13 — it previously stayed 'unseen' and was
+        # re-scanned by every future landing re-read); empty basenames
+        # (non-file batch sources) carry no prunable landing entry and are
+        # dropped rather than keyed as ""
+        file_vers: dict[str, int] = {}
+        for r in per_file:
+            name = self._landing_basename(r["_file"])
+            if not name:
+                continue
+            v = int(r["_v"]) if r["_v"] is not None else 0
+            if v > file_vers.get(name, -1):
+                file_vers[name] = v
         logger = logging.getLogger(__name__)
         if n_unstamped:
             # rows landed WITHOUT a version stamp: the contract is violated
@@ -287,18 +410,20 @@ class CdcStreamPipeline:
             # failures-never-vanish posture; the payload is a full snapshot,
             # too heavy to dead-letter wholesale)
             logger.warning(
-                "snapshot batch %d: %d of %d rows with no %s stamp — "
+                "snapshot batch %d [%s]: %d of %d rows with no %s stamp — "
                 "unstamped rows DISCARDED (producer contract violation)",
                 batch_id,
+                full_name,
                 n_unstamped,
                 n_rows,
                 SNAP_VER_COL,
             )
+        prev_store = PrevSnapshotStore(self._snapshot_store_root(full_name))
         if latest is None:
-            return  # empty batch (no stamped snapshot rows admitted)
-        prev_store = PrevSnapshotStore(
-            os.path.join(self.checkpoint_dir, "snapshots")
-        )
+            # empty batch slice (no stamped snapshot rows admitted) — the
+            # unstamped-only files still enter the pruning map
+            prev_store.record_files(file_vers)
+            return None
         applied = prev_store.applied_snap_ver()
         if applied is not None and int(latest) < applied:
             # strictly-stale landing: Spark's file source breaks equal-mtime
@@ -313,8 +438,9 @@ class CdcStreamPipeline:
 
             trace(
                 logger,
-                "snapshot batch %d: version %s older than applied %s — skipped",
+                "snapshot batch %d [%s]: version %s older than applied %s — skipped",
                 batch_id,
+                full_name,
                 latest,
                 applied,
             )
@@ -322,7 +448,7 @@ class CdcStreamPipeline:
             # never applies would otherwise stay "unseen" and be re-read on
             # every future poll
             prev_store.record_files(file_vers)
-            return
+            return None
         # Diff from a batch-side RE-READ of the landing at version `latest`,
         # not from the admitted batch rows: the file source caps admission
         # (maxFilesPerTrigger), so a multi-file snapshot version can
@@ -338,24 +464,54 @@ class CdcStreamPipeline:
         # retained landings; the unpruned drain is O(history²) and the gap
         # grows with retention).
         paths, landing_names = self._snapshot_landing_files(
-            prev_store, int(latest), file_vers
+            prev_store, int(latest), file_vers, landing_dir
         )
         snap = (
-            self._read_snapshot_landing(paths)
+            self._read_snapshot_landing(row_struct, paths, landing_dir)
             .filter(F.col(SNAP_VER_COL) == F.lit(latest))
             .drop(SNAP_VER_COL)
         )
         # stage first: the diff then scans parquet (one write of the small
         # snapshot instead of recomputing the stream source twice), and the
         # staged dir doubles as the next prev version
-        next_ver, staged_path = prev_store.stage_next(snap, self.row_struct)
-        prev = prev_store.read_current(self.spark, self.row_struct)
-        cur = self.spark.read.schema(self.row_struct).parquet(staged_path)
+        next_ver, staged_path = prev_store.stage_next(snap, row_struct)
+        prev = prev_store.read_current(self.spark, row_struct)
+        cur = self.spark.read.schema(row_struct).parquet(staged_path)
+        # Retention guard (ADVICE r13): the re-read is only correct if every
+        # landing file persists until its version is applied — a producer
+        # that deleted/rotated a file between stream admission and this
+        # re-read would shrink the snapshot and turn every missing row into
+        # a spurious DELETE. The staged row count must therefore cover at
+        # least the rows the stream ADMITTED at this version (the reverse —
+        # staged > admitted — is normal: remainder files of a multi-file
+        # version that landed after admission). Parquet metadata makes the
+        # staged count near-free; fail loudly before any store mutation.
+        admitted_at_latest = sum(
+            r["_n"] for r in per_file if r["_v"] is not None and int(r["_v"]) == int(latest)
+        )
+        staged_n = cur.count()
+        if staged_n < admitted_at_latest:
+            raise SnapshotRetentionError(
+                f"snapshot version {int(latest)} of {full_name}: landing "
+                f"re-read found {staged_n} rows but the stream admitted "
+                f"{admitted_at_latest} — a landing file was deleted before "
+                "its version was applied (retention contract violation)"
+            )
         events = snapshot_diff_events(
-            prev, cur, self.row_struct, self._snapshot_pk_cols(), db, table,
+            prev, cur, row_struct, self._snapshot_pk_cols(full_name), db, table,
             position=int(latest),
         )
-        result = self._apply_kernel(events, batch_id)
+        # multi-table mode defers the high-watermark to the global min
+        # across tables; single-table keeps the kernel's own advance. The
+        # kernel sees ONLY this table's mapping: the diff events carry this
+        # table's typed row struct, and the kernel's validity projections
+        # are built per configured mapping against that struct.
+        result = self._apply_kernel(
+            events,
+            batch_id,
+            advance_checkpoint=self.row_structs is None,
+            mappings={full_name: self.mappings[full_name]},
+        )
         prev_store.flip(
             next_ver, int(latest), file_vers=file_vers, landing_files=landing_names
         )
@@ -364,6 +520,7 @@ class CdcStreamPipeline:
             for key, seconds in result.apply_latency_s.items():
                 self.latency_rings.setdefault(key, deque(maxlen=10)).append(seconds)
         self._trace_batch(batch_id, result)
+        return result
 
     @staticmethod
     def _landing_basename(uri: str) -> str:
@@ -373,8 +530,20 @@ class CdcStreamPipeline:
 
         return os.path.basename(unquote(urlparse(uri).path))
 
+    @staticmethod
+    def _landing_table_of(uri: str) -> str:
+        """Parent-dir name of an ``input_file_name()`` URI — the "db.table"
+        attribution key in multi-table landing roots."""
+        from urllib.parse import unquote, urlparse
+
+        return os.path.basename(os.path.dirname(unquote(urlparse(uri).path)))
+
     def _snapshot_landing_files(
-        self, prev_store, latest: int, batch_file_vers: dict[str, int]
+        self,
+        prev_store,
+        latest: int,
+        batch_file_vers: dict[str, int],
+        landing_dir: str | None = None,
     ) -> tuple[list[str] | None, list[str] | None]:
         """The landing files worth scanning for version ``latest``: every
         non-hidden file EXCEPT those whose recorded max version (files map ∪
@@ -385,8 +554,10 @@ class CdcStreamPipeline:
         listable as a local directory — callers then scan the whole dir
         (the parquet production shape still prunes on _snap_ver row-group
         stats)."""
+        if landing_dir is None:
+            landing_dir = self.events_path
         try:
-            entries = os.listdir(self.events_path)
+            entries = os.listdir(landing_dir)
         except OSError:
             return None, None
         fmap = prev_store.files_map()
@@ -394,15 +565,20 @@ class CdcStreamPipeline:
             fmap[k] = max(v, fmap.get(k, 0))
         names = [e for e in entries if not e.startswith((".", "_"))]
         keep = [
-            os.path.join(self.events_path, e)
+            os.path.join(landing_dir, e)
             for e in names
             if fmap.get(e) is None or fmap[e] >= latest
         ]
         return keep, names
 
-    def _read_snapshot_landing(self, paths: list[str] | None = None) -> DataFrame:
+    def _read_snapshot_landing(
+        self,
+        row_struct: T.StructType,
+        paths: list[str] | None,
+        landing_dir: str,
+    ) -> DataFrame:
         """BATCH read of the snapshot landing with the stream's schema and
-        format — `_apply_snapshot_batch` diffs from this view so a snapshot
+        format — `_apply_snapshot_one` diffs from this view so a snapshot
         version is always applied from every file present on disk,
         independent of how the file source split its admission across
         triggers. ``paths`` narrows the scan to the files that can still
@@ -411,19 +587,19 @@ class CdcStreamPipeline:
             snapshot_schema,
         )
 
-        schema = snapshot_schema(self.row_struct)
+        schema = snapshot_schema(row_struct)
         if paths is not None and not paths:
             return self.spark.createDataFrame([], schema)
         reader = self.spark.read.schema(schema)
-        src = paths if paths is not None else self.events_path
+        src = paths if paths is not None else landing_dir
         if self.snapshot_format == "parquet":
             return reader.parquet(*src) if isinstance(src, list) else reader.parquet(src)
         return reader.json(src)
 
-    def _snapshot_pk_cols(self) -> list[str]:
+    def _snapshot_pk_cols(self, full_name: str) -> list[str]:
         """SOURCE-side PK column names for the diff join (the mapping's key
         columns, pre-rename — snapshots carry source row images)."""
-        info = self.mappings[self._snapshot_full_name()]
+        info = self.mappings[full_name]
         return [c.dbColumnName for c in info.key_columns()]
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -583,17 +759,31 @@ class CdcStreamPipeline:
         elif self.source_format == "snapshot_diff":
             from mysql_hbase_replicator_spark.sources.snapshot_diff import (
                 read_snapshot_stream,
+                read_snapshot_trigger_stream,
             )
 
-            if self.row_struct is None:
-                raise ValueError("snapshot_diff mode requires row_struct")
-            stream = read_snapshot_stream(
-                self.spark,
-                self.events_path,
-                self.row_struct,
-                max_files_per_trigger=self.max_files_per_trigger,
-                file_format=self.snapshot_format,
-            )
+            if self.row_structs is not None:
+                # multi-table landing root: one version-column-only trigger
+                # stream over every <db.table>/ subdir (r13 verdict #2)
+                stream = read_snapshot_trigger_stream(
+                    self.spark,
+                    self.events_path,
+                    max_files_per_trigger=self.max_files_per_trigger,
+                    file_format=self.snapshot_format,
+                )
+            else:
+                if self.row_struct is None:
+                    raise ValueError(
+                        "snapshot_diff mode requires row_struct (single "
+                        "table) or row_structs (multi-table landing root)"
+                    )
+                stream = read_snapshot_stream(
+                    self.spark,
+                    self.events_path,
+                    self.row_struct,
+                    max_files_per_trigger=self.max_files_per_trigger,
+                    file_format=self.snapshot_format,
+                )
         elif self.row_struct is None:
             from mysql_hbase_replicator_spark.sources.cdc_events import (
                 read_event_stream_json,

@@ -823,6 +823,39 @@ def test_lsm_reader_survives_concurrent_compaction(
     assert state(spark, lsm) == want
 
 
+def test_lsm_keep_versions_survives_two_flips(
+    spark, tmp_path, student_struct, student_mapping
+):
+    """r13 verdict #3: the retirement window is configurable — at
+    keep_versions=2 a reader held across TWO compactions still scans green
+    (the default window is one flip), and the sweep drops N-3 instead of
+    N-2. Default behavior is unchanged (covered by the sibling tests)."""
+    lsm = LogStructuredKeyedStore(
+        str(tmp_path / "lsm"), n_buckets=4, keep_versions=2
+    )
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_1])
+    lsm.compact(spark, TABLE)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_2])
+    want = state(spark, lsm)
+    held = lsm.read(spark, TABLE)  # resolves the current pointer lazily
+    assert lsm.compact(spark, TABLE) is True  # flip 1
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_3])
+    assert lsm.compact(spark, TABLE) is True  # flip 2 — would retire held's
+    # version under the default window
+    got = sorted(tuple(r) for r in held.select(*COLS).collect())
+    assert got == want
+    # the window is a bound, not a leak: after one more flip the oldest
+    # version is swept (keep current + 2 retired)
+    apply_batches(spark, lsm, student_struct, student_mapping, [BATCH_3])
+    assert lsm.compact(spark, TABLE) is True
+    vers = sorted(
+        int(e.split("_v")[1])
+        for e in os.listdir(lsm.table_path(TABLE))
+        if e.startswith("base_v")
+    )
+    assert len(vers) <= 3 and max(vers) - min(vers) <= 2
+
+
 def test_lsm_read_base_uses_doc_snapshot_schema(spark, tmp_path):
     """r13 review: _read_base must take the schema from the SAME doc
     snapshot as the version it reads — re-reading the registry could pair
@@ -925,6 +958,61 @@ def test_lsm_finishes_legacy_crash_after_live_moved_aside(spark, tmp_path):
     assert not os.path.isdir(tp + ".compacting")
     assert not os.path.isdir(tp + ".pre-compact")
     assert lsm._doc("t").get("delta_version") == 0  # migrated to the pointer
+
+
+def test_lsm_resumes_crashed_promote_without_data_loss(spark, tmp_path):
+    """ADVICE r13 (medium): ``_promote`` moves staged entries into live one
+    rename at a time, so a crash mid-move used to leave live holding a
+    partial copy — and the next recovery pass, seeing live_has_data=True,
+    rmtree'd the source dir still holding the unmoved remainder (silent
+    data loss; listdir order moving _SUCCESS first also flipped staged_ok
+    False on retry). The ``.promoting`` marker now records the in-flight
+    source before the first rename, and recovery FINISHES the move."""
+    import shutil
+
+    path = str(tmp_path / "store")
+    rows = [(i, chr(ord("a") + i)) for i in range(6)]
+    rw = _legacy_table(spark, path, rows)
+    tp = rw.table_path("t")
+    staging = tp + ".compacting"
+    shutil.copytree(tp, staging)
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    # old protocol ran to completion on the live side (renamed aside and
+    # dropped), then the NEW recovery began promoting staging and crashed
+    # mid-move: marker written, _SUCCESS + one bucket dir already in live,
+    # the remaining bucket dirs (and the registry file) still staged
+    os.rename(tp, tp + ".pre-compact")
+    shutil.rmtree(tp + ".pre-compact")
+    with open(tp + ".promoting", "w") as f:
+        f.write(".compacting")
+    os.makedirs(tp)
+    staged = sorted(os.listdir(staging))
+    first_bucket = next(e for e in staged if e.startswith("_bucket="))
+    for e in ("_SUCCESS", first_bucket):
+        os.rename(os.path.join(staging, e), os.path.join(tp, e))
+    assert any(e.startswith("_bucket=") for e in os.listdir(staging))
+
+    lsm = LogStructuredKeyedStore(path, n_buckets=4)
+    got = sorted(tuple(r) for r in lsm.read(spark, "t").select("k", "v").collect())
+    assert got == sorted(rows)
+    assert not os.path.exists(tp + ".promoting")
+    assert not os.path.isdir(staging)
+
+
+def test_lsm_clears_dangling_promote_marker(spark, tmp_path):
+    """A crash AFTER the source dir was swept but before the marker was
+    removed leaves a dangling marker: recovery clears it and the table
+    reads normally."""
+    path = str(tmp_path / "store")
+    rw = _legacy_table(spark, path, [(1, "a"), (2, "b")])
+    tp = rw.table_path("t")
+    with open(tp + ".promoting", "w") as f:
+        f.write(".compacting")
+
+    lsm = LogStructuredKeyedStore(path, n_buckets=4)
+    got = sorted(tuple(r) for r in lsm.read(spark, "t").select("k", "v").collect())
+    assert got == [(1, "a"), (2, "b")]
+    assert not os.path.exists(tp + ".promoting")
 
 
 def test_lsm_restores_pre_compact_when_staging_incomplete(spark, tmp_path):

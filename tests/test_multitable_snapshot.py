@@ -1,0 +1,364 @@
+"""Multi-table snapshot-diff pipelines (r13 verdict #2) + the r13 ADVICE
+hardening of the snapshot transport and apply kernel.
+
+The reference replicates EVERY mapped table from one binlog stream
+(MySQLExtractor.scala:225-236). The polling transport reaches parity with
+``CdcStreamPipeline(source_format="snapshot_diff", row_structs={...})``:
+one streaming query over a landing root with one ``<db.table>/`` subdir per
+mapped table; each table diffs/applies through its own PrevSnapshotStore;
+the store-level high-watermark is the MIN applied snapshot version across
+all configured tables (SURVEY §7's multi-table ordering rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
+from mysql_hbase_replicator_spark.operators.cdc_apply import (
+    apply_cdc_batch,
+    read_checkpoint_state,
+)
+from mysql_hbase_replicator_spark.operators.merge import ParquetKeyedStore
+from mysql_hbase_replicator_spark.sources.cdc_events import events_from_rows
+from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+    PrevSnapshotStore,
+    SnapshotRetentionError,
+)
+from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+
+S_COLS = ("sn", "id", "score", "name", "rem")
+T_COLS = ("tid", "subject", "salary")
+
+
+@pytest.fixture()
+def teacher_struct():
+    return T.StructType(
+        [
+            T.StructField("tid", T.IntegerType()),
+            T.StructField("subject", T.StringType()),
+            T.StructField("salary", T.IntegerType()),
+        ]
+    )
+
+
+@pytest.fixture()
+def teacher_mapping():
+    return HbaseTableInfo(
+        dbName="mixfs",
+        dbTableName="teacher",
+        hbaseTableName="mixfs:teacher2",
+        hbaseNameSpace="mixfs",
+        sparkTableName="teacher2",
+        bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("tid", "int(11)", "tid", "IntegerType", True),
+            HbaseCollInfo("subject", "varchar(10)", "subject", "StringType", False),
+            HbaseCollInfo("salary", "int(11)", "salary", "IntegerType", False),
+        ],
+    )
+
+
+def srow(sn, id_, score=None, name=None, rem=None):
+    return {"sn": sn, "id": id_, "score": score, "name": name, "rem": rem}
+
+
+def trow(tid, subject, salary):
+    return {"tid": tid, "subject": subject, "salary": salary}
+
+
+# two polls of full state per table, plus the equivalent binlog traces the
+# convergence is judged against (the same two-transports-one-semantics
+# contract as tests/test_snapshot_diff.py, now for two tables at once)
+S_SNAPSHOTS = [
+    [srow(1, 1, 90, "ann", "a"), srow(1, 2, 80, "bob", "b")],
+    [srow(1, 1, 95, "ann", "a"), srow(3, 3, 60, "dan", "d")],
+]
+S_TRACE = [
+    [
+        {"position": 1, "op": "insert", "db": "mixfs", "table": "student",
+         "before": None, "after": srow(1, 1, 90, "ann", "a")},
+        {"position": 2, "op": "insert", "db": "mixfs", "table": "student",
+         "before": None, "after": srow(1, 2, 80, "bob", "b")},
+    ],
+    [
+        {"position": 3, "op": "update", "db": "mixfs", "table": "student",
+         "before": srow(1, 1, 90, "ann", "a"), "after": srow(1, 1, 95, "ann", "a")},
+        {"position": 4, "op": "delete", "db": "mixfs", "table": "student",
+         "before": srow(1, 2, 80, "bob", "b"), "after": None},
+        {"position": 5, "op": "insert", "db": "mixfs", "table": "student",
+         "before": None, "after": srow(3, 3, 60, "dan", "d")},
+    ],
+]
+T_SNAPSHOTS = [
+    [trow(1, "math", 100), trow(2, "art", 90)],
+    [trow(1, "math", 120), trow(3, "bio", 80)],
+]
+T_TRACE = [
+    [
+        {"position": 1, "op": "insert", "db": "mixfs", "table": "teacher",
+         "before": None, "after": trow(1, "math", 100)},
+        {"position": 2, "op": "insert", "db": "mixfs", "table": "teacher",
+         "before": None, "after": trow(2, "art", 90)},
+    ],
+    [
+        {"position": 3, "op": "update", "db": "mixfs", "table": "teacher",
+         "before": trow(1, "math", 100), "after": trow(1, "math", 120)},
+        {"position": 4, "op": "delete", "db": "mixfs", "table": "teacher",
+         "before": trow(2, "art", 90), "after": None},
+        {"position": 5, "op": "insert", "db": "mixfs", "table": "teacher",
+         "before": None, "after": trow(3, "bio", 80)},
+    ],
+]
+
+
+def write_snapshot(landing: str, name: str, rows: list[dict], ver: int) -> None:
+    os.makedirs(landing, exist_ok=True)
+    with open(os.path.join(landing, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps({**r, "_snap_ver": ver}) + "\n")
+
+
+def state(spark, store, hbase_name, cols):
+    df = store.read(spark, hbase_name)
+    if df is None:
+        return []
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def make_multi_pipe(
+    spark, tmp_path, root, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    return CdcStreamPipeline(
+        spark=spark,
+        events_path=root,
+        row_struct=None,
+        row_structs={
+            "mixfs.student": student_struct,
+            "mixfs.teacher": teacher_struct,
+        },
+        store=ParquetKeyedStore(str(tmp_path / "mstore"), n_buckets=4),
+        mappings={
+            "mixfs.student": student_mapping,
+            "mixfs.teacher": teacher_mapping,
+        },
+        checkpoint_dir=str(tmp_path / "mckpt"),
+        source_format="snapshot_diff",
+        max_files_per_trigger=1,
+    )
+
+
+def test_multitable_snapshot_polling_converges_to_event_replay(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    """THE multi-table 'done' bar (r13 verdict #2): ONE snapshot-polling
+    pipeline over a two-table landing root converges BOTH tables to the
+    same store state as event-replay of the equivalent binlog traces,
+    poll after poll, resuming from the checkpoint between polls."""
+    root = str(tmp_path / "landing")
+    s_landing = os.path.join(root, "mixfs.student")
+    t_landing = os.path.join(root, "mixfs.teacher")
+    replay = ParquetKeyedStore(str(tmp_path / "replay"), n_buckets=4)
+    pipe = None
+    for poll in (1, 2):
+        write_snapshot(s_landing, f"s{poll}.json", S_SNAPSHOTS[poll - 1], ver=poll)
+        write_snapshot(t_landing, f"t{poll}.json", T_SNAPSHOTS[poll - 1], ver=poll)
+        pipe = make_multi_pipe(
+            spark, tmp_path, root, student_struct, student_mapping,
+            teacher_struct, teacher_mapping,
+        )
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+        apply_cdc_batch(
+            spark,
+            events_from_rows(spark, S_TRACE[poll - 1], student_struct),
+            replay,
+            {"mixfs.student": student_mapping},
+        )
+        apply_cdc_batch(
+            spark,
+            events_from_rows(spark, T_TRACE[poll - 1], teacher_struct),
+            replay,
+            {"mixfs.teacher": teacher_mapping},
+        )
+        assert state(spark, pipe.store, "mixfs:student2", S_COLS) == state(
+            spark, replay, "mixfs:student2", S_COLS
+        ), f"student poll {poll}"
+        assert state(spark, pipe.store, "mixfs:teacher2", T_COLS) == state(
+            spark, replay, "mixfs:teacher2", T_COLS
+        ), f"teacher poll {poll}"
+        # store-level high-watermark = min applied version across tables
+        assert read_checkpoint_state(pipe.store)["position"] == poll
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == [
+        (1, 1, 95, "ann", "a"),
+        (3, 3, 60, "dan", "d"),
+    ]
+    assert state(spark, pipe.store, "mixfs:teacher2", T_COLS) == [
+        (1, "math", 120),
+        (3, "bio", 80),
+    ]
+    # the per-op counters of the second poll reflect both tables' true diffs
+    assert pipe.total_counts() == {
+        "mixfs.student.update": 1,
+        "mixfs.student.delete": 1,
+        "mixfs.student.insert": 1,
+        "mixfs.teacher.update": 1,
+        "mixfs.teacher.delete": 1,
+        "mixfs.teacher.insert": 1,
+    }
+
+
+def test_multitable_watermark_is_min_across_tables(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    """A table lagging behind pins the global high-watermark (SURVEY §7):
+    teacher reaches v2 while student sits at v1 → watermark stays 1; an
+    un-seeded table (no snapshot yet) keeps the watermark unwritten."""
+    root = str(tmp_path / "landing")
+    write_snapshot(os.path.join(root, "mixfs.student"), "s1.json",
+                   S_SNAPSHOTS[0], ver=1)
+    pipe = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    # teacher never polled: no global watermark yet
+    assert read_checkpoint_state(pipe.store) is None
+    write_snapshot(os.path.join(root, "mixfs.teacher"), "t1.json",
+                   T_SNAPSHOTS[0], ver=1)
+    write_snapshot(os.path.join(root, "mixfs.teacher"), "t2.json",
+                   T_SNAPSHOTS[1], ver=2)
+    pipe2 = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    q2 = pipe2.start(available_now=True)
+    q2.awaitTermination(120)
+    # teacher at 2, student at 1 → min = 1
+    assert read_checkpoint_state(pipe2.store)["position"] == 1
+
+
+def test_unknown_landing_subdir_fails_loudly(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    root = str(tmp_path / "landing")
+    write_snapshot(os.path.join(root, "mixfs.ghost"), "g1.json",
+                   [{"x": 1}], ver=1)
+    pipe = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    q = pipe.start(available_now=True)
+    with pytest.raises(Exception, match="mixfs.ghost"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+
+
+def test_retention_guard_rejects_partial_reread(
+    spark, tmp_path, student_struct, student_mapping,
+):
+    """ADVICE r13: the diff comes from a batch-side re-read of the landing,
+    so a producer that deletes a landing file between stream admission and
+    apply would silently shrink the snapshot into spurious DELETEs. The
+    guard compares the staged row count against the admitted count for the
+    triggering version and fails loudly on shortfall."""
+    landing = str(tmp_path / "snaps")
+    write_snapshot(landing, "s1.json", S_SNAPSHOTS[0], ver=1)  # 2 rows on disk
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=landing,
+        row_struct=student_struct,
+        store=ParquetKeyedStore(str(tmp_path / "snapstore"), n_buckets=4),
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="snapshot_diff",
+    )
+    # a stream admission that claimed 5 rows at version 1 (i.e. 3 rows'
+    # worth of landing vanished before the re-read)
+    rows = [Row(_file=f"file://{landing}/gone.json", _v=1, _n=5)]
+    with pytest.raises(SnapshotRetentionError, match="admitted"):
+        pipe._apply_snapshot_one("mixfs.student", rows, batch_id=0)
+
+
+def test_unstamped_only_file_enters_pruning_map(
+    spark, tmp_path, student_struct, student_mapping,
+):
+    """ADVICE r13: a landing file whose rows are ALL unstamped used to
+    return before record_files and be re-scanned by every later landing
+    re-read; it now enters the files map at version 0 (and is pruned by any
+    real version's re-read)."""
+    landing = str(tmp_path / "snaps")
+    os.makedirs(landing)
+    with open(os.path.join(landing, "u1.json"), "w") as f:
+        for r in S_SNAPSHOTS[0]:
+            f.write(json.dumps(r) + "\n")  # no _snap_ver stamp
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=landing,
+        row_struct=student_struct,
+        store=ParquetKeyedStore(str(tmp_path / "snapstore"), n_buckets=4),
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="snapshot_diff",
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    prev = PrevSnapshotStore(os.path.join(pipe.checkpoint_dir, "snapshots"))
+    assert prev.files_map() == {"u1.json": 0}
+    # a later stamped poll prunes the unstamped file from its re-read
+    paths, _names = pipe._snapshot_landing_files(prev, 1, {})
+    assert [os.path.basename(p) for p in paths] == []
+
+
+def test_struct_seq_with_null_member_does_not_wedge_checkpoint(
+    spark, tmp_path, student_struct, student_mapping,
+):
+    """ADVICE r13: the driver-side checkpoint max must be None-safe
+    RECURSIVELY — a struct-typed seq (the Debezium pipeline's
+    (ts_ms, file, pos)) with a NULL member used to raise TypeError when
+    compared against another group's struct, wedging the stream in a
+    crash-replay loop one level below the r13 flat-None fix."""
+    events = events_from_rows(
+        spark,
+        [
+            {"position": 1, "op": "insert", "db": "mixfs", "table": "student",
+             "before": None, "after": srow(1, 1, 90, "ann", "a")},
+            {"position": 2, "op": "update", "db": "mixfs", "table": "student",
+             "before": srow(1, 1, 90, "ann", "a"),
+             "after": srow(1, 1, 95, "ann", "a")},
+            {"position": 3, "op": "delete", "db": "mixfs", "table": "student",
+             "before": srow(1, 1, 95, "ann", "a"), "after": None},
+        ],
+        student_struct,
+    ).withColumn(
+        "seq",
+        F.struct(
+            # ts_ms NULL for the insert+delete groups, set for update — the
+            # per-group maxpos structs then mix None and int members
+            F.when(F.col("op") == "update", F.lit(1000)).cast("long").alias("ts"),
+            F.col("position").alias("pos"),
+        ),
+    )
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=4)
+    result = apply_cdc_batch(
+        spark, events, store, {"mixfs.student": student_mapping}
+    )
+    # max ord = the update group (ts=1000 sorts above None) — its position
+    assert result.checkpoint_position == 2
+    # and the store applied the full sequence (final delete wins per seq
+    # order: (1000,2) update > (None,3) delete? No — the KERNEL collapses
+    # by seq, where (None,3) < (1000,2): last image is the update
+    assert state(spark, store, "mixfs:student2", S_COLS) == [
+        (1, 1, 95, "ann", "a")
+    ]
