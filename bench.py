@@ -186,8 +186,23 @@ def main() -> None:
     from mysql_hbase_replicator_spark.session import apply_volume_tuning, get_spark
 
     load_all_queries()
-    spark = get_spark(app_name="bench")
+    # UI on for the run (r13 verdict #5): the stages REST API is the
+    # machine-readable spill/shuffle record — two rounds of container drift
+    # showed walls alone can't attribute regressions, so each headline
+    # query's best rep now carries {spill_disk, spill_mem, shuffle_bytes}
+    # into BENCH_FULL.json and a spill summary onto the driver line. The
+    # listener/jetty overhead is outside the timed windows (totals are
+    # snapshotted before/after each rep, never during).
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "40000",
+            "spark.ui.retainedJobs": "10000",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    metrics_base = _metrics_api_base(spark)
     # self-tuning shuffle sizing (r11): initialPartitionNum follows the
     # measured SF's input volume — cores at test SFs (unchanged numbers),
     # 256-ish at the sf≈100 probe regime, no env knob required
@@ -204,17 +219,32 @@ def main() -> None:
 
     spark.catalog.clearCache()
 
-    # best-of-2 per query: steady-state latency, halves GC-pause noise
+    # best-of-2 per query: steady-state latency, halves GC-pause noise.
+    # The best rep's stage-metric deltas ride along (spill should be ZERO
+    # for every headline query at sf0.1 — a nonzero entry is the regression
+    # signal the walls can't attribute).
     timings: dict[str, float] = {}
+    query_io: dict[str, dict[str, int]] = {}
     for name in HEADLINE:
         best = float("inf")
+        best_io: dict[str, int] | None = None
         for _rep in range(2):
+            before = _stage_totals(metrics_base)
             t0 = time.time()
             QUERY_REGISTRY[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            after = _stage_totals(metrics_base)
+            if dt < best:
+                best = dt
+                if before is not None and after is not None:
+                    best_io = {
+                        k: max(0, after[k] - before[k]) for k in after
+                    }
         timings[name] = round(best, 3)
+        if best_io is not None:
+            query_io[name] = best_io
 
     cdc = bench_cdc_throughput(spark)
     # 10× batch: the 200k batch is fixed-floor-dominated (~3 s of plan/
@@ -239,6 +269,9 @@ def main() -> None:
         "cdc_2m": cdc_10x,
         "partition_pruning": pruning,
         "streaming": streaming,
+        # per-query best-rep stage telemetry (r13 verdict #5): bytes —
+        # {spill_disk, spill_mem, shuffle_bytes} keyed like `queries`
+        "query_io": query_io,
     }
     if skew is not None:
         full["skew_smj"] = skew
@@ -262,6 +295,25 @@ def main() -> None:
             file=sys.stderr,
         )
     base24 = {n: timings[n] for n in BASELINE24 if n in timings}
+    # spill/shuffle rollup for the driver line (full per-query detail in
+    # BENCH_FULL.json's query_io): totals across ALL headline queries plus
+    # the named nonzero-disk-spill offenders (expected empty at sf0.1)
+    io_summary = {
+        "spill_disk_mb": round(
+            sum(io["spill_disk"] for io in query_io.values()) / 1e6, 1
+        ),
+        "spill_mem_mb": round(
+            sum(io["spill_mem"] for io in query_io.values()) / 1e6, 1
+        ),
+        "shuffle_gb": round(
+            sum(io["shuffle_bytes"] for io in query_io.values()) / 1e9, 2
+        ),
+        "spilled": {
+            n: round(io["spill_disk"] / 1e6, 1)
+            for n, io in query_io.items()
+            if io["spill_disk"] > 0
+        },
+    }
     compact = {
         "metric": "baseline24_total",
         "value": round(sum(base24.values()), 3),
@@ -286,11 +338,45 @@ def main() -> None:
         "stream_jsonl_bulk_ev_s": streaming["jsonl_bulk"]["events_per_sec"],
         "stream_dbz_bulk_ev_s": streaming["debezium_bulk"]["events_per_sec"],
         "stream_snapdiff_rows_s": streaming["snapshot_diff"]["events_per_sec"],
+        "stream_snapdiff_multi_rows_s": streaming["snapshot_diff_multi"][
+            "events_per_sec"
+        ],
+        "io": io_summary,
         "detail": "BENCH_FULL.json",
     }
     if missing24:
         compact["baseline24_missing"] = len(missing24)
     print(emit_compact_line(compact))
+
+
+def _metrics_api_base(spark) -> str | None:
+    """Stage-metrics REST root for THIS app, or None when the UI is off
+    (telemetry then degrades to walls-only instead of failing the bench)."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    return f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}"
+
+
+def _stage_totals(base: str | None) -> dict[str, int] | None:
+    """Cumulative completed-stage spill/shuffle counters; per-query numbers
+    are before/after deltas of this snapshot (scripts/probe_snapdiff_scale's
+    telemetry, promoted into the routine bench per r13 verdict #5)."""
+    if base is None:
+        return None
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=30) as r:
+            stages = json.loads(r.read())
+    except Exception:
+        return None
+    tot = {"spill_disk": 0, "spill_mem": 0, "shuffle_bytes": 0}
+    for s in stages:
+        tot["spill_disk"] += s.get("diskBytesSpilled", 0)
+        tot["spill_mem"] += s.get("memoryBytesSpilled", 0)
+        tot["shuffle_bytes"] += s.get("shuffleWriteBytes", 0)
+    return tot
 
 
 def emit_compact_line(compact: dict, limit: int = 1900) -> str:
@@ -313,14 +399,14 @@ def emit_compact_line(compact: dict, limit: int = 1900) -> str:
     return line
 
 
-def _bench_mapping():
+def _bench_mapping(table: str = "t"):
     """The synthetic two-int-PK table mapping shared by the CDC kernel and
     streaming benches (same shape as the reference's student fixture)."""
     from mysql_hbase_replicator_spark.catalog.meta import HbaseCollInfo, HbaseTableInfo
 
     return HbaseTableInfo(
-        dbName="db", dbTableName="t", hbaseTableName="db:t", hbaseNameSpace="db",
-        sparkTableName="t", bytesUtils="Binary",
+        dbName="db", dbTableName=table, hbaseTableName=f"db:{table}",
+        hbaseNameSpace="db", sparkTableName=table, bytesUtils="Binary",
         cols=[
             HbaseCollInfo("sn", "int(11)", "sn", "IntegerType", True),
             HbaseCollInfo("id", "int(11)", "id", "IntegerType", True),
@@ -640,6 +726,90 @@ def bench_streaming(
             shutil.rmtree(root, ignore_errors=True)
 
     out["snapshot_diff"] = run_snapshot_diff()
+
+    # multi-table snapshot polling (r13 verdict #2): the SAME poll history
+    # for two tables through ONE pipeline — landing root with per-table
+    # subdirs, per-table prev stores, global min-watermark. rows/s is the
+    # combined sustained poll rate across both tables; setting it against
+    # the single-table row above prices the per-table machinery (two
+    # stage writes + two diffs + two kernel applies per poll wave).
+    def run_snapshot_diff_multi(
+        n_snapshots: int = 6, n_keys: int = 10_000, n_tables: int = 2
+    ) -> dict:
+        from pyspark.sql import types as T
+
+        root = tempfile.mkdtemp(prefix="stream-bench-snapmulti-")
+        try:
+            row_struct = T.StructType(
+                [
+                    T.StructField("sn", T.IntegerType()),
+                    T.StructField("id", T.IntegerType()),
+                    T.StructField("score", T.IntegerType()),
+                    T.StructField("name", T.StringType()),
+                    T.StructField("rem", T.StringType()),
+                ]
+            )
+            landing_root = os.path.join(root, "landing")
+            mappings, row_structs = {}, {}
+            total_rows = 0
+            now = time.time()
+            for t_i in range(n_tables):
+                full = f"db.t{t_i}"
+                sub = os.path.join(landing_root, full)
+                os.makedirs(sub)
+                for v in range(1, n_snapshots + 1):
+                    tmp = os.path.join(sub, f".{v:04d}.tmp")
+                    with open(tmp, "w") as f:
+                        for k in range(n_keys):
+                            if (k + v + t_i) % 50 == 0:
+                                continue
+                            r = img(k + t_i * 7)
+                            r["score"] = (k % 1000) + (
+                                v if (k + v) % 10 == 0 else 0
+                            )
+                            r["_snap_ver"] = v
+                            f.write(_json.dumps(r) + "\n")
+                            total_rows += 1
+                    dst = os.path.join(sub, f"{v:04d}.json")
+                    os.replace(tmp, dst)
+                    os.utime(dst, (now + v, now + v))
+                mappings[full] = _bench_mapping(f"t{t_i}")
+                row_structs[full] = row_struct
+            pipe = CdcStreamPipeline(
+                spark=spark,
+                events_path=landing_root,
+                row_struct=None,
+                row_structs=row_structs,
+                store="lsm",
+                store_dir=os.path.join(root, "store"),
+                store_n_buckets=32,
+                mappings=mappings,
+                checkpoint_dir=os.path.join(root, "ckpt"),
+                source_format="snapshot_diff",
+                max_files_per_trigger=1,
+            )
+            t0 = time.time()
+            q = pipe.start(available_now=True, query_name="bench-snapmulti")
+            q.awaitTermination(600)
+            wall = time.time() - t0
+            counts = pipe.total_counts()
+            n_state = sum(
+                pipe.store.read(spark, f"db:t{t_i}").count()
+                for t_i in range(n_tables)
+            )
+            return {
+                "tables": n_tables,
+                "snapshots_per_table": n_snapshots,
+                "snapshot_rows": total_rows,
+                "wall_sec": round(wall, 3),
+                "events_per_sec": int(total_rows / wall),
+                "changes_applied": sum(counts.values()),
+                "state_rows": n_state,
+            }
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    out["snapshot_diff_multi"] = run_snapshot_diff_multi()
     return out
 
 

@@ -862,8 +862,19 @@ class BucketedLogStructuredKeyedStore(LogStructuredKeyedStore):
     allowMissingColumns as everywhere else in the engine.
     """
 
-    def __init__(self, base_dir: str, n_buckets: int = 32, compact_every: int = 64):
-        super().__init__(base_dir, n_buckets=n_buckets, compact_every=compact_every)
+    def __init__(
+        self,
+        base_dir: str,
+        n_buckets: int = 32,
+        compact_every: int = 64,
+        keep_versions: int = 1,
+    ):
+        super().__init__(
+            base_dir,
+            n_buckets=n_buckets,
+            compact_every=compact_every,
+            keep_versions=keep_versions,
+        )
         import hashlib
 
         self._digest = hashlib.md5(

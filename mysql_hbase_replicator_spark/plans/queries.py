@@ -229,10 +229,15 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_count_distinct")  # no oracle: HLL sketches differ by impl
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++). No DuckDB oracle — sketch
-    estimates are implementation-specific; driver records rows-only."""
+    estimates are implementation-specific; driver records rows-only, and
+    tests/test_plans.py backstops the estimate to ±5% of the exact count at
+    sf0.01 AND sf0.1 (r13 verdict #6). rsd=0.02 sizes the sketch at 2^12
+    registers (~4 KB per group — still constant-memory at 100 TB) so the
+    one-sigma bound itself sits at 2%; the default 0.05 left the observed
+    error at ~5.6% (≈1.1σ), right on top of the gate."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers")
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers")
     )
 
 

@@ -19,7 +19,15 @@ Contract: each snapshot is one or more files of full row images (JSON lines
 or parquet typed by ``row_struct``) carrying a monotonically increasing
 ``_snap_ver`` stamp on every row. The stream is the TRIGGER; the applied
 snapshot is re-read from the landing dir at the triggering version, so file
-admission order/splitting never shapes the diff. The
+admission order/splitting never shapes the diff. RETENTION: because the
+diff reads the landing (not the admitted batch rows), a landing file must
+persist until its version has been APPLIED (the prev-marker flip) — a
+producer that deletes/rotates earlier would shrink the re-read into
+spurious DELETEs; the pipeline guards by comparing the staged row count
+against the stream-admitted count for the triggering version and raises
+``SnapshotRetentionError`` on shortfall (ADVICE r13). After the flip, the
+files-map prunes applied files from every later re-read, so retention past
+the flip costs scans nothing. The
 pipeline keeps the LAST APPLIED snapshot as parquet under
 ``<checkpoint>/snapshots/prev_v{K}`` with an atomically-replaced marker —
 checkpoint-scoped state, so wiping the checkpoint re-seeds the store from

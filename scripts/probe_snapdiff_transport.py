@@ -1,0 +1,186 @@
+"""Scale probe for the snapshot-diff TRANSPORT loop (r13 verdict #4).
+
+The r13 kernel probe sized the diff join alone (50M keys/side, one
+full-outer SMJ); the sustained-poll A/B ran at 10k keys x 24 landings.
+This probe runs the FULL pipeline loop — landing admission → re-read+prune
+→ diff → stage → apply kernel → pointer flip — at production-ish key
+counts: default 1.5M keys per snapshot x 22 polls (2% key rotation + 10%
+value churn per version, the bench generator's distribution), parquet
+landing files (the production shape), LSM store with compaction exercised
+mid-drain (compact_every=8 → ~2 compactions inside the 22 applies).
+
+Records sustained rows/s over the whole drain, per-batch p50/p95, the
+spill/shuffle telemetry the walls can't attribute, and the files-map size
+(entries + marker bytes) that bounds the landing re-read's pruning state.
+
+Usage:  python scripts/probe_snapdiff_transport.py [n_keys] [n_polls]
+        # default 1_500_000 x 22; results JSON on stdout
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _stage_totals(base: str) -> dict[str, int]:
+    with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=30) as r:
+        stages = json.loads(r.read())
+    tot = {"disk_spill": 0, "mem_spill": 0, "shuffle_write": 0}
+    for s in stages:
+        tot["disk_spill"] += s.get("diskBytesSpilled", 0)
+        tot["mem_spill"] += s.get("memoryBytesSpilled", 0)
+        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
+    return tot
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from mysql_hbase_replicator_spark.catalog.meta import (
+        HbaseCollInfo,
+        HbaseTableInfo,
+    )
+    from mysql_hbase_replicator_spark.session import apply_volume_tuning, get_spark
+    from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+        PrevSnapshotStore,
+    )
+    from mysql_hbase_replicator_spark.streaming.pipeline import CdcStreamPipeline
+
+    n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
+    n_polls = int(sys.argv[2]) if len(sys.argv) > 2 else 22
+    local_dir = "/tmp/spark-local-snaptrans"
+    os.makedirs(local_dir, exist_ok=True)
+    spark = get_spark(
+        app_name="probe-snapdiff-transport",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedStages": "40000",
+            "spark.local.dir": local_dir,
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    apply_volume_tuning(
+        spark, "/tmp/sf100" if os.path.isdir("/tmp/sf100") else "/root/testdata/sf0.1"
+    )
+    base = (
+        f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+        f"{spark.sparkContext.applicationId}"
+    )
+    row_struct = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    mapping = HbaseTableInfo(
+        dbName="app", dbTableName="t", hbaseTableName="app:t",
+        hbaseNameSpace="app", sparkTableName="t", bytesUtils="Binary",
+        cols=[
+            HbaseCollInfo("user_id", "bigint(20)", "user_id", "LongType", True),
+            HbaseCollInfo("event_type", "varchar(16)", "event_type", "StringType", False),
+            HbaseCollInfo("value", "double", "value", "DoubleType", False),
+        ],
+    )
+
+    root = tempfile.mkdtemp(prefix="snaptrans-", dir=local_dir)
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    try:
+        # --- produce the poll history: one parquet landing file set per
+        # version, atomically renamed in, mtime-ordered oldest-first -----
+        t0 = time.time()
+        total_rows = 0
+        now = time.time()
+        for ver in range(1, n_polls + 1):
+            k = F.col("id")
+            df = (
+                spark.range(n_keys)
+                .filter((k + ver) % 50 != 0)  # 2% rotating absence
+                .select(
+                    k.alias("user_id"),
+                    F.lit("click").alias("event_type"),
+                    ((k % 1000) + F.when((k + ver) % 10 == 0, ver).otherwise(0))
+                    .cast("double")
+                    .alias("value"),
+                    F.lit(ver).cast("long").alias("_snap_ver"),
+                )
+            )
+            tmp = os.path.join(root, f"stage_v{ver}")
+            df.repartition(4).write.mode("overwrite").parquet(tmp)
+            for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "*.parquet")))):
+                dst = os.path.join(landing, f"{ver:04d}-{i}.parquet")
+                os.replace(part, dst)
+                os.utime(dst, (now + ver, now + ver))
+            shutil.rmtree(tmp, ignore_errors=True)
+            total_rows += n_keys - n_keys // 50
+        build_s = round(time.time() - t0, 1)
+
+        pipe = CdcStreamPipeline(
+            spark=spark,
+            events_path=landing,
+            row_struct=row_struct,
+            store="lsm",
+            store_dir=os.path.join(root, "store"),
+            store_n_buckets=32,
+            store_compact_every=8,  # ~2 compactions inside the drain
+            mappings={"app.t": mapping},
+            checkpoint_dir=os.path.join(root, "ckpt"),
+            source_format="snapshot_diff",
+            snapshot_format="parquet",
+            max_files_per_trigger=4,  # one version (4 part files) per trigger
+        )
+        before = _stage_totals(base)
+        t0 = time.time()
+        q = pipe.start(available_now=True, query_name="probe-snaptrans")
+        q.awaitTermination(3600)
+        wall = round(time.time() - t0, 1)
+        after = _stage_totals(base)
+        durs = sorted(
+            p["durationMs"]["triggerExecution"]
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        )
+        marker = os.path.join(pipe.checkpoint_dir, "snapshots", "_current.json")
+        fmap = PrevSnapshotStore(
+            os.path.join(pipe.checkpoint_dir, "snapshots")
+        ).files_map()
+        counts = pipe.total_counts()
+        n_state = pipe.store.read(spark, "app:t").count()
+        out = {
+            "n_keys": n_keys,
+            "n_polls": n_polls,
+            "snapshot_rows_total": total_rows,
+            "landing_build_s": build_s,
+            "drain_wall_s": wall,
+            "rows_per_s": int(total_rows / wall),
+            "changes_applied": sum(counts.values()),
+            "batch_ms_p50": durs[len(durs) // 2] if durs else None,
+            "batch_ms_p95": durs[int(0.95 * (len(durs) - 1))] if durs else None,
+            "n_batches": len(durs),
+            "state_rows": n_state,
+            "files_map_entries": len(fmap),
+            "files_map_marker_bytes": os.path.getsize(marker),
+            "disk_spill_mb": round((after["disk_spill"] - before["disk_spill"]) / 1e6, 1),
+            "mem_spill_mb": round((after["mem_spill"] - before["mem_spill"]) / 1e6, 1),
+            "shuffle_write_mb": round(
+                (after["shuffle_write"] - before["shuffle_write"]) / 1e6, 1
+            ),
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

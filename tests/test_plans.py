@@ -314,25 +314,31 @@ def test_pq_scan_is_map_only(spark):
     assert plan.count("Exchange hashpartitioning") <= 2, plan
 
 
-def test_approx_count_distinct_accuracy(spark):
-    """The only oracle-less query: HLL estimates must sit within 10% of the
-    exact distinct counts (default rsd=0.05, so 10% is a generous gate)."""
+@pytest.mark.parametrize(
+    "sf_dir", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """The only oracle-less (rows-only) query gets a bounded-error backstop
+    (r13 verdict #6): HLL estimates must sit within ±5% of the exact
+    distinct counts at BOTH driver-relevant SFs (default rsd=0.05 — the
+    sketch's own one-sigma bound; per-group populations here are large
+    enough that 5% holds with wide margin)."""
     from pyspark.sql import functions as F
 
     approx = {
         r.o_orderstatus: r.approx_customers
-        for r in QUERY_REGISTRY["agg_approx_count_distinct"](spark, SF).collect()
+        for r in QUERY_REGISTRY["agg_approx_count_distinct"](spark, sf_dir).collect()
     }
     exact = {
         r.o_orderstatus: r.n
-        for r in spark.read.parquet(f"{SF}/orders.parquet")
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
         .groupBy("o_orderstatus")
         .agg(F.countDistinct("o_custkey").alias("n"))
         .collect()
     }
     assert approx.keys() == exact.keys()
     for k in exact:
-        assert abs(approx[k] - exact[k]) / exact[k] <= 0.10, (k, approx[k], exact[k])
+        assert abs(approx[k] - exact[k]) / exact[k] <= 0.05, (k, approx[k], exact[k])
 
 
 def test_binned_range_join_avoids_nested_loop(spark):
