@@ -129,6 +129,10 @@ class CdcStreamPipeline:
     store_dir: str | None = None
     store_n_buckets: int = 32
     store_compact_every: int = 64
+    # reader-retirement depth of the LSM pointer protocol (r13 verdict #3):
+    # raise when downstream consumers hold DataFrames across several
+    # compaction flips of a hot table
+    store_keep_versions: int = 1
 
     results: list[CdcBatchResult] = field(default_factory=list)
     # O1 latency rings (HbaseApplier.scala:45-52): last-10 wall-time samples
@@ -150,6 +154,7 @@ class CdcStreamPipeline:
                 self.store_dir,
                 n_buckets=self.store_n_buckets,
                 compact_every=self.store_compact_every,
+                keep_versions=self.store_keep_versions,
             )
 
     def _check_schemas(self) -> None:

@@ -248,6 +248,70 @@ def test_multitable_watermark_is_min_across_tables(
     assert read_checkpoint_state(pipe2.store)["position"] == 1
 
 
+def test_multitable_parquet_landing_heterogeneous_schemas(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    """The production landing shape under multi-table: parquet files with
+    DIFFERENT per-table schemas behind ONE trigger stream — the stream
+    projects only the shared _snap_ver column, so heterogeneous files
+    coexist in one source; each table's re-read applies its own schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "landing")
+
+    def write_pq(full: str, name: str, table: pa.Table) -> None:
+        sub = os.path.join(root, full)
+        os.makedirs(sub, exist_ok=True)
+        pq.write_table(table, os.path.join(sub, name))
+
+    s_rows = S_SNAPSHOTS[0]
+    write_pq(
+        "mixfs.student",
+        "s1.parquet",
+        pa.table(
+            {
+                "sn": pa.array([r["sn"] for r in s_rows], pa.int32()),
+                "id": pa.array([r["id"] for r in s_rows], pa.int32()),
+                "score": pa.array([r["score"] for r in s_rows], pa.int32()),
+                "name": pa.array([r["name"] for r in s_rows], pa.string()),
+                "rem": pa.array([r["rem"] for r in s_rows], pa.string()),
+                "_snap_ver": pa.array([1] * len(s_rows), pa.int64()),
+            }
+        ),
+    )
+    t_rows = T_SNAPSHOTS[0]
+    write_pq(
+        "mixfs.teacher",
+        "t1.parquet",
+        pa.table(
+            {
+                "tid": pa.array([r["tid"] for r in t_rows], pa.int32()),
+                "subject": pa.array([r["subject"] for r in t_rows], pa.string()),
+                "salary": pa.array([r["salary"] for r in t_rows], pa.int32()),
+                "_snap_ver": pa.array([1] * len(t_rows), pa.int64()),
+            }
+        ),
+    )
+    pipe = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    pipe.snapshot_format = "parquet"
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == [
+        (1, 1, 90, "ann", "a"),
+        (1, 2, 80, "bob", "b"),
+    ]
+    assert state(spark, pipe.store, "mixfs:teacher2", T_COLS) == [
+        (1, "math", 100),
+        (2, "art", 90),
+    ]
+    assert read_checkpoint_state(pipe.store)["position"] == 1
+
+
 def test_unknown_landing_subdir_fails_loudly(
     spark, tmp_path, student_struct, student_mapping, teacher_struct,
     teacher_mapping,
