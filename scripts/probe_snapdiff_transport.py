@@ -13,8 +13,12 @@ Records sustained rows/s over the whole drain, per-batch p50/p95, the
 spill/shuffle telemetry the walls can't attribute, and the files-map size
 (entries + marker bytes) that bounds the landing re-read's pruning state.
 
-Usage:  python scripts/probe_snapdiff_transport.py [n_keys] [n_polls]
-        # default 1_500_000 x 22; results JSON on stdout
+Usage:  python scripts/probe_snapdiff_transport.py [n_keys] [n_polls] [n_tables]
+        # default 1_500_000 x 22 x 1; results JSON on stdout
+        # n_tables > 1 probes the MULTI-TABLE mode (r14): a landing root
+        # with per-table subdirs through ONE pipeline, n_keys split evenly
+        # across tables so total rows/poll stays comparable to the
+        # single-table run
 """
 
 from __future__ import annotations
@@ -58,6 +62,8 @@ def main() -> None:
 
     n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
     n_polls = int(sys.argv[2]) if len(sys.argv) > 2 else 22
+    n_tables = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    keys_per_table = n_keys // n_tables
     local_dir = "/tmp/spark-local-snaptrans"
     os.makedirs(local_dir, exist_ok=True)
     spark = get_spark(
@@ -83,58 +89,72 @@ def main() -> None:
             T.StructField("value", T.DoubleType()),
         ]
     )
-    mapping = HbaseTableInfo(
-        dbName="app", dbTableName="t", hbaseTableName="app:t",
-        hbaseNameSpace="app", sparkTableName="t", bytesUtils="Binary",
-        cols=[
-            HbaseCollInfo("user_id", "bigint(20)", "user_id", "LongType", True),
-            HbaseCollInfo("event_type", "varchar(16)", "event_type", "StringType", False),
-            HbaseCollInfo("value", "double", "value", "DoubleType", False),
-        ],
-    )
+    def make_mapping(table: str) -> HbaseTableInfo:
+        return HbaseTableInfo(
+            dbName="app", dbTableName=table, hbaseTableName=f"app:{table}",
+            hbaseNameSpace="app", sparkTableName=table, bytesUtils="Binary",
+            cols=[
+                HbaseCollInfo("user_id", "bigint(20)", "user_id", "LongType", True),
+                HbaseCollInfo("event_type", "varchar(16)", "event_type", "StringType", False),
+                HbaseCollInfo("value", "double", "value", "DoubleType", False),
+            ],
+        )
+
+    tables = [f"t{i}" for i in range(n_tables)] if n_tables > 1 else ["t"]
+    fulls = [f"app.{t}" for t in tables]
 
     root = tempfile.mkdtemp(prefix="snaptrans-", dir=local_dir)
     landing = os.path.join(root, "landing")
     os.makedirs(landing)
     try:
         # --- produce the poll history: one parquet landing file set per
-        # version, atomically renamed in, mtime-ordered oldest-first -----
+        # version (per table in multi mode), atomically renamed in,
+        # mtime-ordered oldest-first ------------------------------------
         t0 = time.time()
         total_rows = 0
         now = time.time()
-        for ver in range(1, n_polls + 1):
-            k = F.col("id")
-            df = (
-                spark.range(n_keys)
-                .filter((k + ver) % 50 != 0)  # 2% rotating absence
-                .select(
-                    k.alias("user_id"),
-                    F.lit("click").alias("event_type"),
-                    ((k % 1000) + F.when((k + ver) % 10 == 0, ver).otherwise(0))
-                    .cast("double")
-                    .alias("value"),
-                    F.lit(ver).cast("long").alias("_snap_ver"),
+        for full in fulls:
+            sub = landing if n_tables == 1 else os.path.join(landing, full)
+            os.makedirs(sub, exist_ok=True)
+            t_off = fulls.index(full)
+            for ver in range(1, n_polls + 1):
+                k = F.col("id")
+                df = (
+                    spark.range(keys_per_table)
+                    .filter((k + ver + t_off) % 50 != 0)  # 2% rotating absence
+                    .select(
+                        k.alias("user_id"),
+                        F.lit("click").alias("event_type"),
+                        ((k % 1000) + F.when((k + ver) % 10 == 0, ver).otherwise(0))
+                        .cast("double")
+                        .alias("value"),
+                        F.lit(ver).cast("long").alias("_snap_ver"),
+                    )
                 )
-            )
-            tmp = os.path.join(root, f"stage_v{ver}")
-            df.repartition(4).write.mode("overwrite").parquet(tmp)
-            for i, part in enumerate(sorted(glob.glob(os.path.join(tmp, "*.parquet")))):
-                dst = os.path.join(landing, f"{ver:04d}-{i}.parquet")
-                os.replace(part, dst)
-                os.utime(dst, (now + ver, now + ver))
-            shutil.rmtree(tmp, ignore_errors=True)
-            total_rows += n_keys - n_keys // 50
+                tmp = os.path.join(root, f"stage_{full}_v{ver}")
+                df.repartition(4).write.mode("overwrite").parquet(tmp)
+                for i, part in enumerate(
+                    sorted(glob.glob(os.path.join(tmp, "*.parquet")))
+                ):
+                    dst = os.path.join(sub, f"{ver:04d}-{i}.parquet")
+                    os.replace(part, dst)
+                    os.utime(dst, (now + ver, now + ver))
+                shutil.rmtree(tmp, ignore_errors=True)
+                total_rows += keys_per_table - keys_per_table // 50
         build_s = round(time.time() - t0, 1)
 
         pipe = CdcStreamPipeline(
             spark=spark,
             events_path=landing,
-            row_struct=row_struct,
+            row_struct=row_struct if n_tables == 1 else None,
+            row_structs=(
+                None if n_tables == 1 else {f: row_struct for f in fulls}
+            ),
             store="lsm",
             store_dir=os.path.join(root, "store"),
             store_n_buckets=32,
             store_compact_every=8,  # ~2 compactions inside the drain
-            mappings={"app.t": mapping},
+            mappings={f: make_mapping(t) for f, t in zip(fulls, tables)},
             checkpoint_dir=os.path.join(root, "ckpt"),
             source_format="snapshot_diff",
             snapshot_format="parquet",
@@ -151,15 +171,22 @@ def main() -> None:
             for p in q.recentProgress
             if p["numInputRows"] > 0
         )
-        marker = os.path.join(pipe.checkpoint_dir, "snapshots", "_current.json")
-        fmap = PrevSnapshotStore(
-            os.path.join(pipe.checkpoint_dir, "snapshots")
-        ).files_map()
+        fmap_entries = 0
+        marker_bytes = 0
+        for full in fulls:
+            snap_root = os.path.join(pipe.checkpoint_dir, "snapshots")
+            if n_tables > 1:
+                snap_root = os.path.join(snap_root, full)
+            fmap_entries += len(PrevSnapshotStore(snap_root).files_map())
+            marker_bytes += os.path.getsize(os.path.join(snap_root, "_current.json"))
         counts = pipe.total_counts()
-        n_state = pipe.store.read(spark, "app:t").count()
+        n_state = sum(
+            pipe.store.read(spark, f"app:{t}").count() for t in tables
+        )
         out = {
             "n_keys": n_keys,
             "n_polls": n_polls,
+            "n_tables": n_tables,
             "snapshot_rows_total": total_rows,
             "landing_build_s": build_s,
             "drain_wall_s": wall,
@@ -169,8 +196,8 @@ def main() -> None:
             "batch_ms_p95": durs[int(0.95 * (len(durs) - 1))] if durs else None,
             "n_batches": len(durs),
             "state_rows": n_state,
-            "files_map_entries": len(fmap),
-            "files_map_marker_bytes": os.path.getsize(marker),
+            "files_map_entries": fmap_entries,
+            "files_map_marker_bytes": marker_bytes,
             "disk_spill_mb": round((after["disk_spill"] - before["disk_spill"]) / 1e6, 1),
             "mem_spill_mb": round((after["mem_spill"] - before["mem_spill"]) / 1e6, 1),
             "shuffle_write_mb": round(
