@@ -418,11 +418,12 @@ def test_struct_seq_with_null_member_does_not_wedge_checkpoint(
     result = apply_cdc_batch(
         spark, events, store, {"mixfs.student": student_mapping}
     )
-    # max ord = the update group (ts=1000 sorts above None) — its position
+    # max ord = the update group ((1000, 2) sorts above both NULL-ts
+    # structs under the None-safe key) — its position is the checkpoint
     assert result.checkpoint_position == 2
-    # and the store applied the full sequence (final delete wins per seq
-    # order: (1000,2) update > (None,3) delete? No — the KERNEL collapses
-    # by seq, where (None,3) < (1000,2): last image is the update
+    # the kernel's last-image collapse orders by the same seq semantics
+    # (struct compare, nulls first): (None,1) < (None,3) < (1000,2), so
+    # the update is the last image and the row survives
     assert state(spark, store, "mixfs:student2", S_COLS) == [
         (1, 1, 95, "ann", "a")
     ]
