@@ -53,6 +53,10 @@ FATAL_ERROR_MARKERS = (
     "DeadLetterOverflowError",
     "StaleCheckpointError",
     "could not find first log file",
+    # r14: a landing file deleted before its snapshot version applied is
+    # deterministic on replay (the file stays gone) — restarting would
+    # wedge the supervisor in a backoff loop around the same violation
+    "SnapshotRetentionError",
 )
 
 

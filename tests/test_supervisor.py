@@ -88,6 +88,12 @@ def test_exhaustion_after_bounded_restarts():
         RuntimeError("java wrapper: PrimaryKeyChangedError: pk drift on mixfs.student"),
         RuntimeError("DeadLetterOverflowError: dead-letter count 3 exceeds max"),
         RuntimeError("1236 could not find first log file in binary log index"),
+        # r14: deleted-landing retention violations recur on every replay —
+        # restarting wedges the supervisor around the same missing file
+        RuntimeError(
+            "SnapshotRetentionError: snapshot version 5 of db.t: landing "
+            "re-read found 0 rows but the stream admitted 10"
+        ),
     ],
 )
 def test_fatal_errors_never_restart(exc):
