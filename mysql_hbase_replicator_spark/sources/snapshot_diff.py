@@ -59,6 +59,13 @@ from pyspark.sql import types as T
 SNAP_VER_COL = "_snap_ver"
 
 
+class UnmappedLandingTableError(ValueError):
+    """A multi-table landing root contains a subdir with no ``row_structs``
+    entry — a configuration error, deterministic on replay (the landing
+    file persists and re-triggers), so the supervisor treats it as fatal
+    rather than restarting into the same raise."""
+
+
 class SnapshotRetentionError(RuntimeError):
     """The producer deleted/rotated a landing file between stream admission
     and apply: the batch-side re-read of the triggering snapshot version saw

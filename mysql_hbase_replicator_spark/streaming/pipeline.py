@@ -319,7 +319,11 @@ class CdcStreamPipeline:
             )
         unknown = sorted(set(by_table) - set(self.row_structs))
         if unknown:
-            raise ValueError(
+            from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+                UnmappedLandingTableError,
+            )
+
+            raise UnmappedLandingTableError(
                 f"landing subdir(s) {unknown} have no row_structs entry "
                 f"(configured: {sorted(self.row_structs)})"
             )

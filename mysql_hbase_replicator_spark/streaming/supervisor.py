@@ -57,6 +57,9 @@ FATAL_ERROR_MARKERS = (
     # deterministic on replay (the file stays gone) — restarting would
     # wedge the supervisor in a backoff loop around the same violation
     "SnapshotRetentionError",
+    # r14: a landing subdir with no row_structs entry is a configuration
+    # error and the landing file persists — equally deterministic
+    "UnmappedLandingTableError",
 )
 
 

@@ -94,6 +94,10 @@ def test_exhaustion_after_bounded_restarts():
             "SnapshotRetentionError: snapshot version 5 of db.t: landing "
             "re-read found 0 rows but the stream admitted 10"
         ),
+        RuntimeError(
+            "UnmappedLandingTableError: landing subdir(s) ['db.ghost'] "
+            "have no row_structs entry"
+        ),
     ],
 )
 def test_fatal_errors_never_restart(exc):
