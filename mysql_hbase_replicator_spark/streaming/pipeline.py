@@ -141,6 +141,20 @@ class CdcStreamPipeline:
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
     def __post_init__(self) -> None:
+        # fail configuration errors at construction, not mid-micro-batch
+        # as a bare KeyError inside foreachBatch (r14 review)
+        if self.snapshot_table is not None and self.snapshot_table not in self.mappings:
+            raise ValueError(
+                f"snapshot_table {self.snapshot_table!r} has no mapping "
+                f"(configured: {sorted(self.mappings)})"
+            )
+        if self.row_structs is not None:
+            unmapped = sorted(set(self.row_structs) - set(self.mappings))
+            if unmapped:
+                raise ValueError(
+                    f"row_structs table(s) {unmapped} have no mapping "
+                    f"(configured: {sorted(self.mappings)})"
+                )
         if isinstance(self.store, str):
             from mysql_hbase_replicator_spark.operators.merge import make_store
 

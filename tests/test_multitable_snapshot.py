@@ -329,6 +329,35 @@ def test_unknown_landing_subdir_fails_loudly(
         q.processAllAvailable()
 
 
+def test_config_errors_fail_at_construction(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+):
+    """Misconfigured snapshot_table / row_structs keys raise at pipeline
+    construction with a clear message, not as a bare KeyError inside
+    foreachBatch (r14 review)."""
+    common = dict(
+        spark=spark,
+        events_path=str(tmp_path / "landing"),
+        store=ParquetKeyedStore(str(tmp_path / "s"), n_buckets=4),
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="snapshot_diff",
+    )
+    with pytest.raises(ValueError, match="snapshot_table"):
+        CdcStreamPipeline(
+            row_struct=student_struct, snapshot_table="mixfs.ghost", **common
+        )
+    with pytest.raises(ValueError, match="no mapping"):
+        CdcStreamPipeline(
+            row_struct=None,
+            row_structs={
+                "mixfs.student": student_struct,
+                "mixfs.teacher": teacher_struct,
+            },
+            **common,
+        )
+
+
 def test_retention_guard_rejects_partial_reread(
     spark, tmp_path, student_struct, student_mapping,
 ):
