@@ -115,6 +115,16 @@ class CdcStreamPipeline:
     # ALL configured tables (SURVEY §7's multi-table ordering rule —
     # a position is checkpointed only once every table reached it).
     row_structs: dict[str, T.StructType] | None = None
+    # multi-table snapshot_diff only: tables applied CONCURRENTLY within
+    # one micro-batch (thread pool over per-table applies — safe because
+    # every table owns disjoint state: its landing subdir, its
+    # PrevSnapshotStore, its store table, and a table-suffixed dead-letter
+    # subdir, cdc_apply.py:572; Spark schedules concurrent actions FIFO).
+    # Default 1 = serial (deterministic batch traces). Raise toward the
+    # table count when pollers land several tables per trigger wave — the
+    # per-table fixed cost (~1.2 s of plan/stage/kernel machinery) then
+    # overlaps instead of summing.
+    snapshot_parallel_tables: int = 1
     # snapshot_diff only: landing-file format — "json" (debug/test default)
     # or "parquet" (the production shape a jdbc_snapshot poller writes)
     snapshot_format: str = "json"
@@ -343,8 +353,30 @@ class CdcStreamPipeline:
             )
         # deterministic per-batch table order; each table's events still
         # apply in snapshot-version order because versions are per-table
-        for full in sorted(by_table):
-            self._apply_snapshot_one(full, by_table[full], batch_id)
+        tables_in_batch = sorted(by_table)
+        workers = min(max(1, int(self.snapshot_parallel_tables)), len(tables_in_batch))
+        if workers <= 1:
+            for full in tables_in_batch:
+                self._apply_snapshot_one(full, by_table[full], batch_id)
+        else:
+            # concurrent per-table applies: let EVERY table finish (a
+            # flipped table has converged and must not be rolled back by a
+            # sibling's failure — replays re-apply idempotently), then
+            # surface the first failure by table order so the batch still
+            # fails loudly and replays the un-flipped tables
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futs = {
+                    full: ex.submit(
+                        self._apply_snapshot_one, full, by_table[full], batch_id
+                    )
+                    for full in tables_in_batch
+                }
+            for full in tables_in_batch:
+                exc = futs[full].exception()
+                if exc is not None:
+                    raise exc
         self._advance_global_snapshot_watermark()
 
     def _snapshot_store_root(self, full_name: str) -> str:

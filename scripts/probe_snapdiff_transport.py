@@ -158,7 +158,11 @@ def main() -> None:
             checkpoint_dir=os.path.join(root, "ckpt"),
             source_format="snapshot_diff",
             snapshot_format="parquet",
-            max_files_per_trigger=4,  # one version (4 part files) per trigger
+            # one version WAVE per trigger: 4 part files per table-version,
+            # all tables' same version landing together in multi mode (the
+            # concurrent per-table applies then overlap, r14)
+            max_files_per_trigger=4 * n_tables,
+            snapshot_parallel_tables=n_tables,
         )
         before = _stage_totals(base)
         t0 = time.time()

@@ -329,6 +329,44 @@ def test_unknown_landing_subdir_fails_loudly(
         q.processAllAvailable()
 
 
+def test_multitable_parallel_applies_converge(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    """snapshot_parallel_tables=2 with both tables' landings admitted in
+    ONE trigger wave: the concurrent per-table applies reach the same
+    final state and watermark as the serial path (disjoint per-table
+    state — landing subdir, prev store, store table, dead-letter
+    subdir)."""
+    root = str(tmp_path / "landing")
+    for poll in (1, 2):
+        write_snapshot(
+            os.path.join(root, "mixfs.student"), f"s{poll}.json",
+            S_SNAPSHOTS[poll - 1], ver=poll,
+        )
+        write_snapshot(
+            os.path.join(root, "mixfs.teacher"), f"t{poll}.json",
+            T_SNAPSHOTS[poll - 1], ver=poll,
+        )
+    pipe = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    pipe.snapshot_parallel_tables = 2
+    pipe.max_files_per_trigger = 16  # all four landings in one batch
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == [
+        (1, 1, 95, "ann", "a"),
+        (3, 3, 60, "dan", "d"),
+    ]
+    assert state(spark, pipe.store, "mixfs:teacher2", T_COLS) == [
+        (1, "math", 120),
+        (3, "bio", 80),
+    ]
+    assert read_checkpoint_state(pipe.store)["position"] == 2
+
+
 def test_config_errors_fail_at_construction(
     spark, tmp_path, student_struct, student_mapping, teacher_struct,
 ):
