@@ -786,7 +786,11 @@ def bench_streaming(
                 mappings=mappings,
                 checkpoint_dir=os.path.join(root, "ckpt"),
                 source_format="snapshot_diff",
-                max_files_per_trigger=1,
+                # whole poll waves per trigger + concurrent per-table
+                # applies — the recommended multi-table configuration
+                # (SCALING.md r14: +53% over serial at probe scale)
+                max_files_per_trigger=n_tables,
+                snapshot_parallel_tables=n_tables,
             )
             t0 = time.time()
             q = pipe.start(available_now=True, query_name="bench-snapmulti")
