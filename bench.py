@@ -238,10 +238,14 @@ def main() -> None:
             after = _stage_totals(metrics_base)
             if dt < best:
                 best = dt
-                if before is not None and after is not None:
-                    best_io = {
-                        k: max(0, after[k] - before[k]) for k in after
-                    }
+                # pair the io deltas with THE winning rep — when its REST
+                # snapshots failed, drop telemetry rather than silently
+                # keeping a previous rep's bytes against this rep's wall
+                best_io = (
+                    {k: max(0, after[k] - before[k]) for k in after}
+                    if (before is not None and after is not None)
+                    else None
+                )
         timings[name] = round(best, 3)
         if best_io is not None:
             query_io[name] = best_io
@@ -349,34 +353,18 @@ def main() -> None:
     print(emit_compact_line(compact))
 
 
-def _metrics_api_base(spark) -> str | None:
-    """Stage-metrics REST root for THIS app, or None when the UI is off
-    (telemetry then degrades to walls-only instead of failing the bench)."""
-    ui = spark.sparkContext.uiWebUrl
-    if not ui:
-        return None
-    return f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}"
+# shared telemetry (one key vocabulary across bench + probes, r14 review):
+# see mysql_hbase_replicator_spark.session.stage_io_totals
+def _metrics_api_base(spark):
+    from mysql_hbase_replicator_spark.session import metrics_api_base
+
+    return metrics_api_base(spark)
 
 
-def _stage_totals(base: str | None) -> dict[str, int] | None:
-    """Cumulative completed-stage spill/shuffle counters; per-query numbers
-    are before/after deltas of this snapshot (scripts/probe_snapdiff_scale's
-    telemetry, promoted into the routine bench per r13 verdict #5)."""
-    if base is None:
-        return None
-    import urllib.request
+def _stage_totals(base):
+    from mysql_hbase_replicator_spark.session import stage_io_totals
 
-    try:
-        with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=30) as r:
-            stages = json.loads(r.read())
-    except Exception:
-        return None
-    tot = {"spill_disk": 0, "spill_mem": 0, "shuffle_bytes": 0}
-    for s in stages:
-        tot["spill_disk"] += s.get("diskBytesSpilled", 0)
-        tot["spill_mem"] += s.get("memoryBytesSpilled", 0)
-        tot["shuffle_bytes"] += s.get("shuffleWriteBytes", 0)
-    return tot
+    return stage_io_totals(base)
 
 
 def emit_compact_line(compact: dict, limit: int = 1900) -> str:

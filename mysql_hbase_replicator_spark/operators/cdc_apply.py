@@ -41,6 +41,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import threading
 import uuid
 from dataclasses import dataclass, field
 
@@ -110,6 +111,19 @@ SMALL_BATCH_CONF = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.shuffle.partitions": "4",
 }
+# The small-batch conf switch mutates SESSION-wide settings around the apply
+# loop. Concurrent kernel applies (the multi-table snapshot pipeline's
+# parallel per-table applies, r14) must not interleave those set/restore
+# windows: thread B snapshotting prev_conf while thread A's temporary values
+# are live would "restore" shuffle.partitions=4 / AQE=off as if user-set,
+# pinning them for the rest of the session (r14 review). Small-batch windows
+# therefore serialize on this lock — cheap by definition (small = fast) —
+# while large batches mutate nothing and stay fully concurrent. A large
+# batch planned while a sibling's small window is open can transiently see
+# the small conf (a bounded perf wobble, never a correctness issue); mixed
+# fleets that care should give heterogeneous workloads their own session
+# (newSession()), per the note above.
+_SMALL_CONF_LOCK = threading.Lock()
 
 
 @dataclass
@@ -411,8 +425,14 @@ def apply_cdc_batch(
             except Exception:
                 return spark.conf.get(k, None)
 
-        prev_conf = {k: _explicit(k) for k in SMALL_BATCH_CONF}
+        prev_conf: dict[str, str | None] = {}
+        if small:
+            # serialize concurrent small-batch conf windows (r14 review —
+            # see _SMALL_CONF_LOCK): prev_conf must be snapshotted INSIDE
+            # the lock or it can capture a sibling's temporary values
+            _SMALL_CONF_LOCK.acquire()
         try:
+            prev_conf = {k: _explicit(k) for k in SMALL_BATCH_CONF}
             if small:
                 for k, v in SMALL_BATCH_CONF.items():
                     spark.conf.set(k, v)
@@ -436,11 +456,14 @@ def apply_cdc_batch(
                 result.apply_latency_s[f"apply:{full_name}"] = _time.perf_counter() - t0
         finally:
             if small:
-                for k, v in prev_conf.items():
-                    if v is None:
-                        spark.conf.unset(k)
-                    else:
-                        spark.conf.set(k, v)
+                try:
+                    for k, v in prev_conf.items():
+                        if v is None:
+                            spark.conf.unset(k)
+                        else:
+                            spark.conf.set(k, v)
+                finally:
+                    _SMALL_CONF_LOCK.release()
 
         if max_dead_letter is not None and result.dead_letter_count > max_dead_letter:
             raise DeadLetterOverflowError(

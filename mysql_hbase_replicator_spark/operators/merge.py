@@ -219,28 +219,28 @@ class ParquetKeyedStore:
         # affected-bucket collect above and the write — instead of the
         # persist + distinct-collect + write it used to take (the extra
         # action was ~0.7 s of pure fixed cost per streaming micro-batch).
-        # The conf is scoped to this write — it changes overwrite semantics
-        # session-wide, so the previous value is restored for whatever else
-        # shares the session.
-        prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Dynamic overwrite is requested as a WRITE OPTION, not a session
+        # conf: `partitionOverwriteMode` is honored per-DataFrameWriter
+        # (overriding the session value), so the semantics are scoped to
+        # exactly this write. The old session-conf set/restore window was a
+        # thread-safety hole (r14 review): two concurrent merges — the
+        # multi-table pipeline's parallel per-table applies — could
+        # interleave one thread's restore with the other's write, flipping
+        # the write to STATIC overwrite mid-flight, which deletes every
+        # unaffected bucket of the table (silent data loss).
         obs = Observation()
         staged = new_state.repartition(BUCKET_COL).observe(
             obs, F.collect_set(BUCKET_COL).alias("written")
         )
-        try:
-            staged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(path)
-            written_buckets = set(obs.get["written"])
-            for b in set(affected) - written_buckets:
-                bucket_dir = os.path.join(path, f"{BUCKET_COL}={b}")
-                if os.path.isdir(bucket_dir):
-                    shutil.rmtree(bucket_dir)
-            self._write_schema(name, staged.schema, pk_cols)
-        finally:
-            if prev_mode is None:
-                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-            else:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+        staged.write.option("partitionOverwriteMode", "dynamic").partitionBy(
+            BUCKET_COL
+        ).mode("overwrite").parquet(path)
+        written_buckets = set(obs.get["written"])
+        for b in set(affected) - written_buckets:
+            bucket_dir = os.path.join(path, f"{BUCKET_COL}={b}")
+            if os.path.isdir(bucket_dir):
+                shutil.rmtree(bucket_dir)
+        self._write_schema(name, staged.schema, pk_cols)
 
 
 class LogStructuredKeyedStore(ParquetKeyedStore):

@@ -163,3 +163,37 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def metrics_api_base(spark) -> str | None:
+    """Stage-metrics REST root for this app, or None when the UI is off —
+    callers then degrade to walls-only telemetry."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    return f"{ui}/api/v1/applications/{spark.sparkContext.applicationId}"
+
+
+def stage_io_totals(base: str | None) -> dict[str, int] | None:
+    """Cumulative completed-stage spill/shuffle counters (ONE key
+    vocabulary for every consumer — bench.py's per-query query_io and the
+    scale probes' per-run deltas): {spill_disk, spill_mem, shuffle_bytes}.
+    Per-window numbers are before/after deltas of this snapshot. Returns
+    None when the UI is off or the REST call fails (degrade, don't
+    crash)."""
+    if base is None:
+        return None
+    import json as _json
+    import urllib.request
+
+    try:
+        with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=30) as r:
+            stages = _json.loads(r.read())
+    except Exception:
+        return None
+    tot = {"spill_disk": 0, "spill_mem": 0, "shuffle_bytes": 0}
+    for s in stages:
+        tot["spill_disk"] += s.get("diskBytesSpilled", 0)
+        tot["spill_mem"] += s.get("memoryBytesSpilled", 0)
+        tot["shuffle_bytes"] += s.get("shuffleWriteBytes", 0)
+    return tot

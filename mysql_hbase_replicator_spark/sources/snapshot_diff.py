@@ -21,13 +21,18 @@ or parquet typed by ``row_struct``) carrying a monotonically increasing
 snapshot is re-read from the landing dir at the triggering version, so file
 admission order/splitting never shapes the diff. RETENTION: because the
 diff reads the landing (not the admitted batch rows), a landing file must
-persist until its version has been APPLIED (the prev-marker flip) — a
-producer that deletes/rotates earlier would shrink the re-read into
-spurious DELETEs; the pipeline guards by comparing the staged row count
-against the stream-admitted count for the triggering version and raises
-``SnapshotRetentionError`` on shortfall (ADVICE r13). After the flip, the
-files-map prunes applied files from every later re-read, so retention past
-the flip costs scans nothing. The
+persist until a STRICTLY NEWER snapshot version has been applied — not
+merely until its own version's first flip: a multi-file version can
+straddle triggers, and the equal-version heal re-reads the landing, so a
+file deleted right after its version's flip would shrink the heal into
+spurious DELETEs for its rows (r14 review). The pipeline guards both ways:
+per batch, the staged row count must cover the stream-admitted count for
+the triggering version; across batches, any files-map entry recorded at
+>= the triggering version that has vanished from the landing raises
+``SnapshotRetentionError`` (except the benign post-flip replay that
+redelivers exactly the deleted, already-applied files — skipped as
+converged). The files map prunes superseded files from every later
+re-read, so retention past the next version's flip costs scans nothing. The
 pipeline keeps the LAST APPLIED snapshot as parquet under
 ``<checkpoint>/snapshots/prev_v{K}`` with an atomically-replaced marker —
 checkpoint-scoped state, so wiping the checkpoint re-seeds the store from
@@ -67,12 +72,15 @@ class UnmappedLandingTableError(ValueError):
 
 
 class SnapshotRetentionError(RuntimeError):
-    """The producer deleted/rotated a landing file between stream admission
-    and apply: the batch-side re-read of the triggering snapshot version saw
-    FEWER rows than the stream admitted for it. Diffing that partial view
-    would emit spurious DELETEs for every missing row (ADVICE r13), so the
-    pipeline fails loudly instead — the retention contract is that a landing
-    file persists until its version has been applied (the marker flip)."""
+    """The producer deleted/rotated a landing file too early: either between
+    stream admission and apply (the batch-side re-read saw FEWER rows than
+    the stream admitted for the triggering version), or after a multi-file
+    version's first flip but before the version was fully admitted (the
+    equal-version heal would re-read a half-gone landing). Diffing a partial
+    view emits spurious DELETEs for every missing row (ADVICE r13 + r14
+    review), so the pipeline fails loudly instead — the retention contract
+    is that a landing file persists until a STRICTLY NEWER version has been
+    applied. Deterministic on replay, hence supervisor-fatal."""
 
 
 def snapshot_schema(row_struct: T.StructType) -> T.StructType:

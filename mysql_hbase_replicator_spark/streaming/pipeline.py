@@ -125,6 +125,11 @@ class CdcStreamPipeline:
     # per-table fixed cost (~1.2 s of plan/stage/kernel machinery) then
     # overlaps instead of summing.
     snapshot_parallel_tables: int = 1
+    # snapshot_diff only: retired prev-snapshot versions retained behind
+    # the marker (PrevSnapshotStore's keep_versions — the snapshot twin of
+    # store_keep_versions; raise both together when consumers hold frames
+    # across several flips)
+    snapshot_keep_versions: int = 1
     # snapshot_diff only: landing-file format — "json" (debug/test default)
     # or "parquet" (the production shape a jdbc_snapshot poller writes)
     snapshot_format: str = "json"
@@ -336,8 +341,9 @@ class CdcStreamPipeline:
             by_table.setdefault(full, []).append(r)
         if unattributed:
             logging.getLogger(__name__).warning(
-                "snapshot batch %d: %d rows without file provenance ignored "
-                "(multi-table landing needs a file-based source)",
+                "snapshot batch %d: %d rows without table attribution "
+                "ignored (no file provenance, or a stray file directly in "
+                "the landing root — tables live in <root>/<db.table>/)",
                 batch_id,
                 unattributed,
             )
@@ -383,6 +389,16 @@ class CdcStreamPipeline:
         base = os.path.join(self.checkpoint_dir, "snapshots")
         return base if self.row_structs is None else os.path.join(base, full_name)
 
+    def _prev_store(self, full_name: str):
+        from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+            PrevSnapshotStore,
+        )
+
+        return PrevSnapshotStore(
+            self._snapshot_store_root(full_name),
+            keep_versions=self.snapshot_keep_versions,
+        )
+
     def _snapshot_landing_dir(self, full_name: str) -> str:
         return (
             self.events_path
@@ -414,7 +430,7 @@ class CdcStreamPipeline:
 
         vers = []
         for full in self.row_structs or {}:
-            v = PrevSnapshotStore(self._snapshot_store_root(full)).applied_snap_ver()
+            v = self._prev_store(full).applied_snap_ver()
             if v is None:
                 return
             vers.append(v)
@@ -473,7 +489,7 @@ class CdcStreamPipeline:
                 n_rows,
                 SNAP_VER_COL,
             )
-        prev_store = PrevSnapshotStore(self._snapshot_store_root(full_name))
+        prev_store = self._prev_store(full_name)
         if latest is None:
             # empty batch slice (no stamped snapshot rows admitted) — the
             # unstamped-only files still enter the pruning map
@@ -521,6 +537,53 @@ class CdcStreamPipeline:
         paths, landing_names = self._snapshot_landing_files(
             prev_store, int(latest), file_vers, landing_dir
         )
+        # Cross-batch retention check (r14 review): the files map remembers
+        # every admitted file's max version, so a file recorded at
+        # >= `latest` that has VANISHED from the landing is detectable even
+        # when it was admitted by an earlier batch — the case the same-batch
+        # staged-count guard below cannot see (a multi-file version whose
+        # first file applied+flipped, was deleted, and whose remainder now
+        # triggers the equal-version heal against a half-gone landing:
+        # re-reading would emit spurious DELETEs for the deleted file's
+        # rows). One exception is benign: a post-flip REPLAY redelivering
+        # exactly the deleted files of the already-applied version — the
+        # store converged at the flip, so skip instead of raising.
+        if landing_names is not None:
+            landing_set = set(landing_names)
+            fmap = prev_store.files_map()
+            for k, v in file_vers.items():
+                fmap[k] = max(v, fmap.get(k, 0))
+            missing = sorted(
+                f for f, v in fmap.items() if v >= int(latest) and f not in landing_set
+            )
+            if missing:
+                from mysql_hbase_replicator_spark.sources.snapshot_diff import (
+                    SnapshotRetentionError,
+                )
+
+                strangers = [f for f in missing if f not in file_vers]
+                first_application = applied is None or int(latest) > int(applied)
+                if strangers or first_application:
+                    raise SnapshotRetentionError(
+                        f"landing file(s) {missing} of {full_name}, recorded "
+                        f"at version >= {int(latest)}, no longer present — "
+                        "deleted before the version was fully applied "
+                        "(retention contract: a landing file must persist "
+                        "until a STRICTLY NEWER version has been applied)"
+                    )
+                from mysql_hbase_replicator_spark.logging_config import trace
+
+                trace(
+                    logger,
+                    "snapshot batch %d [%s]: replay of applied version %s "
+                    "with pruned landing (%s) — converged, skipping",
+                    batch_id,
+                    full_name,
+                    latest,
+                    missing,
+                )
+                prev_store.record_files(file_vers)
+                return None
         snap = (
             self._read_snapshot_landing(row_struct, paths, landing_dir)
             .filter(F.col(SNAP_VER_COL) == F.lit(latest))
@@ -585,13 +648,20 @@ class CdcStreamPipeline:
 
         return os.path.basename(unquote(urlparse(uri).path))
 
-    @staticmethod
-    def _landing_table_of(uri: str) -> str:
+    def _landing_table_of(self, uri: str) -> str:
         """Parent-dir name of an ``input_file_name()`` URI — the "db.table"
-        attribution key in multi-table landing roots."""
+        attribution key in multi-table landing roots. Returns "" (→ warned
+        and skipped, like provenance-less rows) for a file sitting directly
+        IN the root: the trigger stream's ``root/*`` glob also matches
+        stray root-level files, and attributing one to a bogus table named
+        after the root directory itself would kill the pipeline with a
+        misleading supervisor-fatal error (r14 review)."""
         from urllib.parse import unquote, urlparse
 
-        return os.path.basename(os.path.dirname(unquote(urlparse(uri).path)))
+        parent = os.path.dirname(unquote(urlparse(uri).path))
+        if os.path.abspath(parent) == os.path.abspath(self.events_path):
+            return ""
+        return os.path.basename(parent)
 
     def _snapshot_landing_files(
         self,

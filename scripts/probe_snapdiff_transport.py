@@ -30,20 +30,13 @@ import shutil
 import sys
 import tempfile
 import time
-import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _stage_totals(base: str) -> dict[str, int]:
-    with urllib.request.urlopen(f"{base}/stages?status=complete", timeout=30) as r:
-        stages = json.loads(r.read())
-    tot = {"disk_spill": 0, "mem_spill": 0, "shuffle_write": 0}
-    for s in stages:
-        tot["disk_spill"] += s.get("diskBytesSpilled", 0)
-        tot["mem_spill"] += s.get("memoryBytesSpilled", 0)
-        tot["shuffle_write"] += s.get("shuffleWriteBytes", 0)
-    return tot
+# shared telemetry helper — one key vocabulary with bench.py's query_io
+# ({spill_disk, spill_mem, shuffle_bytes}; r14 review)
+from mysql_hbase_replicator_spark.session import stage_io_totals as _stage_totals  # noqa: E402
 
 
 def main() -> None:
@@ -202,10 +195,10 @@ def main() -> None:
             "state_rows": n_state,
             "files_map_entries": fmap_entries,
             "files_map_marker_bytes": marker_bytes,
-            "disk_spill_mb": round((after["disk_spill"] - before["disk_spill"]) / 1e6, 1),
-            "mem_spill_mb": round((after["mem_spill"] - before["mem_spill"]) / 1e6, 1),
+            "disk_spill_mb": round((after["spill_disk"] - before["spill_disk"]) / 1e6, 1),
+            "mem_spill_mb": round((after["spill_mem"] - before["spill_mem"]) / 1e6, 1),
             "shuffle_write_mb": round(
-                (after["shuffle_write"] - before["shuffle_write"]) / 1e6, 1
+                (after["shuffle_bytes"] - before["shuffle_bytes"]) / 1e6, 1
             ),
         }
         print(json.dumps(out))

@@ -416,10 +416,105 @@ def test_retention_guard_rejects_partial_reread(
         source_format="snapshot_diff",
     )
     # a stream admission that claimed 5 rows at version 1 (i.e. 3 rows'
-    # worth of landing vanished before the re-read)
+    # worth of landing vanished before the re-read). Since r14 the
+    # cross-batch files-map check catches the vanished file even earlier
+    # than the staged-count compare — both raise the same error type.
     rows = [Row(_file=f"file://{landing}/gone.json", _v=1, _n=5)]
-    with pytest.raises(SnapshotRetentionError, match="admitted"):
+    with pytest.raises(SnapshotRetentionError, match="retention contract"):
         pipe._apply_snapshot_one("mixfs.student", rows, batch_id=0)
+
+
+def test_retention_guard_catches_cross_batch_deletion(
+    spark, tmp_path, student_struct, student_mapping,
+):
+    """r14 review: a multi-file version whose FIRST file applied+flipped
+    and was then deleted leaves the equal-version heal re-reading a
+    half-gone landing — spurious DELETEs the same-batch count guard cannot
+    see (the deleted file was admitted by an earlier batch). The files map
+    remembers it at version >= latest, so its absence from the landing now
+    raises instead of silently shrinking the snapshot."""
+    landing = str(tmp_path / "snaps")
+    write_snapshot(landing, "s1a.json", S_SNAPSHOTS[0][:1], ver=1)
+
+    def pipe():
+        return CdcStreamPipeline(
+            spark=spark,
+            events_path=landing,
+            row_struct=student_struct,
+            store=ParquetKeyedStore(str(tmp_path / "snapstore"), n_buckets=4),
+            mappings={"mixfs.student": student_mapping},
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            source_format="snapshot_diff",
+        )
+
+    q = pipe().start(available_now=True)
+    q.awaitTermination(120)
+    # first file applied and flipped; producer deletes it too early, then
+    # the version's remainder file lands
+    os.remove(os.path.join(landing, "s1a.json"))
+    write_snapshot(landing, "s1b.json", S_SNAPSHOTS[0][1:], ver=1)
+    q2 = pipe().start(available_now=True)
+    with pytest.raises(Exception, match="SnapshotRetention|no longer present"):
+        q2.awaitTermination(120)
+        q2.processAllAvailable()
+
+
+def test_replay_of_applied_version_with_pruned_landing_skips(
+    spark, tmp_path, student_struct, student_mapping,
+):
+    """The benign twin (r14 review): a post-flip REPLAY that redelivers
+    exactly the deleted files of the already-applied version is converged
+    by definition — skip, never raise (and never emit whole-table
+    deletes)."""
+    landing = str(tmp_path / "snaps")
+    write_snapshot(landing, "s1.json", S_SNAPSHOTS[0], ver=1)
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=landing,
+        row_struct=student_struct,
+        store=ParquetKeyedStore(str(tmp_path / "snapstore"), n_buckets=4),
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="snapshot_diff",
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    want = state(spark, pipe.store, "mixfs:student2", S_COLS)
+    os.remove(os.path.join(landing, "s1.json"))
+    # replay the committed batch's content by hand: the batch redelivers
+    # s1.json (now deleted) at the applied version
+    rows = [Row(_file=f"file://{landing}/s1.json", _v=1, _n=len(S_SNAPSHOTS[0]))]
+    assert pipe._apply_snapshot_one("mixfs.student", rows, batch_id=99) is None
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == want
+
+
+def test_stray_root_file_is_warned_not_fatal(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping, caplog,
+):
+    """r14 review: the trigger glob also matches files directly in the
+    landing root; a stray export must be ignored with a warning, not
+    attributed to a bogus table named after the root dir (which raised a
+    misleading supervisor-fatal UnmappedLandingTableError)."""
+    import logging as _logging
+
+    root = str(tmp_path / "landing")
+    write_snapshot(os.path.join(root, "mixfs.student"), "s1.json",
+                   S_SNAPSHOTS[0], ver=1)
+    write_snapshot(root, "stray-export.json", [{"sn": 9}], ver=1)
+    pipe = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    with caplog.at_level(_logging.WARNING,
+                         logger="mysql_hbase_replicator_spark.streaming.pipeline"):
+        q = pipe.start(available_now=True)
+        q.awaitTermination(120)
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == [
+        (1, 1, 90, "ann", "a"),
+        (1, 2, 80, "bob", "b"),
+    ]
+    assert any("without table attribution" in r.message for r in caplog.records)
 
 
 def test_unstamped_only_file_enters_pruning_map(

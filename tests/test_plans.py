@@ -320,9 +320,10 @@ def test_pq_scan_is_map_only(spark):
 def test_approx_count_distinct_accuracy(spark, sf_dir):
     """The only oracle-less (rows-only) query gets a bounded-error backstop
     (r13 verdict #6): HLL estimates must sit within ±5% of the exact
-    distinct counts at BOTH driver-relevant SFs (default rsd=0.05 — the
-    sketch's own one-sigma bound; per-group populations here are large
-    enough that 5% holds with wide margin)."""
+    distinct counts at BOTH driver-relevant SFs. The query pins rsd=0.02
+    PRECISELY so this holds — at the 0.05 default the observed error was
+    ~5.6% (≈1.1σ), i.e. the assertion is measured to FAIL without the
+    explicit rsd argument; do not 'simplify' it away."""
     from pyspark.sql import functions as F
 
     approx = {
