@@ -367,6 +367,45 @@ def test_multitable_parallel_applies_converge(
     assert read_checkpoint_state(pipe.store)["position"] == 2
 
 
+def test_parallel_apply_failure_lets_sibling_finish_then_reraises(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    """The documented parallel failure semantics: a failing table must not
+    roll back or block its sibling (a flipped table has converged; replays
+    are idempotent), and the batch must still fail loudly so the
+    un-flipped table replays."""
+    root = str(tmp_path / "landing")
+    write_snapshot(os.path.join(root, "mixfs.student"), "s1.json",
+                   S_SNAPSHOTS[0], ver=1)
+    write_snapshot(os.path.join(root, "mixfs.teacher"), "t1.json",
+                   T_SNAPSHOTS[0], ver=1)
+    pipe = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    pipe.snapshot_parallel_tables = 2
+    pipe.max_files_per_trigger = 16  # both tables in one batch
+    original = pipe._apply_snapshot_one
+
+    def failing(full_name, per_file, batch_id):
+        if full_name == "mixfs.teacher":
+            raise RuntimeError("injected teacher failure")
+        return original(full_name, per_file, batch_id)
+
+    pipe._apply_snapshot_one = failing
+    q = pipe.start(available_now=True)
+    with pytest.raises(Exception, match="injected teacher failure"):
+        q.awaitTermination(120)
+        q.processAllAvailable()
+    # the sibling finished and flipped despite the teacher's failure
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == [
+        (1, 1, 90, "ann", "a"),
+        (1, 2, 80, "bob", "b"),
+    ]
+    assert pipe.store.read(spark, "mixfs:teacher2") is None
+
+
 def test_config_errors_fail_at_construction(
     spark, tmp_path, student_struct, student_mapping, teacher_struct,
 ):
