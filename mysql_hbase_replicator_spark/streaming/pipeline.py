@@ -437,7 +437,16 @@ class CdcStreamPipeline:
         if not vers:
             return
         state = read_checkpoint_state(self.store) or {}
-        _write_checkpoint(self.store, min(vers), state.get("filename"))
+        pos = min(vers)
+        prev_pos = state.get("position")
+        if prev_pos is not None and pos < int(prev_pos):
+            # Monotonic watermark (ADVICE r14): adding a table whose first
+            # applied version is below its siblings' would otherwise jump
+            # the recorded position BACKWARD — a monitoring consumer reads
+            # that as a regression. Keep the recorded high-watermark; it
+            # re-advances once the new table catches up.
+            return
+        _write_checkpoint(self.store, pos, state.get("filename"))
 
     def _apply_snapshot_one(
         self, full_name: str, per_file: list, batch_id: int
@@ -550,7 +559,8 @@ class CdcStreamPipeline:
         # store converged at the flip, so skip instead of raising.
         if landing_names is not None:
             landing_set = set(landing_names)
-            fmap = prev_store.files_map()
+            fmap_prior = prev_store.files_map()
+            fmap = dict(fmap_prior)
             for k, v in file_vers.items():
                 fmap[k] = max(v, fmap.get(k, 0))
             missing = sorted(
@@ -563,7 +573,17 @@ class CdcStreamPipeline:
 
                 strangers = [f for f in missing if f not in file_vers]
                 first_application = applied is None or int(latest) > int(applied)
-                if strangers or first_application:
+                # Benignity is judged against the PRE-merge map (r15 review,
+                # ADVICE r14): a missing file is a converged replay only if a
+                # PRIOR flip already recorded it at >= latest. A file FIRST
+                # seen this batch — e.g. newly landed at the already-applied
+                # version for an equal-version heal, then deleted before the
+                # re-read — was never applied; skipping it would silently
+                # diverge the store. Raise for those.
+                unproven = [
+                    f for f in missing if fmap_prior.get(f, -1) < int(latest)
+                ]
+                if strangers or first_application or unproven:
                     raise SnapshotRetentionError(
                         f"landing file(s) {missing} of {full_name}, recorded "
                         f"at version >= {int(latest)}, no longer present — "
@@ -659,7 +679,13 @@ class CdcStreamPipeline:
         from urllib.parse import unquote, urlparse
 
         parent = os.path.dirname(unquote(urlparse(uri).path))
-        if os.path.abspath(parent) == os.path.abspath(self.events_path):
+        # Normalize BOTH sides to the URI's path component (ADVICE r14): a
+        # non-local landing root (hdfs://, s3a://) or a relative events_path
+        # would otherwise never match, mis-attributing a stray root file to
+        # a bogus table named after the root dir — the exact misfire this
+        # guard prevents.
+        root = unquote(urlparse(self.events_path).path) or self.events_path
+        if os.path.abspath(parent) == os.path.abspath(root):
             return ""
         return os.path.basename(parent)
 

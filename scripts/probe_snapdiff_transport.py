@@ -195,10 +195,22 @@ def main() -> None:
             "state_rows": n_state,
             "files_map_entries": fmap_entries,
             "files_map_marker_bytes": marker_bytes,
-            "disk_spill_mb": round((after["spill_disk"] - before["spill_disk"]) / 1e6, 1),
-            "mem_spill_mb": round((after["spill_mem"] - before["spill_mem"]) / 1e6, 1),
+            # deltas clamped >= 0 like bench.py (ADVICE r14): past
+            # spark.ui.retainedStages the UI evicts completed stages, so a
+            # long drain can make after < before — flag that so
+            # eviction-corrupted telemetry is visible instead of silent
+            "disk_spill_mb": round(
+                max(0.0, after["spill_disk"] - before["spill_disk"]) / 1e6, 1
+            ),
+            "mem_spill_mb": round(
+                max(0.0, after["spill_mem"] - before["spill_mem"]) / 1e6, 1
+            ),
             "shuffle_write_mb": round(
-                (after["shuffle_bytes"] - before["shuffle_bytes"]) / 1e6, 1
+                max(0.0, after["shuffle_bytes"] - before["shuffle_bytes"]) / 1e6, 1
+            ),
+            "stage_eviction_suspected": any(
+                after[k] < before[k]
+                for k in ("spill_disk", "spill_mem", "shuffle_bytes")
             ),
         }
         print(json.dumps(out))

@@ -628,3 +628,94 @@ def test_struct_seq_with_null_member_does_not_wedge_checkpoint(
     assert state(spark, store, "mixfs:student2", S_COLS) == [
         (1, 1, 95, "ann", "a")
     ]
+
+
+def test_first_seen_file_deleted_at_applied_version_raises(
+    spark, tmp_path, student_struct, student_mapping,
+):
+    """ADVICE r14 (medium): a file FIRST landed at the already-applied
+    version (the equal-version heal), admitted by this batch, then deleted
+    before the landing re-read was previously classified a benign replay —
+    it is in file_vers and latest == applied — and skipped as 'converged',
+    silently diverging the store (its rows were never applied). Benignity
+    is now judged against the PRE-merge files map: only files a PRIOR flip
+    recorded at >= latest may skip; first-seen-this-batch files raise."""
+    landing = str(tmp_path / "snaps")
+    write_snapshot(landing, "s1a.json", S_SNAPSHOTS[0][:1], ver=1)
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=landing,
+        row_struct=student_struct,
+        store=ParquetKeyedStore(str(tmp_path / "snapstore"), n_buckets=4),
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="snapshot_diff",
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    want = state(spark, pipe.store, "mixfs:student2", S_COLS)
+    assert want  # version 1 applied+flipped from s1a.json alone
+    # a remainder file of the SAME version is admitted and then deleted
+    # before the re-read — never applied, so it must raise, not skip
+    rows = [Row(_file=f"file://{landing}/s1b.json", _v=1, _n=1)]
+    with pytest.raises(SnapshotRetentionError, match="no longer present"):
+        pipe._apply_snapshot_one("mixfs.student", rows, batch_id=7)
+    # and the store was not mutated on the way out
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == want
+
+
+def test_landing_table_of_handles_uri_and_relative_roots():
+    """ADVICE r14: stray root-level files must be detected ('' return —
+    warned and skipped) when the landing root is a URI (hdfs://, file://)
+    or a relative path. The previous abspath-vs-abspath compare matched
+    only local absolute roots, so on a URI root the stray file was
+    attributed to a bogus table named after the root dir and raised the
+    supervisor-fatal error the guard exists to prevent."""
+    from types import SimpleNamespace
+
+    probe = CdcStreamPipeline._landing_table_of
+    for root in (
+        "hdfs://nn:8020/data/landing",
+        "s3a://bucket/data/landing",
+        "file:///data/landing",
+        "/data/landing",
+    ):
+        self = SimpleNamespace(events_path=root)
+        assert probe(self, "hdfs://nn:8020/data/landing/stray.json") == ""
+        assert probe(self, "file:///data/landing/stray.json") == ""
+        assert probe(self, "hdfs://nn:8020/data/landing/db.t/f.json") == "db.t"
+    # relative events_path: both sides resolve against the same cwd
+    rel = SimpleNamespace(events_path="landing")
+    cwd_root = os.path.abspath("landing")
+    assert probe(rel, f"file://{cwd_root}/stray.json") == ""
+    assert probe(rel, f"file://{cwd_root}/mixfs.student/f.json") == "mixfs.student"
+
+
+def test_global_snapshot_watermark_is_monotonic(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    """ADVICE r14: adding a table whose first applied version trails its
+    siblings' must not move the recorded high-watermark BACKWARD — a
+    monitoring consumer reads that as position regression. The watermark
+    write is skipped while min-across-tables is below the recorded
+    position and resumes once the late table catches up."""
+    root = str(tmp_path / "landing")
+    pipe = make_multi_pipe(
+        spark, tmp_path, root, student_struct, student_mapping,
+        teacher_struct, teacher_mapping,
+    )
+    # both tables applied version 3 -> watermark 3
+    pipe._prev_store("mixfs.student").flip(0, 3)
+    pipe._prev_store("mixfs.teacher").flip(0, 3)
+    pipe._advance_global_snapshot_watermark()
+    assert read_checkpoint_state(pipe.store)["position"] == 3
+    # teacher re-seeded / new table at version 1: min regresses, write skipped
+    pipe._prev_store("mixfs.teacher").flip(1, 1)
+    pipe._advance_global_snapshot_watermark()
+    assert read_checkpoint_state(pipe.store)["position"] == 3
+    # late table catches up past the watermark: it re-advances
+    pipe._prev_store("mixfs.teacher").flip(2, 4)
+    pipe._prev_store("mixfs.student").flip(1, 5)
+    pipe._advance_global_snapshot_watermark()
+    assert read_checkpoint_state(pipe.store)["position"] == 4
