@@ -225,10 +225,18 @@ def main() -> None:
     # signal the walls can't attribute).
     timings: dict[str, float] = {}
     query_io: dict[str, dict[str, int]] = {}
+    # /proc/loadavg per rep (r14 verdict #4): the io columns attribute WHAT
+    # regressed (spill/shuffle bytes); the loadavg sample attributes why
+    # walls drift on a shared box — two rounds of byte-identical telemetry
+    # with 13% wall swings traced to external load (loadavg 0.15→5.0)
+    query_load: dict[str, float] = {}
+    load_samples: list[float] = []
     for name in HEADLINE:
         best = float("inf")
         best_io: dict[str, int] | None = None
+        best_load: float | None = None
         for _rep in range(2):
+            load0 = _loadavg1()
             before = _stage_totals(metrics_base)
             t0 = time.time()
             QUERY_REGISTRY[name](spark, sf_dir).write.format("noop").mode(
@@ -236,6 +244,11 @@ def main() -> None:
             ).save()
             dt = time.time() - t0
             after = _stage_totals(metrics_base)
+            load1 = _loadavg1()
+            if load0 is not None:
+                load_samples.append(load0)
+            if load1 is not None:
+                load_samples.append(load1)
             if dt < best:
                 best = dt
                 # pair the io deltas with THE winning rep — when its REST
@@ -246,9 +259,19 @@ def main() -> None:
                     if (before is not None and after is not None)
                     else None
                 )
+                # the MAX of the rep's bracketing samples: the bench itself
+                # inflates the 1-min average while running, so max-of-pair
+                # is the honest "how contended was this wall" number
+                best_load = (
+                    round(max(v for v in (load0, load1) if v is not None), 2)
+                    if (load0 is not None or load1 is not None)
+                    else None
+                )
         timings[name] = round(best, 3)
         if best_io is not None:
             query_io[name] = best_io
+        if best_load is not None:
+            query_load[name] = best_load
 
     cdc = bench_cdc_throughput(spark)
     # 10× batch: the 200k batch is fixed-floor-dominated (~3 s of plan/
@@ -276,6 +299,9 @@ def main() -> None:
         # per-query best-rep stage telemetry (r13 verdict #5): bytes —
         # {spill_disk, spill_mem, shuffle_bytes} keyed like `queries`
         "query_io": query_io,
+        # per-query best-rep /proc/loadavg 1-min sample (r14 verdict #4) —
+        # max of the rep's bracketing samples, keyed like `queries`
+        "query_load": query_load,
     }
     if skew is not None:
         full["skew_smj"] = skew
@@ -348,6 +374,17 @@ def main() -> None:
         "io": io_summary,
         "detail": "BENCH_FULL.json",
     }
+    if load_samples:
+        # loadavg rollup for the driver line (per-query detail in
+        # BENCH_FULL.json's query_load): how contended the box was across
+        # the run — the drift-attribution signal next round's comparison
+        # needs without a SCALING.md narrative
+        srt = sorted(load_samples)
+        compact["load"] = {
+            "min": round(srt[0], 2),
+            "med": round(srt[len(srt) // 2], 2),
+            "max": round(srt[-1], 2),
+        }
     if missing24:
         compact["baseline24_missing"] = len(missing24)
     print(emit_compact_line(compact))
@@ -365,6 +402,14 @@ def _stage_totals(base):
     from mysql_hbase_replicator_spark.session import stage_io_totals
 
     return stage_io_totals(base)
+
+
+def _loadavg1() -> float | None:
+    """1-minute /proc/loadavg sample; None where unavailable (non-Unix)."""
+    try:
+        return os.getloadavg()[0]
+    except (OSError, AttributeError):
+        return None
 
 
 def emit_compact_line(compact: dict, limit: int = 1900) -> str:
