@@ -719,3 +719,84 @@ def test_global_snapshot_watermark_is_monotonic(
     pipe._prev_store("mixfs.student").flip(1, 5)
     pipe._advance_global_snapshot_watermark()
     assert read_checkpoint_state(pipe.store)["position"] == 4
+
+
+def test_concurrent_small_batch_applies_preserve_buckets_and_conf(
+    spark, tmp_path, student_struct, student_mapping, teacher_struct,
+    teacher_mapping,
+):
+    """r14 verdict #6 — pin the parallel-apply conf-safety at the race
+    site: two CONCURRENT kernel applies (each ending in
+    ParquetKeyedStore.merge on its own table) inside forced small-batch
+    conf windows must (a) never delete an unaffected bucket — the r14
+    STATIC-overwrite race deleted every bucket the merge didn't touch when
+    one thread's conf restore interleaved another's write — and (b) restore
+    the session conf to its true prior values, not a sibling window's
+    temporaries. Four rounds widen the interleaving window."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from mysql_hbase_replicator_spark.operators.cdc_apply import SMALL_BATCH_CONF
+
+    def explicit(key):
+        jconf = spark._jsparkSession.sessionState().conf()
+        return spark.conf.get(key) if jconf.contains(key) else None
+
+    prior = {k: explicit(k) for k in SMALL_BATCH_CONF}
+
+    store = ParquetKeyedStore(str(tmp_path / "store"), n_buckets=8)
+
+    def s_ev(pos, op, sn, id_, score):
+        img = {"sn": sn, "id": id_, "score": score, "name": f"n{sn}", "rem": "r"}
+        return {"position": pos, "op": op, "db": "mixfs", "table": "student",
+                "before": img if op != "insert" else None,
+                "after": img if op != "delete" else None}
+
+    def t_ev(pos, op, tid, salary):
+        img = {"tid": tid, "subject": "math", "salary": salary}
+        return {"position": pos, "op": op, "db": "mixfs", "table": "teacher",
+                "before": img if op != "insert" else None,
+                "after": img if op != "delete" else None}
+
+    # seed both tables across all 8 buckets (serially)
+    seed_s = [s_ev(i, "insert", sn, id_, 90)
+              for i, (sn, id_) in enumerate(
+                  ((sn, id_) for sn in range(1, 9) for id_ in (1, 2)), 1)]
+    seed_t = [t_ev(i, "insert", tid, 100) for i, tid in enumerate(range(1, 17), 1)]
+    apply_cdc_batch(spark, events_from_rows(spark, seed_s, student_struct),
+                    store, {"mixfs.student": student_mapping})
+    apply_cdc_batch(spark, events_from_rows(spark, seed_t, teacher_struct),
+                    store, {"mixfs.teacher": teacher_mapping})
+
+    def apply_student(r):
+        ev = [s_ev(100 + r, "update", r, 1, 100 + r)]
+        return apply_cdc_batch(
+            spark, events_from_rows(spark, ev, student_struct),
+            store, {"mixfs.student": student_mapping},
+        )
+
+    def apply_teacher(r):
+        ev = [t_ev(100 + r, "update", r, 200 + r)]
+        return apply_cdc_batch(
+            spark, events_from_rows(spark, ev, teacher_struct),
+            store, {"mixfs.teacher": teacher_mapping},
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for r in (1, 2, 3, 4):
+            fa = pool.submit(apply_student, r)
+            fb = pool.submit(apply_teacher, r)
+            fa.result(timeout=300)
+            fb.result(timeout=300)
+
+    # (a) every seeded row survives — a STATIC-overwrite flip would have
+    # wiped the buckets the one-key merges didn't touch
+    assert state(spark, store, "mixfs:student2", S_COLS) == sorted(
+        (sn, id_, (100 + sn) if (id_ == 1 and sn <= 4) else 90, f"n{sn}", "r")
+        for sn in range(1, 9) for id_ in (1, 2)
+    )
+    assert state(spark, store, "mixfs:teacher2", T_COLS) == sorted(
+        (tid, "math", (200 + tid) if tid <= 4 else 100) for tid in range(1, 17)
+    )
+    # (b) session conf restored to its true priors (set stays set at the
+    # same value; unset stays unset — not a sibling's temporary)
+    assert {k: explicit(k) for k in SMALL_BATCH_CONF} == prior
