@@ -593,6 +593,35 @@ class CdcStreamPipeline:
                     )
                 from mysql_hbase_replicator_spark.logging_config import trace
 
+                # Edge worth shouting about (r15 review): the replay batch
+                # may ALSO carry a still-present file at the applied version
+                # that no prior flip recorded (a late remainder landing in
+                # the same trigger as the benign replay). Skipping defers
+                # its equal-version heal — applying now would diff against
+                # the half-gone landing and emit spurious DELETEs for the
+                # benign files' rows, so the skip stands — but the deferral
+                # must be visible: the heal only happens when a strictly
+                # newer snapshot version lands.
+                unhealed = sorted(
+                    f
+                    for f, v in file_vers.items()
+                    if v >= int(latest)
+                    and f in landing_set
+                    and fmap_prior.get(f, -1) < int(latest)
+                )
+                if unhealed:
+                    logger.warning(
+                        "snapshot batch %d [%s]: replay of applied version "
+                        "%s skipped as converged (pruned landing: %s), but "
+                        "present file(s) %s at that version were never "
+                        "applied — their heal is DEFERRED until the next "
+                        "snapshot version lands",
+                        batch_id,
+                        full_name,
+                        latest,
+                        missing,
+                        unhealed,
+                    )
                 trace(
                     logger,
                     "snapshot batch %d [%s]: replay of applied version %s "
@@ -602,7 +631,18 @@ class CdcStreamPipeline:
                     latest,
                     missing,
                 )
-                prev_store.record_files(file_vers)
+                # unhealed files stay UNRECORDED: recording them at the
+                # applied version would falsely "prove" them for future
+                # benignity checks — never-applied rows passing as converged,
+                # the exact ADVICE r14 hole reintroduced through the skip
+                # path. Unrecorded they stay loud (every redelivery re-warns
+                # above) until the next version's full snapshot supersedes
+                # their rows; the cost is one unseen-file re-scan per poll
+                # until then.
+                unhealed_set = set(unhealed)
+                prev_store.record_files(
+                    {k: v for k, v in file_vers.items() if k not in unhealed_set}
+                )
                 return None
         snap = (
             self._read_snapshot_landing(row_struct, paths, landing_dir)

@@ -39,6 +39,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from mysql_hbase_replicator_spark.session import stage_io_totals as _stage_totals  # noqa: E402
 
 
+def _apply_means(pipe) -> dict[str, float]:
+    """Mean per-table apply wall (seconds) over every batch result —
+    'apply:db.table' keyed, table-suffix only in the output."""
+    sums: dict[str, list[float]] = {}
+    for r in pipe.results:
+        for k, s in r.apply_latency_s.items():
+            if k.startswith("apply:"):
+                sums.setdefault(k[len("apply:"):], []).append(s)
+    return {t: round(sum(v) / len(v), 2) for t, v in sorted(sums.items())}
+
+
 def main() -> None:
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -56,6 +67,11 @@ def main() -> None:
     n_keys = int(sys.argv[1]) if len(sys.argv) > 1 else 1_500_000
     n_polls = int(sys.argv[2]) if len(sys.argv) > 2 else 22
     n_tables = int(sys.argv[3]) if len(sys.argv) > 3 else 1
+    # apply-worker count (r14 verdict #5: probe reference-style fan-out with
+    # parallelism below table count, so the ThreadPool x Spark-FIFO
+    # interaction under contention is measured, not assumed); defaults to
+    # one worker per table — the r14 configuration
+    n_parallel = int(sys.argv[4]) if len(sys.argv) > 4 else n_tables
     keys_per_table = n_keys // n_tables
     local_dir = "/tmp/spark-local-snaptrans"
     os.makedirs(local_dir, exist_ok=True)
@@ -155,7 +171,7 @@ def main() -> None:
             # all tables' same version landing together in multi mode (the
             # concurrent per-table applies then overlap, r14)
             max_files_per_trigger=4 * n_tables,
-            snapshot_parallel_tables=n_tables,
+            snapshot_parallel_tables=n_parallel,
         )
         before = _stage_totals(base)
         t0 = time.time()
@@ -184,6 +200,7 @@ def main() -> None:
             "n_keys": n_keys,
             "n_polls": n_polls,
             "n_tables": n_tables,
+            "n_parallel": n_parallel,
             "snapshot_rows_total": total_rows,
             "landing_build_s": build_s,
             "drain_wall_s": wall,
@@ -191,6 +208,10 @@ def main() -> None:
             "changes_applied": sum(counts.values()),
             "batch_ms_p50": durs[len(durs) // 2] if durs else None,
             "batch_ms_p95": durs[int(0.95 * (len(durs) - 1))] if durs else None,
+            # per-table apply-wall spread across the drain: the starvation
+            # signal for ThreadPool x Spark-FIFO under n_parallel < n_tables
+            # (a starved table shows a mean apply wall far above the rest)
+            "apply_s_mean_by_table": _apply_means(pipe),
             "n_batches": len(durs),
             "state_rows": n_state,
             "files_map_entries": fmap_entries,

@@ -800,3 +800,58 @@ def test_concurrent_small_batch_applies_preserve_buckets_and_conf(
     # (b) session conf restored to its true priors (set stays set at the
     # same value; unset stays unset — not a sibling's temporary)
     assert {k: explicit(k) for k in SMALL_BATCH_CONF} == prior
+
+
+def test_benign_skip_warns_and_never_proves_unhealed_present_file(
+    spark, tmp_path, student_struct, student_mapping, caplog,
+):
+    """r15 review: a replay batch can carry BOTH proven-benign missing
+    files (the converged replay) and a still-present file at the applied
+    version that no flip ever recorded (a late remainder in the same
+    trigger). The skip stands — applying would diff against the half-gone
+    landing — but (a) the deferral must be warned loudly, and (b) the
+    unhealed file must NOT be recorded at the applied version, or a later
+    deletion+replay would pass the benignity check with rows that were
+    never applied (the ADVICE r14 hole through the skip path)."""
+    import logging as _logging
+
+    landing = str(tmp_path / "snaps")
+    write_snapshot(landing, "s1a.json", S_SNAPSHOTS[0], ver=1)
+    pipe = CdcStreamPipeline(
+        spark=spark,
+        events_path=landing,
+        row_struct=student_struct,
+        store=ParquetKeyedStore(str(tmp_path / "snapstore"), n_buckets=4),
+        mappings={"mixfs.student": student_mapping},
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        source_format="snapshot_diff",
+    )
+    q = pipe.start(available_now=True)
+    q.awaitTermination(120)
+    want = state(spark, pipe.store, "mixfs:student2", S_COLS)
+    # producer deletes the applied file; a late remainder of the SAME
+    # version lands; the replay redelivers both
+    os.remove(os.path.join(landing, "s1a.json"))
+    write_snapshot(landing, "s1b.json", [srow(9, 9, 50, "zed", "z")], ver=1)
+    rows = [
+        Row(_file=f"file://{landing}/s1a.json", _v=1, _n=len(S_SNAPSHOTS[0])),
+        Row(_file=f"file://{landing}/s1b.json", _v=1, _n=1),
+    ]
+    with caplog.at_level(_logging.WARNING,
+                         logger="mysql_hbase_replicator_spark.streaming.pipeline"):
+        assert pipe._apply_snapshot_one("mixfs.student", rows, batch_id=5) is None
+    assert state(spark, pipe.store, "mixfs:student2", S_COLS) == want
+    assert any("DEFERRED" in r.message and "s1b.json" in str(r.args)
+               for r in caplog.records)
+    # the unhealed file was NOT proven: it is absent from the files map...
+    fmap = pipe._prev_store("mixfs.student").files_map()
+    assert "s1b.json" not in fmap and fmap.get("s1a.json") == 1
+    # ...so deleting it and replaying again RAISES instead of passing as
+    # a converged replay
+    os.remove(os.path.join(landing, "s1b.json"))
+    with pytest.raises(SnapshotRetentionError, match="no longer present"):
+        pipe._apply_snapshot_one(
+            "mixfs.student",
+            [Row(_file=f"file://{landing}/s1b.json", _v=1, _n=1)],
+            batch_id=6,
+        )
