@@ -946,12 +946,12 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_clusters_oracle_sql() -> str:
-    """Corpus k-means cluster profile as DuckDB SQL — the same seed → assign
-    → quantized-mean → re-assign stages as the IVF oracle, finishing with
-    per-cell counts and the quantized integer-exact mean of the squared
-    distance to the final centroid (so the double aggregate is
-    shuffle-order-independent on the Spark side and bit-equal here)."""
+def _kmeans_asg_ctes() -> str:
+    """The deterministic k-means CTE chain shared by the cluster-profile
+    and semantic-dedup oracles: seed (vec_id < K) → assign → 1e-9-quantized
+    integer-exact centroid means → re-assign, ending in
+    ``asg(vec_id, cell, d)`` — term for term the Spark `_kmeans_step` +
+    broadcast-assign path."""
     D = EMB_DIM
     dist = (
         "LIST_SUM(LIST_TRANSFORM(RANGE(1, {d} + 1), "
@@ -959,8 +959,7 @@ def _kmeans_clusters_oracle_sql() -> str:
         "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
     )
     d_expr = dist.format(d=D, a="e.embedding", b="s.c")
-    return f"""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    return f"""e AS (SELECT vec_id, embedding FROM embeddings),
     seeds AS (
         SELECT CAST(vec_id AS INT) AS cid, embedding AS c
         FROM embeddings WHERE vec_id < {IVF_K}
@@ -986,7 +985,17 @@ def _kmeans_clusters_oracle_sql() -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
         FROM (SELECT e.vec_id, s.cid, {d_expr} AS d FROM e, cents2 s)
     ),
-    asg AS (SELECT vec_id, cid AS cell, d FROM a2 WHERE rn = 1)
+    asg AS (SELECT vec_id, cid AS cell, d FROM a2 WHERE rn = 1)"""
+
+
+def _kmeans_clusters_oracle_sql() -> str:
+    """Corpus k-means cluster profile as DuckDB SQL — the same seed → assign
+    → quantized-mean → re-assign stages as the IVF oracle, finishing with
+    per-cell counts and the quantized integer-exact mean of the squared
+    distance to the final centroid (so the double aggregate is
+    shuffle-order-independent on the Spark side and bit-equal here)."""
+    return f"""
+    WITH {_kmeans_asg_ctes()}
     SELECT CAST(cell AS INT) AS cell, COUNT(*) AS n_vectors,
            (CAST(SUM(CAST(FLOOR(d * 1000000000.0) AS DECIMAL(38,0))) AS DOUBLE)
             / CAST(COUNT(*) AS DOUBLE)) / 1000000000.0 AS mean_dist_sq
@@ -1035,6 +1044,116 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("cell").cast("int").alias("cell"), "n_vectors", "mean_dist_sq"
+        )
+    )
+
+
+def _semantic_dedup_oracle_sql() -> str:
+    """SemDeDup as DuckDB SQL: the shared k-means chain down to
+    ``asg(vec_id, cell)``, then within-cell pairwise cosine and the
+    keep-lowest-id rule — each removed vector reported once, attributed to
+    its LOWEST-id qualifying in-cell duplicate (row_number over vec_a)."""
+    D = EMB_DIM
+    return f"""
+    WITH {_kmeans_asg_ctes()},
+    v AS (
+        SELECT e.vec_id, a.cell, e.embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nsq
+        FROM e JOIN asg a ON a.vec_id = e.vec_id
+    ),
+    qual AS (
+        SELECT x.vec_id AS dup_of, y.vec_id AS vec_id, y.cell,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                 / (SQRT(x.nsq) * SQRT(y.nsq)) AS cosine
+        FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id < y.vec_id
+    )
+    SELECT vec_id, CAST(cell AS INT) AS cell, dup_of, cosine
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rn
+          FROM qual WHERE cosine >= {EMB_DUP_THRESHOLD})
+    WHERE rn = 1
+    """
+
+
+@query("dedup_semantic_clusters", oracle=_semantic_dedup_oracle_sql())
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, the
+    standard LLM-corpus recipe): cluster every embedding into its k-means
+    cell, compare pairs ONLY within a cell, and remove each vector whose
+    cosine to a lower-id cell-mate reaches the near-dup gate — reported
+    once, attributed to its lowest-id duplicate. The composition turns the
+    O(n²) all-pairs screen into O(Σ per-cell pairs): with K ∝ √n balanced
+    cells that is O(n^1.5) comparisons, and each cell's pair set is an
+    independent task. Cross-cell near-dups are deliberately invisible —
+    the accepted SemDeDup approximation (documents that similar almost
+    always share a cell).
+
+    Scale shape: clustering is the IVF `_kmeans_step` (posexplode +
+    partial agg, O(1) memory per group) + a map-only broadcast assign; the
+    pair join shuffles once on the K-valued cell key; the keep rule is one
+    min-struct aggregation on the qualifying pairs. No step materializes
+    more than O(per-cell pairs). Same deterministic seeds and quantized
+    centroid means as `embedding_kmeans_clusters`, so the cells — and
+    therefore the report — are bit-equal to the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < IVF_K)
+        .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c"))
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+    cents = _kmeans_step(e.select("vec_id", "embedding"), seeds).localCheckpoint(
+        eager=True
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _l2_sq(F.col("embedding"), c["c"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    assigned = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", best["cid"].alias("cell"), "embedding", "nsq"
+    )
+    x = assigned.select(
+        F.col("vec_id").alias("dup_of"),
+        "cell",
+        F.col("embedding").alias("emb_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    y = assigned.select(
+        F.col("vec_id").alias("vec_id"),
+        "cell",
+        F.col("embedding").alias("emb_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    qual = (
+        x.join(y, "cell")
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "cell",
+            "dup_of",
+            cosine_from_parts(
+                dot(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+    )
+    # one report row per removed vector: the LOWEST-id qualifying duplicate
+    # wins (struct min orders by dup_of, carrying its cosine along)
+    winner = F.min(F.struct("dup_of", "cosine")).alias("w")
+    return (
+        qual.groupBy("vec_id", "cell")
+        .agg(winner)
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.col("w.dup_of").alias("dup_of"),
+            F.col("w.cosine").alias("cosine"),
         )
     )
 
