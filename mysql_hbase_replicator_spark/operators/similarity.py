@@ -1115,8 +1115,14 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    assigned = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", best["cid"].alias("cell"), "embedding", "nsq"
+    # materialized once: BOTH pair-join sides read `assigned`, and without
+    # this the scan + n·K HOF assign execute twice (no ReusedExchange —
+    # plan-audited r15). One job over n small rows beats a second assign
+    # pass at every scale where the pair stage matters.
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", best["cid"].alias("cell"), "embedding", "nsq")
+        .localCheckpoint(eager=True)
     )
     x = assigned.select(
         F.col("vec_id").alias("dup_of"),
