@@ -48,28 +48,14 @@ from pyspark.sql import functions as F
 from mysql_hbase_replicator_spark.operators.dedup import band_hashes, hashed_shingles
 
 
-class IncrementalDeduper:
-    """Persistent LSH band index + batch screening + compaction.
+class _CompactingIndexBase:
+    """The persistent-parquet-index scaffold shared by the incremental
+    dedupers: crash-safe compaction over an append-only directory (stage →
+    retire → promote → drop, recoverable at any crash point)."""
 
-    ``rerank_threshold=None`` (default) rejects on any band collision;
-    a float in (0, 1] enables the exact-Jaccard re-rank, which also
-    persists per-doc shingle hashes beside the band index.
-    """
-
-    def __init__(
-        self,
-        spark: SparkSession,
-        index_dir: str,
-        max_files: int = 64,
-        n_compact_partitions: int = 8,
-        rerank_threshold: float | None = None,
-    ):
-        self.spark = spark
-        self.index_dir = index_dir
-        self.shingle_dir = index_dir + ".shingles"
-        self.max_files = max_files
-        self.n_compact_partitions = n_compact_partitions
-        self.rerank_threshold = rerank_threshold
+    spark: SparkSession
+    index_dir: str
+    n_compact_partitions: int
 
     def _parquet_files(self, root: str) -> list[str]:
         if not os.path.isdir(root):
@@ -124,6 +110,30 @@ class IncrementalDeduper:
         os.replace(staging, live_dir)
         shutil.rmtree(retired)
         return len(self._parquet_files(live_dir))
+
+
+class IncrementalDeduper(_CompactingIndexBase):
+    """Persistent LSH band index + batch screening + compaction.
+
+    ``rerank_threshold=None`` (default) rejects on any band collision;
+    a float in (0, 1] enables the exact-Jaccard re-rank, which also
+    persists per-doc shingle hashes beside the band index.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        max_files: int = 64,
+        n_compact_partitions: int = 8,
+        rerank_threshold: float | None = None,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.shingle_dir = index_dir + ".shingles"
+        self.max_files = max_files
+        self.n_compact_partitions = n_compact_partitions
+        self.rerank_threshold = rerank_threshold
 
     def compact(self) -> int:
         """Rewrite the index (and, in re-rank mode, the shingle store) into
@@ -245,3 +255,192 @@ class IncrementalDeduper:
         finally:
             bands.unpersist()
             hashed.unpersist()
+
+class IncrementalSemanticDeduper(_CompactingIndexBase):
+    """Online SemDeDup: the streaming sibling of the batch
+    ``dedup_semantic_clusters`` operator (operators/similarity.py), the
+    embedding counterpart of the MinHash ``IncrementalDeduper`` above.
+
+    Vectors arrive in batches; each batch must be screened against
+    everything admitted so far AND against itself, and survivors join the
+    index. The k-means cell plays the LSH band's role: the persistent index
+    stores one (vec_id, cell, embedding, nsq) row per admitted vector,
+    cell-partitioned; screening a batch = assign cells (map-only broadcast
+    of the centroid table) → one cell-keyed equi-join against the index +
+    one within-batch cell self-join → exact cosine at the gate. Per batch
+    the cost is O(batch × cell occupancy) — never all-pairs against the
+    accumulated corpus, the only shape that survives an unbounded stream.
+
+    Centroids are trained ONCE from the first batch (its ``n_cells``
+    lowest-id vectors seed one distributed Lloyd step — the same
+    deterministic recipe as the batch operator) and persisted beside the
+    index; production pipelines that already own centroids can pre-write
+    that table. Frozen cells are what make admission decisions stable
+    across the stream: re-training per batch would silently move cell
+    boundaries and change who screens against whom.
+
+    Decision rule (mirrors the batch keep-lowest-id semantics): a vector
+    with cosine >= ``threshold`` to ANY indexed vector or to an
+    earlier-by-id batch-mate in the SAME cell is rejected — regardless of
+    that batch-mate's own admission (same closure as the band-level rule
+    above). Redelivered vectors cosine-match their own indexed copy at 1.0
+    and are rejected, so an at-least-once source never double-admits.
+
+    Crash safety: one index append per batch, AFTER the rejected set is
+    eagerly materialized — a crash before the append replays cleanly (the
+    batch re-screens and re-admits); the centroid table is written to a
+    staging dir and os.replace'd, so it exists either fully or not at all.
+    Compaction inherits the stage → retire → promote swap."""
+
+    CENT_SUFFIX = ".centroids"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        threshold: float | None = None,
+        n_cells: int | None = None,
+        max_files: int = 64,
+        n_compact_partitions: int = 8,
+    ):
+        from mysql_hbase_replicator_spark.operators.similarity import (
+            EMB_DUP_THRESHOLD,
+            IVF_K,
+        )
+
+        self.spark = spark
+        self.index_dir = index_dir
+        self.centroid_dir = index_dir + self.CENT_SUFFIX
+        self.threshold = EMB_DUP_THRESHOLD if threshold is None else float(threshold)
+        self.n_cells = IVF_K if n_cells is None else int(n_cells)
+        self.max_files = max_files
+        self.n_compact_partitions = n_compact_partitions
+
+    def _ensure_centroids(self, prepared: DataFrame) -> DataFrame:
+        """The one-row broadcastable centroid frame (``cents`` array of
+        (cid, c) structs) — read from disk, or trained once from this
+        (first) batch and persisted atomically."""
+        from pyspark.sql import Window
+        from mysql_hbase_replicator_spark.operators.similarity import _kmeans_step
+
+        if self._parquet_files(self.centroid_dir):
+            rows = self.spark.read.parquet(self.centroid_dir)
+            return rows.agg(
+                F.collect_list(F.struct("cid", "c")).alias("cents")
+            )
+        w = Window.orderBy("vec_id")
+        seeds = (
+            prepared.select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(self.n_cells)
+            .select(
+                (F.row_number().over(w) - 1).cast("int").alias("cid"),
+                F.col("embedding").alias("c"),
+            )
+            .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+        )
+        cents = _kmeans_step(prepared.select("vec_id", "embedding"), seeds)
+        flat = cents.select(F.explode("cents").alias("s")).select(
+            F.col("s.cid").alias("cid"), F.col("s.c").alias("c")
+        )
+        staging = self.centroid_dir + ".staging"
+        flat.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(self.centroid_dir):  # lost a train race: keep first
+            shutil.rmtree(staging)
+        else:
+            os.replace(staging, self.centroid_dir)
+        rows = self.spark.read.parquet(self.centroid_dir)
+        return rows.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+
+    def _assign(self, prepared: DataFrame, cents: DataFrame) -> DataFrame:
+        from mysql_hbase_replicator_spark.operators.similarity import _l2_sq
+
+        best = F.array_min(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    _l2_sq(F.col("embedding"), c["c"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        return prepared.crossJoin(F.broadcast(cents)).select(
+            "vec_id", best["cid"].alias("cell"), "embedding", "nsq"
+        )
+
+    def _index(self) -> DataFrame | None:
+        if not self._data_files():
+            return None
+        return self.spark.read.parquet(self.index_dir)
+
+    def _rejected(self, assigned: DataFrame) -> DataFrame:
+        """(vec_id) rows to reject: cosine >= threshold to an earlier-by-id
+        batch-mate or ANY indexed vector (self-matches included — that is
+        the redelivery guard) in the same cell."""
+        from mysql_hbase_replicator_spark.operators.similarity import (
+            cosine_from_parts,
+            dot,
+        )
+
+        prior_batch = assigned.select(
+            F.col("vec_id").alias("prior_id"),
+            "cell",
+            F.col("embedding").alias("emb_p"),
+            F.col("nsq").alias("nsq_p"),
+        )
+        pairs = (
+            assigned.join(prior_batch, "cell")
+            .filter(F.col("prior_id") < F.col("vec_id"))
+            .select("vec_id", "cell", "emb_p", "nsq_p", "embedding", "nsq")
+        )
+        index = self._index()
+        if index is not None:
+            vs_index = assigned.join(
+                index.select(
+                    "cell",
+                    F.col("embedding").alias("emb_p"),
+                    F.col("nsq").alias("nsq_p"),
+                ),
+                "cell",
+            ).select("vec_id", "cell", "emb_p", "nsq_p", "embedding", "nsq")
+            pairs = pairs.unionByName(vs_index)
+        return (
+            pairs.filter(
+                cosine_from_parts(
+                    dot(F.col("emb_p"), F.col("embedding")),
+                    F.col("nsq_p"),
+                    F.col("nsq"),
+                )
+                >= F.lit(self.threshold)
+            )
+            .select("vec_id")
+            .distinct()
+        )
+
+    def compact(self) -> int:
+        """Rewrite the index into n_compact_partitions cell-aligned files.
+        Returns the resulting file count."""
+        return self._compact_dir(self.index_dir, ["cell"])
+
+    def process_batch(self, vecs: DataFrame) -> DataFrame:
+        """Screen one batch of (vec_id, embedding) rows. Returns the
+        admitted rows; their (vec_id, cell, embedding, nsq) join the
+        index. Within-batch dups keep the lowest vec_id."""
+        from mysql_hbase_replicator_spark.operators.similarity import norm_sq
+
+        self._recover(self.index_dir)
+        prepared = vecs.select(
+            "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+        )
+        cents = self._ensure_centroids(prepared)
+        assigned = self._assign(prepared, cents).localCheckpoint(eager=True)
+        # eager: the returned plan must not lazily reference index files a
+        # later compaction may rewrite (same rationale as the band deduper)
+        dups = self._rejected(assigned).localCheckpoint(eager=True)
+        admitted = vecs.join(dups, "vec_id", "left_anti")
+        assigned.join(dups, "vec_id", "left_anti").write.mode("append").parquet(
+            self.index_dir
+        )
+        if len(self._data_files()) > self.max_files:
+            self.compact()
+        return admitted

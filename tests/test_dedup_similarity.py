@@ -871,3 +871,60 @@ def test_semantic_dedup_report_consistent_with_bruteforce(spark):
                 raise AssertionError(
                     f"vec {vid}: dup_of={dup_of} but {other} also qualifies"
                 )
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_incremental_semantic_dedup_flow(spark, tmp_path):
+    """Online SemDeDup (r15): batch 1 trains frozen cells from its lowest
+    ids and screens within-batch (lowest id wins); batch 2 screens against
+    the index (exact-copy direction rejected at cosine 1.0, orthogonal
+    vector admitted); a redelivered batch admits nothing new."""
+    from mysql_hbase_replicator_spark.operators.dedup_stream import (
+        IncrementalSemanticDeduper,
+    )
+
+    dd = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "semidx"), threshold=0.9, n_cells=2
+    )
+    b1 = _vec_df(spark, [(0, (1, 0, 0, 0)), (1, (0, 1, 0, 0)),
+                         (2, (1, 0.01, 0, 0))])
+    admitted1 = sorted(r.vec_id for r in dd.process_batch(b1).collect())
+    assert admitted1 == [0, 1]  # v2 is v0's near-dup; lowest id kept
+    b2 = _vec_df(spark, [(10, (2, 0, 0, 0)), (11, (0, 0, 1, 0))])
+    admitted2 = sorted(r.vec_id for r in dd.process_batch(b2).collect())
+    assert admitted2 == [11]  # v10 parallel to indexed v0 -> rejected
+    # redelivery: every b1 vector cosine-matches its own indexed copy
+    assert dd.process_batch(b1).count() == 0
+    # frozen centroids: the table exists and survived batch 2 untrained
+    assert dd._parquet_files(dd.centroid_dir)
+
+
+def test_incremental_semantic_dedup_compaction_and_recovery(spark, tmp_path):
+    """Compaction (forced via max_files=1) must not change screening, and
+    a crash between retire and promote leaves a recoverable index."""
+    import os as _os
+    import shutil as _shutil
+
+    from mysql_hbase_replicator_spark.operators.dedup_stream import (
+        IncrementalSemanticDeduper,
+    )
+
+    idx = str(tmp_path / "semidx")
+    dd = IncrementalSemanticDeduper(spark, idx, threshold=0.9, n_cells=2,
+                                    max_files=1, n_compact_partitions=2)
+    dd.process_batch(_vec_df(spark, [(0, (1, 0, 0, 0)), (1, (0, 1, 0, 0))]))
+    dd.process_batch(_vec_df(spark, [(5, (0, 0, 1, 0))]))  # triggers compact
+    # post-compaction screening: dup of an OLD vector still rejected
+    assert dd.process_batch(_vec_df(spark, [(9, (3, 0, 0, 0))])).count() == 0
+    # crash window: retired exists, live gone -> recovered on next batch
+    _os.replace(idx, idx + ".retired")
+    assert dd.process_batch(_vec_df(spark, [(12, (0, 2, 0, 0))])).count() == 0
+    # and a genuinely novel direction is still admitted afterwards
+    got = dd.process_batch(_vec_df(spark, [(13, (0, 0, 0, 1))]))
+    assert [r.vec_id for r in got.collect()] == [13]
