@@ -432,6 +432,13 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         prepared = vecs.select(
             "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
         )
+        # an EMPTY batch before any centroids exist must not train: it
+        # would persist a zero-row centroid table, every later vector
+        # would assign to a NULL cell, and screening would silently admit
+        # everything forever (r15 review). The isEmpty action runs only on
+        # the rare untrained path.
+        if not self._parquet_files(self.centroid_dir) and prepared.isEmpty():
+            return vecs
         cents = self._ensure_centroids(prepared)
         assigned = self._assign(prepared, cents).localCheckpoint(eager=True)
         # eager: the returned plan must not lazily reference index files a

@@ -928,3 +928,25 @@ def test_incremental_semantic_dedup_compaction_and_recovery(spark, tmp_path):
     # and a genuinely novel direction is still admitted afterwards
     got = dd.process_batch(_vec_df(spark, [(13, (0, 0, 0, 1))]))
     assert [r.vec_id for r in got.collect()] == [13]
+
+
+def test_incremental_semantic_dedup_empty_first_batch_does_not_train(
+    spark, tmp_path,
+):
+    """r15 review: an empty batch arriving before any centroids exist must
+    not persist a zero-row centroid table (every later vector would assign
+    to a NULL cell and screening would silently admit everything)."""
+    from mysql_hbase_replicator_spark.operators.dedup_stream import (
+        IncrementalSemanticDeduper,
+    )
+
+    dd = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "semidx"), threshold=0.9, n_cells=2
+    )
+    assert dd.process_batch(_vec_df(spark, [])).count() == 0
+    assert not dd._parquet_files(dd.centroid_dir)  # nothing trained
+    # real first batch trains normally and dup screening works
+    assert dd.process_batch(
+        _vec_df(spark, [(0, (1, 0, 0, 0)), (1, (0, 1, 0, 0))])
+    ).count() == 2
+    assert dd.process_batch(_vec_df(spark, [(7, (2, 0, 0, 0))])).count() == 0
