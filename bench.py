@@ -174,6 +174,11 @@ HEADLINE = [
     # pointer-protocol LSM store (fingerprint-cached build; steady-state
     # timing measures the merge-on-read read across the schema boundary)
     "cdc_schema_evolution",
+    # r15: SemDeDup — k-means cells + within-cell cosine dedup (the new
+    # embedding-dedup composition; regression visibility for the cell
+    # assign + pair-join plan). The multi-table snapshot transport is
+    # benched by the stream_snapdiff_multi block, not here.
+    "dedup_semantic_clusters",
 ]
 
 

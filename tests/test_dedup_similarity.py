@@ -950,3 +950,64 @@ def test_incremental_semantic_dedup_empty_first_batch_does_not_train(
         _vec_df(spark, [(0, (1, 0, 0, 0)), (1, (0, 1, 0, 0))])
     ).count() == 2
     assert dd.process_batch(_vec_df(spark, [(7, (2, 0, 0, 0))])).count() == 0
+
+
+def test_incremental_semantic_dedup_matches_reference_greedy(spark, tmp_path):
+    """Cross-check the online screening against an independent Python
+    reference over three batches: using the ENGINE's own persisted
+    centroid table for cell assignment (the trained cells are pinned by
+    the batch operator's oracle elsewhere), the admitted set must equal
+    the greedy closure — reject v iff cosine >= thr to any indexed vector
+    or any earlier-by-id batch-mate (regardless of that mate's own
+    admission) in the same cell."""
+    import math
+
+    from mysql_hbase_replicator_spark.operators.dedup_stream import (
+        IncrementalSemanticDeduper,
+    )
+
+    thr = 0.9
+    batches = [
+        [(0, (1, 0, 0, 0)), (1, (0, 1, 0, 0)), (2, (3, 1, 0, 0)),
+         (3, (0, 0, 1, 0)), (4, (1, 1, 0, 0))],
+        [(10, (2, 0, 0, 0)), (11, (0, 0, 2, 1)), (12, (0, 0, 1, 1))],
+        [(20, (0, 0, 0, 1)), (21, (6, 2, 0, 0))],
+    ]
+    dd = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "semidx"), threshold=thr, n_cells=2
+    )
+    got: dict[int, list[int]] = {}
+    for i, rows in enumerate(batches):
+        got[i] = sorted(r.vec_id for r in dd.process_batch(_vec_df(spark, rows)).collect())
+
+    # reference: engine's own centroids -> Python greedy closure
+    cents = sorted(
+        (r.cid, [float(x) for x in r.c])
+        for r in spark.read.parquet(dd.centroid_dir).collect()
+    )
+
+    def cell(v):
+        return min(
+            (sum((float(a) - b) ** 2 for a, b in zip(v, c)), cid)
+            for cid, c in cents
+        )[1]
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        return d / math.sqrt(
+            sum(float(x) ** 2 for x in a) * sum(float(y) ** 2 for y in b)
+        )
+
+    index: list[tuple[int, tuple, int]] = []  # (vec_id, vec, cell)
+    for i, rows in enumerate(batches):
+        admitted = []
+        for vid, v in sorted(rows):
+            cl = cell(v)
+            priors = [(pv, pc) for _, pv, pc in index] + [
+                (pv, cell(pv)) for pvid, pv in sorted(rows) if pvid < vid
+            ]
+            if any(pc == cl and cos(pv, v) >= thr for pv, pc in priors):
+                continue
+            admitted.append((vid, v, cl))
+        index.extend(admitted)
+        assert got[i] == sorted(a[0] for a in admitted), f"batch {i}"
