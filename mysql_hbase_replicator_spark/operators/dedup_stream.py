@@ -46,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mysql_hbase_replicator_spark.operators.dedup import band_hashes, hashed_shingles
+from mysql_hbase_replicator_spark.plans.registry import query
 
 
 class _CompactingIndexBase:
@@ -222,6 +223,12 @@ class IncrementalDeduper(_CompactingIndexBase):
         self._recover(self.index_dir)
         if self.rerank_threshold is not None:
             self._recover(self.shingle_dir)
+        # idle polls (empty batches) return immediately — otherwise every
+        # empty trigger appends an empty parquet file to the band index
+        # (and shingle store), inflating file counts and compaction churn
+        # (r15 ADVICE, applied to both dedupers).
+        if docs.isEmpty():
+            return docs
         hashed = hashed_shingles(docs).persist()
         bands = band_hashes(hashed).persist()
         try:
@@ -353,19 +360,14 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         return rows.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
 
     def _assign(self, prepared: DataFrame, cents: DataFrame) -> DataFrame:
-        from mysql_hbase_replicator_spark.operators.similarity import _l2_sq
+        # the ONE shared nearest-centroid definition (similarity.py): three
+        # literal copies (batch operator, this deduper, _assign_cells) had to
+        # stay identical for the frozen-cell determinism the class docstring
+        # relies on — r15 ADVICE collapsed them onto _assign_cells.
+        from mysql_hbase_replicator_spark.operators.similarity import _assign_cells
 
-        best = F.array_min(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    _l2_sq(F.col("embedding"), c["c"]).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        )
-        return prepared.crossJoin(F.broadcast(cents)).select(
-            "vec_id", best["cid"].alias("cell"), "embedding", "nsq"
+        return _assign_cells(prepared, cents).select(
+            "vec_id", "cell", "embedding", "nsq"
         )
 
     def _index(self) -> DataFrame | None:
@@ -417,10 +419,47 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             .distinct()
         )
 
+    # compaction-time occupancy alarm (r15 verdict #3): frozen cells can't
+    # follow a drifting stream, and a hot cell degrades BOTH cost (its
+    # within-cell self-join grows quadratically) and recall (near-dups
+    # straddling stale boundaries). max/mean occupancy above this factor
+    # warns operators to re-seed a new index generation.
+    OCCUPANCY_ALARM = 8.0
+
     def compact(self) -> int:
         """Rewrite the index into n_compact_partitions cell-aligned files.
-        Returns the resulting file count."""
-        return self._compact_dir(self.index_dir, ["cell"])
+        Returns the resulting file count. Piggybacks the occupancy-skew
+        alarm on the rewrite: one O(K)-output aggregate over an index that
+        was just scanned anyway."""
+        import logging
+
+        n = self._compact_dir(self.index_dir, ["cell"])
+        if n:
+            occ = (
+                self.spark.read.parquet(self.index_dir)
+                .groupBy("cell")
+                .count()
+                .agg(
+                    F.max("count").alias("mx"),
+                    F.avg("count").alias("mean"),
+                )
+                .first()
+            )
+            if occ.mean and occ.mx / occ.mean >= self.OCCUPANCY_ALARM:
+                logging.getLogger(__name__).warning(
+                    "semantic dedup index %s: cell occupancy skew %.1fx "
+                    "(max %d / mean %.1f) >= %.1fx — the frozen centroids "
+                    "no longer fit the stream's distribution; hot cells "
+                    "degrade screening cost and recall. Re-seed a new "
+                    "index generation (train fresh centroids, re-admit "
+                    "through it) when operationally convenient.",
+                    self.index_dir,
+                    occ.mx / occ.mean,
+                    occ.mx,
+                    occ.mean,
+                    self.OCCUPANCY_ALARM,
+                )
+        return n
 
     def process_batch(self, vecs: DataFrame) -> DataFrame:
         """Screen one batch of (vec_id, embedding) rows. Returns the
@@ -432,12 +471,17 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         prepared = vecs.select(
             "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
         )
-        # an EMPTY batch before any centroids exist must not train: it
-        # would persist a zero-row centroid table, every later vector
-        # would assign to a NULL cell, and screening would silently admit
-        # everything forever (r15 review). The isEmpty action runs only on
-        # the rare untrained path.
-        if not self._parquet_files(self.centroid_dir) and prepared.isEmpty():
+        # EMPTY batches return immediately, unconditionally (r15 ADVICE —
+        # was untrained-path-only). Two reasons: (a) an empty batch before
+        # any centroids exist must not train — it would persist a zero-row
+        # centroid table, every later vector would assign to a NULL cell,
+        # and screening would silently admit everything forever (r15
+        # review); (b) once trained, an idle poll would still run the full
+        # screen (two eager localCheckpoints) and append an EMPTY parquet
+        # file to the index, inflating file counts and compaction churn on
+        # every idle trigger. The isEmpty limit-1 probe is far cheaper than
+        # either.
+        if prepared.isEmpty():
             return vecs
         cents = self._ensure_centroids(prepared)
         assigned = self._assign(prepared, cents).localCheckpoint(eager=True)
@@ -451,3 +495,217 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         if len(self._data_files()) > self.max_files:
             self.compact()
         return admitted
+
+
+# ---------------------------------------------------------------------------
+# CORRECTNESS rows for the incremental dedupers (r15 verdict #2): each query
+# drains three deterministic batches (doc_id/vec_id mod 3) through a FRESH
+# deduper — batch 1 is redelivered (the at-least-once guard must admit
+# nothing on the replay) and max_files=1 forces a compaction after every
+# append (mid-stream compaction must not change screening) — and returns the
+# final admit/reject report. The DuckDB oracle states the closure rule
+# directly: reject iff a qualifying PRIOR exists, where prior = earlier-by-id
+# same-batch mate (regardless of that mate's own admission — the deduper
+# screens against the batch's full band/cell table) OR any ADMITTED vector
+# from an earlier batch (the index holds survivors only), unrolled over the
+# three batches.
+
+N_STREAM_BATCHES = 3
+
+
+def _fresh_stream_index(tag: str) -> str:
+    """A fresh scratch root per CALL (never reused: a second run against an
+    existing index would reject every row as its own redelivery), under the
+    shared ``spark_graft_bucketed_`` prefix so the cross-process dead-owner
+    reaper and this process's atexit cleanup both cover it."""
+    import tempfile
+
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        _reap_dead_scratch_roots,
+        _register_scratch_cleanup,
+    )
+
+    root = tempfile.mkdtemp(prefix=f"spark_graft_bucketed_{tag}_")
+    with open(os.path.join(root, "_owner.pid"), "w") as f:
+        f.write(str(os.getpid()))
+    _register_scratch_cleanup(root)
+    _reap_dead_scratch_roots(keep=root)
+    return root
+
+
+def _drain_batches(deduper, frame: DataFrame, id_col: str) -> DataFrame:
+    """Run ``frame`` through ``deduper`` as N_STREAM_BATCHES mod-sliced
+    batches (redelivering batch 1 once), returning the (id, batch, admitted)
+    report. A redelivery that wrongly re-admits a row would duplicate it in
+    the admitted union and surface as an oracle row-count/hash mismatch."""
+    from functools import reduce
+
+    admits: list[DataFrame] = []
+    for b in range(N_STREAM_BATCHES):
+        batch = frame.filter(F.col(id_col) % N_STREAM_BATCHES == b)
+        admits.append(deduper.process_batch(batch).select(id_col))
+        if b == 1:  # at-least-once redelivery: must admit nothing new
+            admits.append(deduper.process_batch(batch).select(id_col))
+    admitted = reduce(DataFrame.unionByName, admits).withColumn(
+        "admitted", F.lit(1)
+    )
+    return (
+        frame.select(
+            id_col,
+            (F.col(id_col) % N_STREAM_BATCHES).cast("int").alias("batch"),
+        )
+        .join(admitted, id_col, "left")
+        .select(
+            id_col,
+            "batch",
+            F.coalesce("admitted", F.lit(0)).cast("int").alias("admitted"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def _unrolled_closure_sql(select_report: str) -> str:
+    """The 3-batch admit/reject closure over UNDIRECTED qualifying edges
+    ``edge(p, v, pb, vb)`` (both orientations of every pair) and
+    ``m(id, batch)`` — shared by both incremental oracles. Direction
+    matters only WITHIN a batch (earlier-by-id screens later); across
+    batches the index screens regardless of id order — an admitted
+    HIGHER-id doc from an earlier batch still rejects a later-batch
+    arrival (caught on first verify: a directional doc_a < doc_b edge
+    missed exactly those rejections)."""
+    return f"""
+    rej0 AS (SELECT DISTINCT v FROM edge WHERE vb = 0 AND pb = 0 AND p < v),
+    adm0 AS (SELECT id FROM m WHERE batch = 0
+             AND id NOT IN (SELECT v FROM rej0)),
+    rej1 AS (SELECT DISTINCT v FROM edge
+             WHERE vb = 1 AND ((pb = 1 AND p < v)
+                               OR (pb = 0 AND p IN (SELECT id FROM adm0)))),
+    adm1 AS (SELECT id FROM m WHERE batch = 1
+             AND id NOT IN (SELECT v FROM rej1)),
+    idx2 AS (SELECT id FROM adm0 UNION ALL SELECT id FROM adm1),
+    rej2 AS (SELECT DISTINCT v FROM edge
+             WHERE vb = 2 AND ((pb = 2 AND p < v)
+                               OR (pb < 2 AND p IN (SELECT id FROM idx2)))),
+    adm2 AS (SELECT id FROM m WHERE batch = 2
+             AND id NOT IN (SELECT v FROM rej2)),
+    adm AS (SELECT id FROM idx2 UNION ALL SELECT id FROM adm2)
+    {select_report}
+    """
+
+
+def _inc_semantic_oracle_sql() -> str:
+    """Online SemDeDup as DuckDB SQL: frozen cells trained from BATCH 0
+    only (its 16 lowest-id vectors seed one Lloyd step — `train_rel`
+    restricts the shared k-means chain's training rows; the re-assign
+    still covers all vectors), then within-cell cosine edges and the
+    unrolled 3-batch closure."""
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        EMB_DIM,
+        EMB_DUP_THRESHOLD,
+        IVF_K,
+        _kmeans_asg_ctes,
+    )
+
+    D = EMB_DIM
+    seeds = f"""SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               embedding AS c
+        FROM (SELECT vec_id, embedding FROM train ORDER BY vec_id LIMIT {IVF_K})"""
+    return f"""
+    WITH train AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % {N_STREAM_BATCHES} = 0
+    ),
+    {_kmeans_asg_ctes(train_rel="train", seeds_sql=seeds)},
+    v AS (
+        SELECT e.vec_id, CAST(e.vec_id % {N_STREAM_BATCHES} AS INT) AS batch,
+               a.cell, e.embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS nsq
+        FROM e JOIN asg a ON a.vec_id = e.vec_id
+    ),
+    m AS (SELECT vec_id AS id, batch FROM v),
+    edge AS (
+        SELECT x.vec_id AS p, y.vec_id AS v, x.batch AS pb, y.batch AS vb
+        FROM v x JOIN v y ON x.cell = y.cell AND x.vec_id <> y.vec_id
+        WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                       i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)))
+                / (SQRT(x.nsq) * SQRT(y.nsq)) >= {EMB_DUP_THRESHOLD}
+    ),{_unrolled_closure_sql('''
+    SELECT m.id AS vec_id, m.batch,
+           CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS admitted
+    FROM m LEFT JOIN adm a ON a.id = m.id''')}
+    """
+
+
+@query("dedup_incremental_semantic", oracle=_inc_semantic_oracle_sql())
+def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online SemDeDup CORRECTNESS row (r15 verdict #2): embeddings
+    arrive as three mod-3 batches; frozen cells train from batch 0; batch 1
+    is redelivered (self-match at cosine 1.0 must reject every row of the
+    replay); max_files=1 forces a compaction after every append. Returns
+    one (vec_id, batch, admitted) row per vector.
+
+    Scale shape is the class's own (see IncrementalSemanticDeduper): a
+    map-only broadcast assign + one cell-keyed equi-join vs the index + a
+    within-batch cell self-join per batch — never all-pairs against the
+    accumulated corpus."""
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    root = _fresh_stream_index("incsem")
+    dd = IncrementalSemanticDeduper(
+        spark, os.path.join(root, "index"), max_files=1, n_compact_partitions=4
+    )
+    return _drain_batches(dd, emb, "vec_id")
+
+
+def _inc_minhash_oracle_sql() -> str:
+    """Online MinHash-LSH dedup as DuckDB SQL: the shared band-hash chain
+    down to ``cand(doc_a, doc_b)`` (band collisions, a < b), then the
+    unrolled 3-batch closure. Band-level rejection (rerank_threshold=None):
+    any shared band with a prior rejects."""
+    from mysql_hbase_replicator_spark.operators.dedup import _minhash_cand_ctes
+
+    return f"""
+    WITH {_minhash_cand_ctes()},
+    m AS (
+        SELECT doc_id AS id, CAST(doc_id % {N_STREAM_BATCHES} AS INT) AS batch
+        FROM documents
+    ),
+    und AS (
+        SELECT doc_a AS p, doc_b AS v FROM cand
+        UNION ALL
+        SELECT doc_b AS p, doc_a AS v FROM cand
+    ),
+    edge AS (
+        SELECT u.p, u.v, pm.batch AS pb, vm.batch AS vb
+        FROM und u
+        JOIN m pm ON pm.id = u.p
+        JOIN m vm ON vm.id = u.v
+    ),{_unrolled_closure_sql('''
+    SELECT m.id AS doc_id, m.batch,
+           CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS admitted
+    FROM m LEFT JOIN adm a ON a.id = m.id''')}
+    """
+
+
+@query("dedup_incremental_minhash", oracle=_inc_minhash_oracle_sql())
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online MinHash-LSH CORRECTNESS row (r15 verdict #2): documents
+    arrive as three mod-3 batches screened at band level against the
+    persistent index and within-batch (lowest doc_id wins); batch 1 is
+    redelivered (each doc band-matches its own indexed bands and must be
+    rejected); max_files=1 forces a compaction after every append. Returns
+    one (doc_id, batch, admitted) row per document.
+
+    Scale shape is the class's own (see IncrementalDeduper): per batch one
+    band-keyed equi-join against the ever-growing but key-partitioned
+    index — O(batch × bands), never all-pairs."""
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _fresh_stream_index("incmh")
+    dd = IncrementalDeduper(
+        spark, os.path.join(root, "index"), max_files=1, n_compact_partitions=4
+    )
+    return _drain_batches(dd, docs, "doc_id")

@@ -946,12 +946,18 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_asg_ctes() -> str:
-    """The deterministic k-means CTE chain shared by the cluster-profile
-    and semantic-dedup oracles: seed (vec_id < K) → assign → 1e-9-quantized
-    integer-exact centroid means → re-assign, ending in
-    ``asg(vec_id, cell, d)`` — term for term the Spark `_kmeans_step` +
-    broadcast-assign path."""
+def _kmeans_asg_ctes(train_rel: str = "e", seeds_sql: str | None = None) -> str:
+    """The deterministic k-means CTE chain shared by the cluster-profile,
+    semantic-dedup and incremental-semantic oracles: seed (vec_id < K by
+    default) → assign → 1e-9-quantized integer-exact centroid means →
+    re-assign, ending in ``asg(vec_id, cell, d)`` — term for term the Spark
+    `_kmeans_step` + broadcast-assign path. ``train_rel`` restricts the
+    TRAINING rows (seeding assignment + centroid means) to a prior CTE —
+    the online deduper trains frozen cells from its FIRST batch only —
+    while the final re-assign still covers every embedding; ``seeds_sql``
+    overrides the seed-selection SELECT (must yield (cid, c)). Defaults
+    produce byte-identical SQL to the pre-r16 text, so the three existing
+    oracles are unchanged."""
     D = EMB_DIM
     dist = (
         "LIST_SUM(LIST_TRANSFORM(RANGE(1, {d} + 1), "
@@ -959,15 +965,18 @@ def _kmeans_asg_ctes() -> str:
         "* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
     )
     d_expr = dist.format(d=D, a="e.embedding", b="s.c")
+    train = "e" if train_rel == "e" else f"{train_rel} e"
+    if seeds_sql is None:
+        seeds_sql = f"""SELECT CAST(vec_id AS INT) AS cid, embedding AS c
+        FROM embeddings WHERE vec_id < {IVF_K}"""
     return f"""e AS (SELECT vec_id, embedding FROM embeddings),
     seeds AS (
-        SELECT CAST(vec_id AS INT) AS cid, embedding AS c
-        FROM embeddings WHERE vec_id < {IVF_K}
+        {seeds_sql}
     ),
     a1 AS (
         SELECT vec_id, cid,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-        FROM (SELECT e.vec_id, s.cid, {d_expr} AS d FROM e, seeds s)
+        FROM (SELECT e.vec_id, s.cid, {d_expr} AS d FROM {train}, seeds s)
     ),
     cells1 AS (SELECT vec_id, cid AS cell FROM a1 WHERE rn = 1),
     means AS (
@@ -1107,23 +1116,25 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _kmeans_step(e.select("vec_id", "embedding"), seeds).localCheckpoint(
         eager=True
     )
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _l2_sq(F.col("embedding"), c["c"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
-    )
     # materialized once: BOTH pair-join sides read `assigned`, and without
     # this the scan + n·K HOF assign execute twice (no ReusedExchange —
     # plan-audited r15). One job over n small rows beats a second assign
-    # pass at every scale where the pair stage matters.
+    # pass at every scale where the pair stage matters. Assignment goes
+    # through the ONE shared _assign_cells definition (r15 ADVICE: three
+    # literal copies had to stay identical for frozen-cell determinism).
     assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select("vec_id", best["cid"].alias("cell"), "embedding", "nsq")
+        _assign_cells(e, cents)
+        .select("vec_id", "cell", "embedding", "nsq")
         .localCheckpoint(eager=True)
     )
+    return _semantic_report(assigned, EMB_DUP_THRESHOLD)
+
+
+def _semantic_report(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The SemDeDup pair + keep-lowest-id stage over a materialized
+    ``(vec_id, cell, embedding, nsq)`` assignment — shared by the
+    oracle-pinned query above and the production-sized `semantic_dedup`
+    below (one definition; the pair semantics must stay identical)."""
     x = assigned.select(
         F.col("vec_id").alias("dup_of"),
         "cell",
@@ -1147,7 +1158,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("emb_a"), F.col("emb_b")), F.col("nsq_a"), F.col("nsq_b")
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= EMB_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
     # one report row per removed vector: the LOWEST-id qualifying duplicate
     # wins (struct min orders by dup_of, carrying its cosine along)
@@ -1162,6 +1173,55 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.cosine").alias("cosine"),
         )
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    n_cells: int | None = None,
+    threshold: float = EMB_DUP_THRESHOLD,
+) -> DataFrame:
+    """Production entry point for SemDeDup over any ``(vec_id, embedding)``
+    frame (r15 verdict #6). ``n_cells=None`` applies the MEASURED sizing
+    law: the r15 10× probe decomposed cost(K) ≈ a·nK (assign) + b·n²/K
+    (within-cell pairs), minimized at K ∝ √n — so the default is
+    ``round(√n)`` (one count job), the sizing a 100 TB corpus needs where
+    the n²/K term dominates. The oracle-pinned `dedup_semantic_clusters`
+    row keeps K=IVF_K for term-for-term DuckDB parity; this mirrors the
+    online form's caller-sizable ``n_cells`` (operators/dedup_stream.py).
+
+    Seeds are the ``n_cells`` lowest-id vectors (cid = rank, the same
+    recipe as `IncrementalSemanticDeduper._ensure_centroids`) — identical
+    to the query's ``vec_id < K`` seeding whenever ids are contiguous from
+    0, and well-defined when they are not."""
+    import math
+
+    from pyspark.sql import Window
+
+    e = vectors.select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    if n_cells is None:
+        n_cells = max(1, int(round(math.sqrt(e.count()))))
+    w = Window.orderBy("vec_id")
+    seeds = (
+        e.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(int(n_cells))
+        .select(
+            (F.row_number().over(w) - 1).cast("int").alias("cid"),
+            F.col("embedding").alias("c"),
+        )
+        .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+    )
+    cents = _kmeans_step(e.select("vec_id", "embedding"), seeds).localCheckpoint(
+        eager=True
+    )
+    assigned = (
+        _assign_cells(e, cents)
+        .select("vec_id", "cell", "embedding", "nsq")
+        .localCheckpoint(eager=True)
+    )
+    return _semantic_report(assigned, threshold)
 
 
 # Radius (range) search: all neighbors within a cosine threshold rather than

@@ -265,14 +265,20 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _fingerprint_cached_store(spark, sf_dir: str, tag: str, make_store, name: str, build):
+def _fingerprint_cached_store(
+    spark, sf_dir: str, tag: str, make_store, name: str, build,
+    sources: tuple[str, ...] = ("events.parquet",),
+):
     """Shared scratch-store scaffold for queries that BUILD a keyed store
     from the testdata (r13 review: previously copy-pasted per query): a
     per-(app, sf_dir, tag) /tmp root under the ``spark_graft_bucketed_``
     prefix (the shared atexit + dead-pid reaping protocol in
-    queries_extra), rebuilt only when the source parquet's fingerprint
-    changes. ``make_store(path)`` constructs the store; ``build(store)``
-    replays the trace into it. Returns the (possibly cached) store."""
+    queries_extra), rebuilt only when the fingerprint of ANY source parquet
+    the build reads changes (``sources`` — r15 ADVICE: the multi-table
+    build also reads orders.parquet, and fingerprinting events alone would
+    serve stale order_state rows if orders regenerated independently).
+    ``make_store(path)`` constructs the store; ``build(store)`` replays the
+    trace into it. Returns the (possibly cached) store."""
     import hashlib
     import shutil as _shutil
 
@@ -290,7 +296,7 @@ def _fingerprint_cached_store(spark, sf_dir: str, tag: str, make_store, name: st
     _register_scratch_cleanup(root)
     _reap_dead_scratch_roots(keep=root)
     store = make_store(os.path.join(root, "store"))
-    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
+    want = "|".join(_fingerprint(os.path.join(sf_dir, s)) for s in sources)
     marker = os.path.join(root, "_fingerprint")
     try:
         with open(marker) as f:
@@ -842,6 +848,7 @@ def cdc_snapshot_diff_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "snapmulti",
         lambda path: ParquetKeyedStore(path, n_buckets=8),
         "app:user_state", build,
+        sources=("events.parquet", "orders.parquet"),
     )
     wm = int(read_checkpoint_state(store)["position"])
     out = None

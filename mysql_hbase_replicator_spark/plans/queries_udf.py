@@ -73,6 +73,7 @@ def _median_udaf():
     oracle="""
     SELECT o_custkey, ROUND(MEDIAN(o_totalprice), 4) AS median_price
     FROM orders
+    WHERE o_custkey % 10 = 0
     GROUP BY o_custkey
     """,
 )
@@ -81,10 +82,67 @@ def udaf_pandas_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     order price. One shuffle on the group key; each group is reduced in a
     single Arrow batch. np.median and DuckDB's MEDIAN both average the two
     middle values for even counts; rounding to 4 decimals (no-op on the true
-    3-decimal results) removes any last-ulp skew between the engines."""
-    o = load_table(spark, sf_dir, "orders")
+    3-decimal results) removes any last-ulp skew between the engines.
+
+    DELIBERATE EXHIBIT of the per-group-UDAF anti-shape, kept beside the
+    scalable form (r15 verdict #5): grouped-agg pandas UDFs pay an Arrow
+    batch + pandas reduction PER GROUP, which dominates wall when groups
+    are small. The input is capped to every 10th customer so the exhibit
+    stays affordable in the suite; `udaf_pandas_median_fast` below computes
+    the same statistic over the FULL input with the partition-kernel shape
+    — comparable walls at 10× the data IS the measured A/B. Production code
+    uses the fast form (or the built-in `agg_median_exact`)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
     return o.groupBy("o_custkey").agg(
         F.round(_median_udaf()("o_totalprice"), 4).alias("median_price")
+    )
+
+
+_MEDIAN_SCHEMA = "o_custkey long, median_price double"
+
+
+def _median_partition(batches):
+    """One vectorized pandas groupby-median per PARTITION (same scalable
+    grouped-map shape as `_order_gaps_partition` below): the caller
+    repartitions ON the key, so groups never span partitions. pandas
+    Series.median averages the two middle values for even counts — the
+    same rule as np.median and DuckDB MEDIAN; the 4-decimal round is a
+    no-op on the true ≤3-decimal results (2-decimal money, possibly
+    averaged once)."""
+    parts = list(batches)
+    if not parts:
+        return
+    pdf = pd.concat(parts, ignore_index=True)
+    if pdf.empty:
+        return
+    out = (
+        pdf.groupby("o_custkey", sort=False)["o_totalprice"]
+        .median()
+        .round(4)
+        .reset_index(name="median_price")
+    )
+    yield out[["o_custkey", "median_price"]]
+
+
+@query(
+    "udaf_pandas_median_fast",
+    oracle="""
+    SELECT o_custkey, ROUND(MEDIAN(o_totalprice), 4) AS median_price
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def udaf_pandas_median_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION shape of the per-customer median (r15 verdict #5, the
+    fast half of the A/B with `udaf_pandas_median`): repartition on the
+    key + mapInPandas with ONE pandas groupby per partition, over the FULL
+    orders table. No per-group Arrow/pandas setup — the same ~100× small-
+    group win `udtf_apply_in_pandas_gaps` measured. Median needs no sorted
+    input (pandas sorts within the group), so unlike the gaps kernel this
+    skips sortWithinPartitions."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return o.repartition("o_custkey").mapInPandas(
+        _median_partition, _MEDIAN_SCHEMA
     )
 
 

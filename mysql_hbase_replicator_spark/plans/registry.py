@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all_queries() -> None:
     """Import every module that registers queries (idempotent)."""
     import mysql_hbase_replicator_spark.operators.dedup  # noqa: F401
+    import mysql_hbase_replicator_spark.operators.dedup_stream  # noqa: F401
     import mysql_hbase_replicator_spark.operators.similarity  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries  # noqa: F401
     import mysql_hbase_replicator_spark.plans.queries_cdc  # noqa: F401

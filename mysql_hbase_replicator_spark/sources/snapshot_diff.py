@@ -306,6 +306,43 @@ class PrevSnapshotStore:
                 continue
         return out
 
+    def unhealed_map(self) -> dict[str, int]:
+        """Landing files whose equal-version heal was DEFERRED (the
+        benign-replay skip saw them still present but never applied at the
+        applied version): basename → the snap_ver the deferral happened at.
+        Persisted in the marker (r15 ADVICE): the streaming checkpoint has
+        already advanced past such a file, so the stream never redelivers
+        it — an in-memory warning would fire exactly once, and if no
+        strictly newer snapshot version ever lands the file's rows are
+        dropped after a single log line. Persisting lets the pipeline
+        RE-WARN on every later poll that touches the table, until a flip at
+        a covering version supersedes the rows and clears the entry."""
+        doc = self._marker().get("unhealed")
+        if not isinstance(doc, dict):
+            return {}
+        out = {}
+        for k, v in doc.items():
+            try:
+                out[str(k)] = int(v)
+            except (ValueError, TypeError):
+                continue
+        return out
+
+    def record_unhealed(self, names: dict[str, int]) -> None:
+        """Merge deferred-heal files into the marker WITHOUT advancing the
+        applied pointer (the skip path never flips)."""
+        if not names:
+            return
+        marker = self._marker()
+        unhealed = self.unhealed_map()
+        for k, v in names.items():
+            unhealed[k] = max(int(v), unhealed.get(k, 0))
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._marker_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({**marker, "unhealed": unhealed}, f)
+        os.replace(tmp, self._marker_path())
+
     def _ver_path(self, ver: int) -> str:
         return os.path.join(self.root, f"prev_v{ver}")
 
@@ -368,9 +405,19 @@ class PrevSnapshotStore:
         if landing_files is not None:
             live = set(landing_files)
             files = {k: v for k, v in files.items() if k in live}
+        # a completed flip applied a FULL snapshot at snap_ver, which
+        # contains-or-supersedes the rows of any heal deferred at <= that
+        # version — those unhealed entries are resolved; later-version
+        # deferrals (impossible today, versions are monotone) would survive
+        unhealed = {
+            k: v for k, v in self.unhealed_map().items() if v > int(snap_ver)
+        }
+        doc = {"version": version, "snap_ver": snap_ver, "files": files}
+        if unhealed:
+            doc["unhealed"] = unhealed
         tmp = self._marker_path() + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": version, "snap_ver": snap_ver, "files": files}, f)
+            json.dump(doc, f)
         os.replace(tmp, self._marker_path())
         # sweep: keep current and the keep_versions most recent retired
         # dirs (default 1: the replayed batch may still re-read its diff

@@ -499,6 +499,21 @@ class CdcStreamPipeline:
                 SNAP_VER_COL,
             )
         prev_store = self._prev_store(full_name)
+        # Deferred heals stay loud (r15 ADVICE): the stream never redelivers
+        # a file its checkpoint has passed, so the deferral is persisted in
+        # the marker and RE-WARNED on every poll that touches this table,
+        # until a flip at a covering version clears it below.
+        still_unhealed = prev_store.unhealed_map()
+        if still_unhealed:
+            logger.warning(
+                "snapshot batch %d [%s]: file(s) %s still carry a DEFERRED "
+                "heal (never applied at their recorded version) — rows "
+                "remain missing until a strictly newer snapshot version "
+                "lands and fully applies",
+                batch_id,
+                full_name,
+                sorted(still_unhealed),
+            )
         if latest is None:
             # empty batch slice (no stamped snapshot rows admitted) — the
             # unstamped-only files still enter the pruning map
@@ -631,15 +646,20 @@ class CdcStreamPipeline:
                     latest,
                     missing,
                 )
-                # unhealed files stay UNRECORDED: recording them at the
-                # applied version would falsely "prove" them for future
-                # benignity checks — never-applied rows passing as converged,
-                # the exact ADVICE r14 hole reintroduced through the skip
-                # path. Unrecorded they stay loud (every redelivery re-warns
-                # above) until the next version's full snapshot supersedes
+                # unhealed files stay UNRECORDED in the files map: recording
+                # them at the applied version would falsely "prove" them for
+                # future benignity checks — never-applied rows passing as
+                # converged, the exact ADVICE r14 hole reintroduced through
+                # the skip path. Instead they are persisted in the marker's
+                # UNHEALED set (r15 ADVICE: the checkpoint has advanced past
+                # the file, so the stream never redelivers it — the one-shot
+                # warning above would otherwise be the only trace), which
+                # re-warns at the top of every later poll for this table
+                # until a covering flip supersedes
                 # their rows; the cost is one unseen-file re-scan per poll
                 # until then.
                 unhealed_set = set(unhealed)
+                prev_store.record_unhealed({f: int(latest) for f in unhealed})
                 prev_store.record_files(
                     {k: v for k, v in file_vers.items() if k not in unhealed_set}
                 )

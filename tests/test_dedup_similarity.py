@@ -852,25 +852,123 @@ def test_semantic_dedup_report_consistent_with_bruteforce(spark):
         d = sum(x * y for x, y in zip(a, b))
         return d / math.sqrt(sum(x * x for x in a) * sum(x * x for x in b))
 
-    # group vectors by the cells the engine assigned (read them back from
-    # the report + a full assign via the same query path would be circular;
-    # instead verify pairwise claims directly and the lowest-id rule within
-    # the claimed cells)
-    by_cell: dict[int, list[int]] = {}
-    for vid, (cell, _, _) in report.items():
-        by_cell.setdefault(cell, []).append(vid)
+    # recompute EVERY vector's cell in plain Python via the same
+    # deterministic recipe (first-16 seeds -> one Lloyd step with the
+    # quantized integer-exact mean cast to float32 -> reassign). r15
+    # ADVICE: building cells from the REPORT alone missed a surviving
+    # lower-id cell-mate that also clears the gate — attribution for that
+    # case rested solely on the DuckDB oracle; with full membership the
+    # check covers survivors too.
+    import numpy as np
+
+    def l2sq(a, b):
+        return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
+
+    seeds = {vid: vecs[vid] for vid in sorted(vecs) if vid < 16}
+    assign1 = {
+        vid: min((l2sq(v, c), cid) for cid, c in seeds.items())[1]
+        for vid, v in vecs.items()
+    }
+    members: dict[int, list[int]] = {}
+    for vid, cid in assign1.items():
+        members.setdefault(cid, []).append(vid)
+    cents = {
+        cid: [
+            float(np.float32(
+                float(sum(math.floor(float(vecs[m][p]) * 1e9) for m in ms))
+                / len(ms) / 1e9
+            ))
+            for p in range(len(next(iter(vecs.values()))))
+        ]
+        for cid, ms in members.items()
+    }
+    cell_of = {
+        vid: min((l2sq(v, c), cid) for cid, c in cents.items())[1]
+        for vid, v in vecs.items()
+    }
+    full_cells: dict[int, list[int]] = {}
+    for vid, cid in cell_of.items():
+        full_cells.setdefault(cid, []).append(vid)
     for vid, (cell, dup_of, cosine) in report.items():
         assert dup_of < vid
+        assert cell == cell_of[vid], f"vec {vid}: reported cell diverges"
         got = cos(vecs[vid], vecs[dup_of])
         assert abs(got - cosine) < 1e-9
         assert cosine >= EMB_DUP_THRESHOLD
-        # lowest-id attribution: no reported cell-mate with a smaller id
-        # also clears the gate against vid
-        for other in by_cell[cell]:
+        # lowest-id attribution over ALL cell-mates, survivors included
+        for other in full_cells[cell]:
             if other < dup_of and cos(vecs[vid], vecs[other]) >= EMB_DUP_THRESHOLD:
                 raise AssertionError(
                     f"vec {vid}: dup_of={dup_of} but {other} also qualifies"
                 )
+    # survivors-side: a vector with a qualifying lower-id cell-mate MUST
+    # have been reported
+    for vid in vecs:
+        if vid in report:
+            continue
+        for other in full_cells[cell_of[vid]]:
+            if other < vid and cos(vecs[vid], vecs[other]) >= EMB_DUP_THRESHOLD:
+                raise AssertionError(
+                    f"survivor {vid} has qualifying cell-mate {other}"
+                )
+
+
+def test_semantic_dedup_sized_api(spark):
+    """r15 verdict #6: `semantic_dedup(df)` defaults n_cells to round(√n)
+    (the measured a·nK + b·n²/K sizing law). With n_cells=IVF_K it must
+    reproduce the oracle-pinned query EXACTLY (ids are contiguous from 0,
+    so rank-seeding == vec_id<K seeding); the √n-default report agrees
+    modulo the documented cell-boundary effect, and every reported pair is
+    a true qualifying pair under brute-force cosine."""
+    import math
+
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        EMB_DUP_THRESHOLD,
+        IVF_K,
+        dedup_semantic_clusters,
+        semantic_dedup,
+    )
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    e = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    base = {
+        (r.vec_id, r.cell, r.dup_of): r.cosine
+        for r in dedup_semantic_clusters(spark, sf).collect()
+    }
+    k16 = {
+        (r.vec_id, r.cell, r.dup_of): r.cosine
+        for r in semantic_dedup(e, n_cells=IVF_K).collect()
+    }
+    assert k16 == base
+    rows = semantic_dedup(e).collect()  # K = round(sqrt(500)) = 22
+    vecs = {r.vec_id: list(r.embedding) for r in e.collect()}
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b)) / math.sqrt(
+            sum(x * x for x in a) * sum(y * y for y in b)
+        )
+
+    for r in rows:
+        assert r.dup_of < r.vec_id and r.cosine >= EMB_DUP_THRESHOLD
+        assert abs(cos(vecs[r.vec_id], vecs[r.dup_of]) - r.cosine) < 1e-9
+    # boundary effect, measured: at sf0.001 the corpus has only ~14-19
+    # near-threshold removals, so K=22-vs-16 cell reshuffles move a large
+    # FRACTION of them (8/19 overlap when written) — the documented
+    # SemDeDup approximation at its proportional worst. The absolute
+    # guarantee that IS K-independent: exact copies always tie into their
+    # original's cell and sit at cosine 1.0, so a planted-duplicate corpus
+    # must report every copy under ANY K.
+    removed_base = {k[0] for k in base}
+    removed_sqrt = {r.vec_id for r in rows}
+    inter = len(removed_base & removed_sqrt)
+    union = len(removed_base | removed_sqrt)
+    assert union and inter / union >= 0.3, (inter, union)
+    planted = e.unionByName(
+        e.select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    got = {r.vec_id for r in semantic_dedup(planted).collect()}
+    assert {vid + 10000 for vid in vecs} <= got
 
 
 def _vec_df(spark, rows):
@@ -903,6 +1001,45 @@ def test_incremental_semantic_dedup_flow(spark, tmp_path):
     assert dd.process_batch(b1).count() == 0
     # frozen centroids: the table exists and survived batch 2 untrained
     assert dd._parquet_files(dd.centroid_dir)
+
+
+def test_incremental_semantic_occupancy_alarm(spark, tmp_path, caplog):
+    """Frozen-centroid drift mitigation (r15 verdict #3): when the stream
+    drifts and one frozen cell accumulates >= OCCUPANCY_ALARM × the mean
+    occupancy, compaction warns with the measured skew so operators know
+    to re-seed a new index generation. 10 orthogonal seeds train 10 cells;
+    40 later vectors all land in cell 0 (distinct directions, below the
+    near-1.0 gate) -> max/mean = 41/5 = 8.2 >= 8."""
+    import logging as _logging
+
+    from mysql_hbase_replicator_spark.operators.dedup_stream import (
+        IncrementalSemanticDeduper,
+    )
+
+    def unit(dim, i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    dd = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "semidx"), threshold=0.99999, n_cells=10,
+        max_files=1,
+    )
+    b1 = _vec_df(spark, [(i, unit(16, i)) for i in range(10)])
+    assert dd.process_batch(b1).count() == 10
+    drift = []
+    for i in range(40):
+        v = [0.0] * 16
+        v[0] = 1.0
+        v[1 + (i % 15)] = 0.3 + 0.01 * i  # <= 0.69: stays nearest cell 0
+        drift.append((10 + i, v))
+    with caplog.at_level(
+        _logging.WARNING,
+        logger="mysql_hbase_replicator_spark.operators.dedup_stream",
+    ):
+        admitted = dd.process_batch(_vec_df(spark, drift)).count()
+    assert admitted == 40  # all distinct directions below the gate
+    assert any("occupancy skew" in r.message for r in caplog.records)
 
 
 def test_incremental_semantic_dedup_compaction_and_recovery(spark, tmp_path):

@@ -846,6 +846,22 @@ def test_benign_skip_warns_and_never_proves_unhealed_present_file(
     # the unhealed file was NOT proven: it is absent from the files map...
     fmap = pipe._prev_store("mixfs.student").files_map()
     assert "s1b.json" not in fmap and fmap.get("s1a.json") == 1
+    # ...and the deferral is PERSISTED in the marker (r15 ADVICE: the
+    # checkpoint advanced past s1b.json, so the stream never redelivers it
+    # — without persistence the warning above fires exactly once)
+    assert pipe._prev_store("mixfs.student").unhealed_map() == {"s1b.json": 1}
+    # every later poll touching the table RE-WARNS about the deferred heal,
+    # even one delivering nothing applicable
+    caplog.clear()
+    with caplog.at_level(_logging.WARNING,
+                         logger="mysql_hbase_replicator_spark.streaming.pipeline"):
+        pipe._apply_snapshot_one(
+            "mixfs.student",
+            [Row(_file=f"file://{landing}/idle.json", _v=None, _n=0)],
+            batch_id=7,
+        )
+    assert any("still carry a DEFERRED heal" in r.message
+               and "s1b.json" in str(r.args) for r in caplog.records)
     # ...so deleting it and replaying again RAISES instead of passing as
     # a converged replay
     os.remove(os.path.join(landing, "s1b.json"))
@@ -855,3 +871,12 @@ def test_benign_skip_warns_and_never_proves_unhealed_present_file(
             [Row(_file=f"file://{landing}/s1b.json", _v=1, _n=1)],
             batch_id=6,
         )
+    # a strictly newer version fully applying supersedes the deferred rows
+    # and clears the persisted entry (the warning stops)
+    write_snapshot(landing, "s2.json", S_SNAPSHOTS[1], ver=2)
+    assert pipe._apply_snapshot_one(
+        "mixfs.student",
+        [Row(_file=f"file://{landing}/s2.json", _v=2, _n=len(S_SNAPSHOTS[1]))],
+        batch_id=8,
+    ) is not None
+    assert pipe._prev_store("mixfs.student").unhealed_map() == {}
