@@ -179,6 +179,13 @@ HEADLINE = [
     # assign + pair-join plan). The multi-table snapshot transport is
     # benched by the stream_snapdiff_multi block, not here.
     "dedup_semantic_clusters",
+    # r16: the online dedupers' CORRECTNESS rows (3-batch drain + redelivery
+    # + forced compactions — the streaming-ingest cost envelope), and the
+    # partition-kernel median (the fast half of the per-group-UDAF A/B;
+    # udaf_pandas_median above is now the capped exhibit half)
+    "dedup_incremental_minhash",
+    "dedup_incremental_semantic",
+    "udaf_pandas_median_fast",
 ]
 
 

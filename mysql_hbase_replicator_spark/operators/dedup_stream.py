@@ -689,6 +689,66 @@ def _inc_minhash_oracle_sql() -> str:
     """
 
 
+def _inc_minhash_rerank_oracle_sql() -> str:
+    """The re-rank variant: candidates still come from band collisions,
+    but a pair rejects only when its EXACT h0-set Jaccard clears the
+    threshold — ``scored`` from the shared chain, then the same unrolled
+    closure. Band-collision false positives are admitted."""
+    from mysql_hbase_replicator_spark.operators.dedup import _minhash_scored_cte
+
+    return f"""
+    WITH {_minhash_scored_cte()},
+    m AS (
+        SELECT doc_id AS id, CAST(doc_id % {N_STREAM_BATCHES} AS INT) AS batch
+        FROM documents
+    ),
+    qual AS (SELECT doc_a, doc_b FROM scored
+             WHERE jaccard >= {INC_RERANK_THRESHOLD}),
+    und AS (
+        SELECT doc_a AS p, doc_b AS v FROM qual
+        UNION ALL
+        SELECT doc_b AS p, doc_a AS v FROM qual
+    ),
+    edge AS (
+        SELECT u.p, u.v, pm.batch AS pb, vm.batch AS vb
+        FROM und u
+        JOIN m pm ON pm.id = u.p
+        JOIN m vm ON vm.id = u.v
+    ),{_unrolled_closure_sql('''
+    SELECT m.id AS doc_id, m.batch,
+           CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS admitted
+    FROM m LEFT JOIN adm a ON a.id = m.id''')}
+    """
+
+
+INC_RERANK_THRESHOLD = 0.3  # same exact-Jaccard gate as dedup_minhash_lsh
+
+
+@query(
+    "dedup_incremental_minhash_rerank", oracle=_inc_minhash_rerank_oracle_sql()
+)
+def dedup_incremental_minhash_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The re-rank mode CORRECTNESS row: same 3-batch drain as
+    `dedup_incremental_minhash`, but with ``rerank_threshold`` set — band
+    collisions become candidates verified by exact Jaccard over the
+    persisted per-doc shingle stores (redelivered docs self-match at
+    Jaccard 1.0), so band false-positives are admitted instead of
+    rejected. Exercises the shingle-store side of the index (two appends
+    per batch, store-side compaction with dedupe)."""
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _fresh_stream_index("incmhrr")
+    dd = IncrementalDeduper(
+        spark,
+        os.path.join(root, "index"),
+        max_files=1,
+        n_compact_partitions=4,
+        rerank_threshold=INC_RERANK_THRESHOLD,
+    )
+    return _drain_batches(dd, docs, "doc_id")
+
+
 @query("dedup_incremental_minhash", oracle=_inc_minhash_oracle_sql())
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The online MinHash-LSH CORRECTNESS row (r15 verdict #2): documents

@@ -13,12 +13,17 @@ Records sustained rows/s over the whole drain, per-batch p50/p95, the
 spill/shuffle telemetry the walls can't attribute, and the files-map size
 (entries + marker bytes) that bounds the landing re-read's pruning state.
 
-Usage:  python scripts/probe_snapdiff_transport.py [n_keys] [n_polls] [n_tables]
+Usage:  python scripts/probe_snapdiff_transport.py [n_keys] [n_polls] [n_tables] [n_parallel] [skew]
         # default 1_500_000 x 22 x 1; results JSON on stdout
         # n_tables > 1 probes the MULTI-TABLE mode (r14): a landing root
         # with per-table subdirs through ONE pipeline, n_keys split evenly
         # across tables so total rows/poll stays comparable to the
         # single-table run
+        # skew > 1 (r15 verdict #4) makes table t0 a HOG with skew x the
+        # rows of each other table (n_keys stays the TOTAL): the
+        # starvation probe — small tables' per-poll apply means must stay
+        # near their equal-share walls, not queue behind the hog's
+        # multi-stage job
 """
 
 from __future__ import annotations
@@ -72,7 +77,11 @@ def main() -> None:
     # interaction under contention is measured, not assumed); defaults to
     # one worker per table — the r14 configuration
     n_parallel = int(sys.argv[4]) if len(sys.argv) > 4 else n_tables
-    keys_per_table = n_keys // n_tables
+    skew = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    # equal split by default; with skew, t0 gets skew shares and every
+    # other table one — n_keys stays the grand total either way
+    small = n_keys // (skew + n_tables - 1)
+    table_keys = [skew * small] + [small] * (n_tables - 1)
     local_dir = "/tmp/spark-local-snaptrans"
     os.makedirs(local_dir, exist_ok=True)
     spark = get_spark(
@@ -126,6 +135,7 @@ def main() -> None:
             sub = landing if n_tables == 1 else os.path.join(landing, full)
             os.makedirs(sub, exist_ok=True)
             t_off = fulls.index(full)
+            keys_per_table = table_keys[t_off]
             for ver in range(1, n_polls + 1):
                 k = F.col("id")
                 df = (
@@ -201,6 +211,8 @@ def main() -> None:
             "n_polls": n_polls,
             "n_tables": n_tables,
             "n_parallel": n_parallel,
+            "skew": skew,
+            "keys_by_table": dict(zip(tables, table_keys)),
             "snapshot_rows_total": total_rows,
             "landing_build_s": build_s,
             "drain_wall_s": wall,
