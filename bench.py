@@ -186,6 +186,7 @@ HEADLINE = [
     "dedup_incremental_minhash",
     "dedup_incremental_semantic",
     "udaf_pandas_median_fast",
+    "embedding_quantize_int8",
 ]
 
 

@@ -537,7 +537,12 @@ def _drain_batches(deduper, frame: DataFrame, id_col: str) -> DataFrame:
     """Run ``frame`` through ``deduper`` as N_STREAM_BATCHES mod-sliced
     batches (redelivering batch 1 once), returning the (id, batch, admitted)
     report. A redelivery that wrongly re-admits a row would duplicate it in
-    the admitted union and surface as an oracle row-count/hash mismatch."""
+    the admitted union and surface as an oracle row-count/hash mismatch;
+    the deduper's max_files=1 forces a compaction after every append, so a
+    compaction that changed screening would flip later verdicts. (Measured
+    r16: collapsing to ONE explicit mid-stream compaction was a wall WASH —
+    the accumulated small files make later screens pay back exactly what
+    the skipped compactions saved — so the harder exercise stays.)"""
     from functools import reduce
 
     admits: list[DataFrame] = []

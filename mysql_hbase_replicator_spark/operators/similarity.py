@@ -1175,6 +1175,91 @@ def _semantic_report(assigned: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def _quantize_int8_oracle_sql() -> str:
+    """Int8 scalar quantization as DuckDB SQL, mirroring the Spark chain
+    stage for stage: per-dimension max-abs scale (max is order-free exact)
+    → FLOOR(v/s + 0.5) rounding (one deterministic formula on both sides —
+    no reliance on either engine's ROUND tie mode) clipped to [-127, 127]
+    → reconstruction MSE as a fixed-order double fold (LIST_SUM ==
+    F.aggregate element order, the same equivalence every cosine oracle
+    relies on)."""
+    D = EMB_DIM
+    return f"""
+    WITH ex AS (
+        SELECT t.i AS pos, CAST(e.embedding[t.i] AS DOUBLE) AS val
+        FROM embeddings e, UNNEST(RANGE(1, {D} + 1)) AS t(i)
+    ),
+    sc AS (
+        SELECT pos,
+               CASE WHEN MAX(ABS(val)) = 0 THEN 1.0
+                    ELSE MAX(ABS(val)) / 127.0 END AS s
+        FROM ex GROUP BY pos
+    ),
+    scales AS (SELECT LIST(s ORDER BY pos) AS sl FROM sc),
+    qd AS (
+        SELECT e.vec_id,
+               LIST_TRANSFORM(RANGE(1, {D} + 1),
+                   i -> CAST(GREATEST(-127.0, LEAST(127.0,
+                            FLOOR(CAST(e.embedding[i] AS DOUBLE) / sl[i] + 0.5)))
+                        AS INT)) AS q,
+               e.embedding, sl
+        FROM embeddings e, scales
+    )
+    SELECT vec_id, q,
+           LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+               i -> (CAST(embedding[i] AS DOUBLE) - q[i] * sl[i])
+                    * (CAST(embedding[i] AS DOUBLE) - q[i] * sl[i])))
+             / {D}.0 AS mse
+    FROM qd
+    """
+
+
+@query("embedding_quantize_int8", oracle=_quantize_int8_oracle_sql())
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column — the standard 4x
+    memory cut before an ANN index ships to serving at corpus scale:
+    per-dimension symmetric max-abs scales, values rounded via the
+    engine-neutral FLOOR(v/s + 0.5) and clipped to [-127, 127], plus the
+    per-vector reconstruction MSE a curation pipeline thresholds on.
+
+    Scale shape: one posexplode pass with map-side partial max per
+    dimension (output D rows), the D-entry scale vector broadcast as ONE
+    row, then a map-only zip_with pass over the corpus — no shuffle
+    touches the vectors themselves. All arithmetic is fixed-order float64
+    (exact int*double products, sequential folds), so the MSE is bit-equal
+    to the DuckDB oracle."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sc = (
+        e.select(F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("val").cast("double"))).alias("m"))
+    )
+    row = sc.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: F.when(s["m"] == F.lit(0.0), F.lit(1.0)).otherwise(
+                s["m"] / F.lit(127.0)
+            ),
+        ).alias("sl")
+    )
+    quant = F.zip_with(
+        "embedding",
+        "sl",
+        lambda v, s: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(v.cast("double") / s + F.lit(0.5))),
+        ).cast("int"),
+    )
+    qd = e.crossJoin(F.broadcast(row)).select("vec_id", quant.alias("q"), "embedding", "sl")
+    err = F.zip_with(
+        F.zip_with("q", "sl", lambda qv, s: qv * s),
+        "embedding",
+        lambda r, v: (v.cast("double") - r) * (v.cast("double") - r),
+    )
+    mse = F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.lit(float(EMB_DIM))
+    return qd.select("vec_id", "q", mse.alias("mse"))
+
+
 def semantic_dedup(
     vectors: DataFrame,
     n_cells: int | None = None,

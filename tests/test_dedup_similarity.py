@@ -913,6 +913,23 @@ def test_semantic_dedup_report_consistent_with_bruteforce(spark):
                 )
 
 
+def test_embedding_quantize_int8_invariants(spark):
+    """r16: int8 quantization — codes bounded, reconstruction error bounded
+    by half a quantization step per dimension (the max-abs scale
+    guarantees |v/s| <= 127, so rounding is the only loss)."""
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= q <= 127 for q in r.q)
+        # worst-case per-dim error is s/2 with s <= maxabs/127; embedding
+        # values are O(1), so MSE must be far below the signal scale
+        assert 0.0 <= r.mse < 1e-3
+
+
 def test_semantic_dedup_sized_api(spark):
     """r15 verdict #6: `semantic_dedup(df)` defaults n_cells to round(√n)
     (the measured a·nK + b·n²/K sizing law). With n_cells=IVF_K it must
