@@ -187,6 +187,7 @@ HEADLINE = [
     "dedup_incremental_semantic",
     "udaf_pandas_median_fast",
     "embedding_quantize_int8",
+    "embedding_random_projection",
 ]
 
 

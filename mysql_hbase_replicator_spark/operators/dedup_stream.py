@@ -322,6 +322,13 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         self.n_cells = IVF_K if n_cells is None else int(n_cells)
         self.max_files = max_files
         self.n_compact_partitions = n_compact_partitions
+        # frozen centroids are immutable once written, so the one-row
+        # broadcastable frame is cached after the first load — re-reading
+        # the parquet + re-running the collect_list agg on EVERY batch was
+        # one wasted job per trigger (r16). Disk stays the source of truth
+        # across restarts; the cache just skips re-derivation within one
+        # deduper's lifetime.
+        self._cents: DataFrame | None = None
 
     def _ensure_centroids(self, prepared: DataFrame) -> DataFrame:
         """The one-row broadcastable centroid frame (``cents`` array of
@@ -330,11 +337,13 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         from pyspark.sql import Window
         from mysql_hbase_replicator_spark.operators.similarity import _kmeans_step
 
+        if self._cents is not None:
+            return self._cents
         if self._parquet_files(self.centroid_dir):
-            rows = self.spark.read.parquet(self.centroid_dir)
-            return rows.agg(
+            self._cents = self.spark.read.parquet(self.centroid_dir).agg(
                 F.collect_list(F.struct("cid", "c")).alias("cents")
-            )
+            ).localCheckpoint(eager=True)
+            return self._cents
         w = Window.orderBy("vec_id")
         seeds = (
             prepared.select("vec_id", "embedding")
@@ -356,8 +365,10 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             shutil.rmtree(staging)
         else:
             os.replace(staging, self.centroid_dir)
-        rows = self.spark.read.parquet(self.centroid_dir)
-        return rows.agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
+        self._cents = self.spark.read.parquet(self.centroid_dir).agg(
+            F.collect_list(F.struct("cid", "c")).alias("cents")
+        ).localCheckpoint(eager=True)
+        return self._cents
 
     def _assign(self, prepared: DataFrame, cents: DataFrame) -> DataFrame:
         # the ONE shared nearest-centroid definition (similarity.py): three

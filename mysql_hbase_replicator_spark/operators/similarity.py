@@ -1175,6 +1175,57 @@ def _semantic_report(assigned: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+RP_DIM = 16  # random-projection output dims (4x reduction on EMB_DIM=64)
+# sign-matrix hash: the classic LCG constants, exact in int64 on both
+# engines (max intermediate ~1.1e9 * 4096 << 2^63)
+_RP_A, _RP_B, _RP_P = 1103515245, 12345, 2147483647
+
+
+def _rp_sign(o: int, i: int) -> float:
+    return 1.0 if ((_RP_A * (o * EMB_DIM + i) + _RP_B) % _RP_P) % 2 == 0 else -1.0
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH ok AS (SELECT UNNEST(RANGE(1, {RP_DIM} + 1)) AS k)
+    SELECT e.vec_id,
+           LIST(LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1),
+                   i -> (CASE WHEN (({_RP_A} * ((o.k - 1) * {EMB_DIM} + (i - 1))
+                                    + {_RP_B}) % {_RP_P}) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)
+                        * CAST(e.embedding[i] AS DOUBLE)))
+                / SQRT({RP_DIM}.0) ORDER BY o.k) AS proj
+    FROM embeddings e, ok o
+    GROUP BY e.vec_id
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project every
+    embedding onto RP_DIM hash-derived ±1 directions (scaled 1/√RP_DIM so
+    expected norms are preserved) — the standard cheap pre-filter before
+    exact cosine at corpus scale (4x less memory and dot-product work;
+    pairwise distances preserved within the JL distortion bound).
+
+    Scale shape: entirely map-side — the sign matrix is RP_DIM x EMB_DIM
+    compile-time literals baked into the plan, each output dim one
+    fixed-order zip_with/aggregate fold over the input array; NO shuffle,
+    NO broadcast, bit-equal float64 on both engines."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    import math
+
+    outs = []
+    for o in range(RP_DIM):
+        signs = F.array(*[F.lit(_rp_sign(o, i)) for i in range(EMB_DIM)])
+        fold = F.aggregate(
+            F.zip_with(F.col("embedding"), signs, lambda v, sg: v.cast("double") * sg),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        outs.append(fold / F.lit(math.sqrt(float(RP_DIM))))
+    return e.select("vec_id", F.array(*outs).alias("proj"))
+
+
 def _quantize_int8_oracle_sql() -> str:
     """Int8 scalar quantization as DuckDB SQL, mirroring the Spark chain
     stage for stage: per-dimension max-abs scale (max is order-free exact)
