@@ -1020,6 +1020,49 @@ def test_incremental_semantic_dedup_flow(spark, tmp_path):
     assert dd._parquet_files(dd.centroid_dir)
 
 
+def test_incremental_semantic_index_prune_and_broadcast(spark, tmp_path):
+    """r16 plan gate: the vs-index screen must (a) statically prune the
+    cell=-partitioned index to the batch's touched cells (visible as a
+    PartitionFilter on the scan — untouched cells are never read) and
+    (b) broadcast the batch side (the checkpointed batch plan carries no
+    size stats, so without the hint Catalyst SMJ-shuffles the whole index
+    every trigger — measured before fixing)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.functions.vectors import norm_sq
+    from mysql_hbase_replicator_spark.operators.dedup_stream import (
+        IncrementalSemanticDeduper,
+    )
+
+    def unit(dim, i):
+        v = [0.0] * dim
+        v[i] = 1.0
+        return v
+
+    dd = IncrementalSemanticDeduper(
+        spark, str(tmp_path / "semidx"), threshold=0.9, n_cells=4,
+        max_files=10**6,
+    )
+    assert dd.process_batch(
+        _vec_df(spark, [(i, unit(8, i)) for i in range(4)])
+    ).count() == 4
+    batch = _vec_df(spark, [(10, [1.0, 0.4, 0, 0, 0, 0, 0, 0])])
+    prepared = batch.select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    assigned = dd._assign(
+        prepared, dd._ensure_centroids(prepared)
+    ).localCheckpoint(eager=True)
+    plan = dd._rejected(assigned)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        re.search(r"cell#\d+ (=|IN)", ln) for ln in scans
+    ), scans
+
+
 def test_incremental_semantic_occupancy_alarm(spark, tmp_path, caplog):
     """Frozen-centroid drift mitigation (r15 verdict #3): when the stream
     drifts and one frozen cell accumulates >= OCCUPANCY_ALARM × the mean
