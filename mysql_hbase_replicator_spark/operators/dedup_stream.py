@@ -124,8 +124,15 @@ class IncrementalDeduper(_CompactingIndexBase):
 
     ``rerank_threshold=None`` (default) rejects on any band collision;
     a float in (0, 1] enables the exact-Jaccard re-rank, which also
-    persists per-doc shingle hashes beside the band index.
+    persists per-doc shingle hashes beside the band index — stored as
+    sbucket= directory partitions (doc_id % SHINGLE_BUCKETS) so the
+    per-batch Jaccard verification reads only candidate buckets.
     """
+
+    # shingle-store partition fan-out: enough dirs that a batch touching
+    # few priors prunes most of the store, few enough that the partition
+    # count stays trivial
+    SHINGLE_BUCKETS = 64
 
     def __init__(
         self,
@@ -148,7 +155,10 @@ class IncrementalDeduper(_CompactingIndexBase):
         band-index file count."""
         n = self._compact_dir(self.index_dir, ["band_idx", "band_hash"])
         if self.rerank_threshold is not None:
-            self._compact_dir(self.shingle_dir, ["doc_id"], dedupe=True)
+            self._compact_dir(
+                self.shingle_dir, ["doc_id"], dedupe=True,
+                dir_partition_by=["sbucket"],
+            )
         return n
 
     def _index(self) -> DataFrame | None:
@@ -201,9 +211,33 @@ class IncrementalDeduper(_CompactingIndexBase):
         if store is None:
             prior_sh = hashed
         else:
+            # prune the store to CANDIDATE priors before anything touches
+            # it (r16): only docs that band-collided with this batch can
+            # affect the Jaccard verdicts, yet the unpruned chain scanned,
+            # shuffled AND per-doc-counted the ENTIRE accumulated store
+            # every trigger. Two prunes, same pattern as the semantic
+            # index: a static sbucket partition filter (the store is
+            # written as sbucket= dirs keyed on doc_id % SHINGLE_BUCKETS;
+            # the bucket list is bounded driver metadata) narrows the READ
+            # to candidate buckets, then a broadcast semi-join narrows the
+            # rows to the candidate priors themselves.
+            cand_priors = cands.select(
+                F.col("prior_id").alias("doc_id")
+            ).distinct().localCheckpoint(eager=True)
+            buckets = [
+                r.b
+                for r in cand_priors.select(
+                    F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS)).alias("b")
+                ).distinct().collect()
+            ]
+            pruned = (
+                store.filter(F.col("sbucket").isin(buckets))
+                .drop("sbucket")
+                .join(F.broadcast(cand_priors), "doc_id", "left_semi")
+            )
             batch_ids = hashed.select("doc_id").distinct()
             prior_sh = hashed.unionByName(
-                store.join(F.broadcast(batch_ids), "doc_id", "left_anti")
+                pruned.join(F.broadcast(batch_ids), "doc_id", "left_anti")
             )
         prior_sh = prior_sh.select(F.col("doc_id").alias("prior_id"), "h0")
         inter = (
@@ -263,7 +297,10 @@ class IncrementalDeduper(_CompactingIndexBase):
             # neighbours (conservative) and is healed by the next
             # compaction's distinct().
             if self.rerank_threshold is not None:
-                hashed.join(dups, "doc_id", "left_anti").write.mode("append").parquet(
+                hashed.join(dups, "doc_id", "left_anti").withColumn(
+                    "sbucket",
+                    F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS)).cast("int"),
+                ).write.mode("append").partitionBy("sbucket").parquet(
                     self.shingle_dir
                 )
             new_bands.write.mode("append").parquet(self.index_dir)
