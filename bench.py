@@ -188,6 +188,7 @@ HEADLINE = [
     "udaf_pandas_median_fast",
     "embedding_quantize_int8",
     "embedding_random_projection",
+    "dedup_incremental_exact",
 ]
 
 

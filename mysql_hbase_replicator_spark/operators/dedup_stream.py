@@ -311,6 +311,97 @@ class IncrementalDeduper(_CompactingIndexBase):
             bands.unpersist()
             hashed.unpersist()
 
+class IncrementalExactDeduper(_CompactingIndexBase):
+    """Persistent exact-fingerprint index — the online form of
+    ``dedup_exact`` and the simplest member of the incremental family
+    (band/LSH and semantic/cell variants above): a document is a duplicate
+    iff its 60-bit md5 text fingerprint was already admitted, or an
+    earlier-by-id batch-mate carries the same fingerprint. The index
+    stores one (fp) row per admitted doc, written as fbucket= directory
+    partitions (fp % FP_BUCKETS) so each screen statically prunes the read
+    to the batch's touched buckets and broadcasts the batch side — the
+    same O(touched-bucket occupancy) per-trigger shape as the other two.
+
+    Redelivered docs fingerprint-match their own indexed row and are
+    rejected, so an at-least-once source never double-admits. Crash
+    safety: one append per batch AFTER the rejected set is eagerly
+    materialized; compaction inherits the stage → retire → promote swap
+    (dedupe=True — a replayed append can store a fingerprint twice, and
+    unlike the band index the fp store is semantically a SET)."""
+
+    FP_BUCKETS = 64
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        max_files: int = 64,
+        n_compact_partitions: int = 8,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.max_files = max_files
+        self.n_compact_partitions = n_compact_partitions
+
+    def compact(self) -> int:
+        return self._compact_dir(
+            self.index_dir, ["fp"], dedupe=True, dir_partition_by=["fbucket"]
+        )
+
+    def process_batch(self, docs: DataFrame) -> DataFrame:
+        """Screen one batch of (doc_id, text) rows; returns the admitted
+        docs and appends their fingerprints. Within-batch dups keep the
+        lowest doc_id."""
+        from mysql_hbase_replicator_spark.operators.dedup import shingle_h0
+
+        self._recover(self.index_dir)
+        if docs.isEmpty():
+            return docs
+        fps = docs.select("doc_id", shingle_h0(F.col("text")).alias("fp"))
+        fps = fps.localCheckpoint(eager=True)
+        min_ids = fps.groupBy("fp").agg(F.min("doc_id").alias("min_id"))
+        in_batch = (
+            fps.join(F.broadcast(min_ids), "fp")
+            .filter(F.col("doc_id") > F.col("min_id"))
+            .select("doc_id")
+        )
+        dups = in_batch
+        if self._data_files():
+            buckets = [
+                r.b
+                for r in fps.select(
+                    F.pmod("fp", F.lit(self.FP_BUCKETS)).alias("b")
+                ).distinct().collect()
+            ]
+            index = self.spark.read.parquet(self.index_dir).filter(
+                F.col("fbucket").isin(buckets)
+            )
+            # inner join, batch side broadcast (BuildLeft is not supported
+            # for left-semi, and the trailing distinct dedupes multi-row
+            # fp matches anyway)
+            vs_index = (
+                F.broadcast(fps)
+                .join(index.select("fp"), "fp")
+                .select("doc_id")
+            )
+            dups = dups.unionByName(vs_index)
+        dups = dups.distinct().localCheckpoint(eager=True)
+        admitted = docs.join(dups, "doc_id", "left_anti")
+        (
+            fps.join(dups, "doc_id", "left_anti")
+            .select(
+                "fp",
+                F.pmod("fp", F.lit(self.FP_BUCKETS)).cast("int").alias("fbucket"),
+            )
+            .write.mode("append")
+            .partitionBy("fbucket")
+            .parquet(self.index_dir)
+        )
+        if len(self._data_files()) > self.max_files:
+            self.compact()
+        return admitted
+
+
 class IncrementalSemanticDeduper(_CompactingIndexBase):
     """Online SemDeDup: the streaming sibling of the batch
     ``dedup_semantic_clusters`` operator (operators/similarity.py), the
@@ -773,6 +864,39 @@ def _inc_minhash_oracle_sql() -> str:
            CASE WHEN a.id IS NULL THEN 0 ELSE 1 END AS admitted
     FROM m LEFT JOIN adm a ON a.id = m.id''')}
     """
+
+
+@query(
+    "dedup_incremental_exact",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id, CAST(doc_id % {N_STREAM_BATCHES} AS INT) AS batch,
+               CAST(('0x' || SUBSTR(MD5(text), 1, 15)) AS BIGINT) AS fp
+        FROM documents
+    )
+    SELECT doc_id, batch,
+           CASE WHEN batch * 10000000000 + doc_id
+                     = MIN(batch * 10000000000 + doc_id) OVER (PARTITION BY fp)
+                THEN 1 ELSE 0 END AS admitted
+    FROM f
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The online exact-dedup CORRECTNESS row: same 3-batch drain (batch 1
+    redelivered, max_files=1 compacting after every append) through the
+    fingerprint index. For EXACT matching the closure collapses to a
+    closed form the oracle states directly: a doc is admitted iff it is
+    the (batch, doc_id)-lexicographic FIRST carrier of its fingerprint —
+    the first batch containing the fingerprint admits its lowest id, and
+    everything later matches the index."""
+    from mysql_hbase_replicator_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    root = _fresh_stream_index("incex")
+    dd = IncrementalExactDeduper(
+        spark, os.path.join(root, "index"), max_files=1, n_compact_partitions=4
+    )
+    return _drain_batches(dd, docs, "doc_id")
 
 
 def _inc_minhash_rerank_oracle_sql() -> str:

@@ -115,6 +115,52 @@ def test_incremental_minhash_matches_python_closure(spark, tmp_path_factory, cas
             dd.compact()
 
 
+@given(case=doc_corpus())
+@settings(
+    max_examples=_N_EXAMPLES or 6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_incremental_exact_matches_python_closure(spark, tmp_path_factory, case):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.operators.dedup_stream import (
+        IncrementalExactDeduper,
+    )
+
+    docs, batches, redeliver, compact_after = case
+    fp = {
+        i: int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for i, t in docs.items()
+    }
+    frame = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    tmp = tmp_path_factory.mktemp("exprop")
+    dd = IncrementalExactDeduper(
+        spark, str(tmp / "index"), max_files=10**6, n_compact_partitions=2
+    )
+    index_fps: set[int] = set()
+    for b, ids in enumerate(batches):
+        batch = frame.filter(F.col("doc_id").isin(ids))
+        got = sorted(r.doc_id for r in dd.process_batch(batch).collect())
+        want = sorted(
+            v
+            for v in ids
+            if fp[v] not in index_fps
+            and not any(fp[p] == fp[v] for p in ids if p < v)
+        )
+        assert got == want, (b, got, want, docs)
+        index_fps |= {fp[v] for v in want}
+        if b == redeliver and ids:
+            # every redelivered doc's fingerprint is indexed (its own if it
+            # was admitted, its rejector's otherwise)
+            assert dd.process_batch(batch).count() == 0
+        if b == compact_after:
+            dd.compact()
+
+
 def _l2sq(a, b):
     return sum((float(x) - float(y)) ** 2 for x, y in zip(a, b))
 
