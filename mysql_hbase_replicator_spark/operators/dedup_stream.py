@@ -99,7 +99,15 @@ class _CompactingIndexBase:
         there); the band index tolerates duplicates (candidates are
         distinct'd) so it skips the shuffle. ``dir_partition_by`` writes
         the staged copy as DIRECTORY partitions (hive layout) so screening
-        joins can dynamic-partition-prune the index."""
+        joins can dynamic-partition-prune the index.
+
+        When ``dir_partition_by`` is set the repartition MUST align with it:
+        hash-partitioning on the directory column puts each hive dir's rows
+        in exactly one task → one file per dir. Repartitioning on the join
+        key instead (the r16 first cut) made EVERY task write a file into
+        EVERY dir — n_compact_partitions × n_buckets tiny files per
+        compaction (measured: 256 files and a 2× drain wall on the exact
+        deduper's oracle row, which compacts after every append)."""
         self._recover(live_dir)
         if not self._parquet_files(live_dir):
             return 0
@@ -108,7 +116,7 @@ class _CompactingIndexBase:
         if dedupe:
             frame = frame.distinct()
         writer = frame.repartition(
-            self.n_compact_partitions, *partition_cols
+            self.n_compact_partitions, *(dir_partition_by or partition_cols)
         ).write.mode("overwrite")
         if dir_partition_by:
             writer = writer.partitionBy(*dir_partition_by)
@@ -297,9 +305,13 @@ class IncrementalDeduper(_CompactingIndexBase):
             # neighbours (conservative) and is healed by the next
             # compaction's distinct().
             if self.rerank_threshold is not None:
+                # sbucket-aligned repartition: one file per touched bucket
+                # dir per append (see _compact_dir's alignment note)
                 hashed.join(dups, "doc_id", "left_anti").withColumn(
                     "sbucket",
                     F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS)).cast("int"),
+                ).repartition(
+                    self.n_compact_partitions, "sbucket"
                 ).write.mode("append").partitionBy("sbucket").parquet(
                     self.shingle_dir
                 )
@@ -387,12 +399,16 @@ class IncrementalExactDeduper(_CompactingIndexBase):
             dups = dups.unionByName(vs_index)
         dups = dups.distinct().localCheckpoint(eager=True)
         admitted = docs.join(dups, "doc_id", "left_anti")
+        # repartition on the DIRECTORY column before the hive append so each
+        # touched bucket dir receives one file (a multi-partition batch
+        # would otherwise write tasks × buckets tiny files per trigger)
         (
             fps.join(dups, "doc_id", "left_anti")
             .select(
                 "fp",
                 F.pmod("fp", F.lit(self.FP_BUCKETS)).cast("int").alias("fbucket"),
             )
+            .repartition(self.n_compact_partitions, "fbucket")
             .write.mode("append")
             .partitionBy("fbucket")
             .parquet(self.index_dir)
@@ -661,9 +677,11 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         # touched cells), not O(|index| scan). With K ∝ √n cells and
         # batches that touch a few topics, that is the difference between
         # a bounded trigger and one that slows linearly with corpus age.
-        assigned.join(dups, "vec_id", "left_anti").write.mode(
-            "append"
-        ).partitionBy("cell").parquet(self.index_dir)
+        # cell-aligned repartition: one file per touched cell dir per append
+        # (see _compact_dir's alignment note)
+        assigned.join(dups, "vec_id", "left_anti").repartition(
+            self.n_compact_partitions, "cell"
+        ).write.mode("append").partitionBy("cell").parquet(self.index_dir)
         if len(self._data_files()) > self.max_files:
             self.compact()
         return admitted
