@@ -28,9 +28,12 @@ batch DataFrames, as in the tests.
 
 Index maintenance: each admitted batch appends a few small parquet files, so
 an unattended stream accumulates unbounded file counts (scheduler + file-open
-overhead, tiny scans). When the file count exceeds ``max_files`` the index is
-compacted — rewritten into ``n_compact_partitions`` band-key-partitioned
-files via an atomic directory swap. A crash at any point leaves a
+overhead, tiny scans). When any one directory's file count exceeds
+``max_files`` (for a hive-partitioned store the per-dir count is what
+compaction can actually improve; for a flat store the one directory holds
+everything, the original semantics) the index is compacted — rewritten into
+``n_compact_partitions`` key-partitioned files via an atomic directory
+swap. A crash at any point leaves a
 recoverable index: the swap retires the old directory BEFORE promoting the
 staged one, and recovery (run before every screen/compact) restores the
 retired copy if the promotion never happened. Screening results are
@@ -70,6 +73,73 @@ class _CompactingIndexBase:
 
     def _data_files(self) -> list[str]:
         return self._parquet_files(self.index_dir)
+
+    def _needs_compaction(self, roots: list[str]) -> bool:
+        """``max_files`` bounds the file count PER DIRECTORY, not the
+        store total: a hive-partitioned store has a permanent floor of
+        one file per occupied partition dir (the best any compaction can
+        achieve), so comparing the TOTAL against max_files would
+        degenerate into a full-index rewrite on EVERY trigger once the
+        occupied-dir count crosses max_files (e.g. the exact deduper's 64
+        fbucket dirs vs the default max_files=64 — r16 review). For flat
+        layouts every file shares one directory, so this is exactly the
+        original total-count semantics."""
+        for root in roots:
+            counts: dict[str, int] = {}
+            for f in self._parquet_files(root):
+                d = os.path.dirname(f)
+                counts[d] = counts.get(d, 0) + 1
+            if counts and max(counts.values()) > self.max_files:
+                return True
+        return False
+
+    def _pruned_read(self, live_dir: str, dir_col: str, vals: DataFrame) -> DataFrame:
+        """Read a hive-partitioned store statically filtered to the
+        partition values appearing in ``vals`` (a single-column frame).
+        The value list is driver-collected — bounded metadata (<= the
+        bucket/cell fan-out, the same sanctioned class as the LSM stores'
+        changed-bucket collect) — and the IN-filter plans as a
+        PartitionFilter, so untouched directories are never read. Dynamic
+        partition pruning could do this at runtime, but its selectivity
+        heuristic never fires on stat-less checkpointed batch plans
+        (measured r16, not assumed). One definition for all three
+        dedupers' screens."""
+        keys = [r[0] for r in vals.distinct().collect()]
+        return self.spark.read.parquet(live_dir).filter(F.col(dir_col).isin(keys))
+
+    def _migrate_flat_layout(
+        self,
+        live_dir: str,
+        dir_col: str,
+        derive,
+        dedupe: bool = False,
+    ) -> None:
+        """Upgrade a store written before its layout gained ``dir_col=``
+        hive partition dirs. Root-level part files are the signature of
+        the old flat layout; mixing new-style subdirs beside them would
+        produce a directory Spark's partition discovery rejects, and the
+        screens' partition filter would raise UNRESOLVED_COLUMN on the
+        old schema — so the store is rewritten ONCE, through the same
+        staged swap compaction uses, before any new-style read or append
+        touches it. ``derive(frame)`` must return the frame with
+        ``dir_col`` present (derive it when the old schema lacks it;
+        no-op when it was already a data column). One-time O(|store|)
+        cost; crash-safe via _recover's staging/retired handling."""
+        if not os.path.isdir(live_dir):
+            return
+        flat = [f for f in os.listdir(live_dir) if f.endswith(".parquet")]
+        if not flat:
+            return
+        frame = derive(self.spark.read.parquet(live_dir))
+        if dedupe:
+            frame = frame.distinct()
+        staging, retired = live_dir + ".compacting", live_dir + ".retired"
+        frame.repartition(self.n_compact_partitions, dir_col).write.mode(
+            "overwrite"
+        ).partitionBy(dir_col).parquet(staging)
+        os.replace(live_dir, retired)
+        os.replace(staging, live_dir)
+        shutil.rmtree(retired)
 
     def _recover(self, live_dir: str) -> None:
         """Reclaim a crashed compaction pass for one directory. If the crash
@@ -174,11 +244,6 @@ class IncrementalDeduper(_CompactingIndexBase):
             return None
         return self.spark.read.parquet(self.index_dir)
 
-    def _shingle_store(self) -> DataFrame | None:
-        if not self._parquet_files(self.shingle_dir):
-            return None
-        return self.spark.read.parquet(self.shingle_dir)
-
     def _rejected(self, bands: DataFrame, hashed: DataFrame) -> DataFrame:
         """The (doc_id) rows to reject for this batch — band-level verdicts,
         or Jaccard-re-ranked verdicts when rerank_threshold is set."""
@@ -207,7 +272,11 @@ class IncrementalDeduper(_CompactingIndexBase):
         if self.rerank_threshold is None:
             return cands.select("doc_id").distinct()
 
-        cands = cands.distinct()
+        # eager checkpoint: cands feeds BOTH the candidate-prior prune
+        # below and the Jaccard chain's inter join — without it the whole
+        # band-collision build (including the index scan) re-ran once per
+        # consumer every trigger (r16 review)
+        cands = cands.distinct().localCheckpoint(eager=True)
         # prior-side shingles: current batch (in-batch priors) + the store.
         # The store side drops doc_ids present in the batch FIRST: an
         # at-least-once source redelivers admitted docs, and a doc whose
@@ -215,8 +284,7 @@ class IncrementalDeduper(_CompactingIndexBase):
         # — inflating Jaccard past the threshold for every pair involving
         # it, falsely rejecting genuine sub-threshold neighbours (r13
         # review). The batch doc-id set is small → broadcast anti-join.
-        store = self._shingle_store()
-        if store is None:
+        if not self._parquet_files(self.shingle_dir):
             prior_sh = hashed
         else:
             # prune the store to CANDIDATE priors before anything touches
@@ -224,22 +292,20 @@ class IncrementalDeduper(_CompactingIndexBase):
             # affect the Jaccard verdicts, yet the unpruned chain scanned,
             # shuffled AND per-doc-counted the ENTIRE accumulated store
             # every trigger. Two prunes, same pattern as the semantic
-            # index: a static sbucket partition filter (the store is
-            # written as sbucket= dirs keyed on doc_id % SHINGLE_BUCKETS;
-            # the bucket list is bounded driver metadata) narrows the READ
-            # to candidate buckets, then a broadcast semi-join narrows the
-            # rows to the candidate priors themselves.
+            # index: a static sbucket partition filter (_pruned_read)
+            # narrows the READ to candidate buckets, then a broadcast
+            # semi-join narrows the rows to the candidate priors.
             cand_priors = cands.select(
                 F.col("prior_id").alias("doc_id")
-            ).distinct().localCheckpoint(eager=True)
-            buckets = [
-                r.b
-                for r in cand_priors.select(
-                    F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS)).alias("b")
-                ).distinct().collect()
-            ]
+            ).distinct()
             pruned = (
-                store.filter(F.col("sbucket").isin(buckets))
+                self._pruned_read(
+                    self.shingle_dir,
+                    "sbucket",
+                    cand_priors.select(
+                        F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS))
+                    ),
+                )
                 .drop("sbucket")
                 .join(F.broadcast(cand_priors), "doc_id", "left_semi")
             )
@@ -276,6 +342,18 @@ class IncrementalDeduper(_CompactingIndexBase):
         self._recover(self.index_dir)
         if self.rerank_threshold is not None:
             self._recover(self.shingle_dir)
+            # pre-r16 shingle stores are flat part files with no sbucket
+            # column; the screen's partition filter and the hive appends
+            # both require the new layout (r16 review — restart compat)
+            self._migrate_flat_layout(
+                self.shingle_dir,
+                "sbucket",
+                lambda df: df.withColumn(
+                    "sbucket",
+                    F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS)).cast("int"),
+                ),
+                dedupe=True,
+            )
         # idle polls (empty batches) return immediately — otherwise every
         # empty trigger appends an empty parquet file to the band index
         # (and shingle store), inflating file counts and compaction churn
@@ -316,7 +394,10 @@ class IncrementalDeduper(_CompactingIndexBase):
                     self.shingle_dir
                 )
             new_bands.write.mode("append").parquet(self.index_dir)
-            if len(self._data_files()) > self.max_files:
+            roots = [self.index_dir]
+            if self.rerank_threshold is not None:
+                roots.append(self.shingle_dir)
+            if self._needs_compaction(roots):
                 self.compact()
             return admitted
         finally:
@@ -379,14 +460,10 @@ class IncrementalExactDeduper(_CompactingIndexBase):
         )
         dups = in_batch
         if self._data_files():
-            buckets = [
-                r.b
-                for r in fps.select(
-                    F.pmod("fp", F.lit(self.FP_BUCKETS)).alias("b")
-                ).distinct().collect()
-            ]
-            index = self.spark.read.parquet(self.index_dir).filter(
-                F.col("fbucket").isin(buckets)
+            index = self._pruned_read(
+                self.index_dir,
+                "fbucket",
+                fps.select(F.pmod("fp", F.lit(self.FP_BUCKETS))),
             )
             # inner join, batch side broadcast (BuildLeft is not supported
             # for left-semi, and the trailing distinct dedupes multi-row
@@ -413,7 +490,7 @@ class IncrementalExactDeduper(_CompactingIndexBase):
             .partitionBy("fbucket")
             .parquet(self.index_dir)
         )
-        if len(self._data_files()) > self.max_files:
+        if self._needs_compaction([self.index_dir]):
             self.compact()
         return admitted
 
@@ -478,12 +555,16 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         self.max_files = max_files
         self.n_compact_partitions = n_compact_partitions
         # frozen centroids are immutable once written, so the one-row
-        # broadcastable frame is cached after the first load — re-reading
-        # the parquet + re-running the collect_list agg on EVERY batch was
-        # one wasted job per trigger (r16). Disk stays the source of truth
-        # across restarts; the cache just skips re-derivation within one
-        # deduper's lifetime.
-        self._cents: DataFrame | None = None
+        # frame is cached after the first load — re-reading the parquet +
+        # re-running the collect_list agg on EVERY batch was one wasted
+        # job per trigger (r16). Cached DRIVER-SIDE (collected row +
+        # schema, a few KB), not as a localCheckpoint: checkpoint blocks
+        # live on executors at replication 1, so an executor loss hours
+        # into a stream would poison every later batch through the cached
+        # plan (r16 review). Disk stays the source of truth across
+        # restarts; createDataFrame re-ships the row per batch.
+        self._cents_rows: list | None = None
+        self._cents_schema = None
 
     def _ensure_centroids(self, prepared: DataFrame) -> DataFrame:
         """The one-row broadcastable centroid frame (``cents`` array of
@@ -492,13 +573,10 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         from pyspark.sql import Window
         from mysql_hbase_replicator_spark.operators.similarity import _kmeans_step
 
-        if self._cents is not None:
-            return self._cents
+        if self._cents_rows is not None:
+            return self.spark.createDataFrame(self._cents_rows, self._cents_schema)
         if self._parquet_files(self.centroid_dir):
-            self._cents = self.spark.read.parquet(self.centroid_dir).agg(
-                F.collect_list(F.struct("cid", "c")).alias("cents")
-            ).localCheckpoint(eager=True)
-            return self._cents
+            return self._load_centroids()
         w = Window.orderBy("vec_id")
         seeds = (
             prepared.select("vec_id", "embedding")
@@ -520,10 +598,15 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             shutil.rmtree(staging)
         else:
             os.replace(staging, self.centroid_dir)
-        self._cents = self.spark.read.parquet(self.centroid_dir).agg(
+        return self._load_centroids()
+
+    def _load_centroids(self) -> DataFrame:
+        frame = self.spark.read.parquet(self.centroid_dir).agg(
             F.collect_list(F.struct("cid", "c")).alias("cents")
-        ).localCheckpoint(eager=True)
-        return self._cents
+        )
+        self._cents_rows = frame.collect()
+        self._cents_schema = frame.schema
+        return self.spark.createDataFrame(self._cents_rows, self._cents_schema)
 
     def _assign(self, prepared: DataFrame, cents: DataFrame) -> DataFrame:
         # the ONE shared nearest-centroid definition (similarity.py): three
@@ -561,8 +644,7 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             .filter(F.col("prior_id") < F.col("vec_id"))
             .select("vec_id", "cell", "emb_p", "nsq_p", "embedding", "nsq")
         )
-        index = self._index()
-        if index is not None:
+        if self._data_files():
             # Two explicit prunes, both load-bearing at corpus scale (r16):
             # (a) the index read is statically filtered to the CELLS THIS
             # BATCH TOUCHES — the index is stored as cell= directory
@@ -577,9 +659,10 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             # an SMJ that shuffles the whole (pruned) index every trigger.
             # Together: per-trigger index cost is O(touched-cell occupancy),
             # not O(|index|).
-            cells = [r.cell for r in assigned.select("cell").distinct().collect()]
             vs_index = F.broadcast(assigned).join(
-                index.filter(F.col("cell").isin(cells)).select(
+                self._pruned_read(
+                    self.index_dir, "cell", assigned.select("cell")
+                ).select(
                     "cell",
                     F.col("embedding").alias("emb_p"),
                     F.col("nsq").alias("nsq_p"),
@@ -649,6 +732,11 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         from mysql_hbase_replicator_spark.operators.similarity import norm_sq
 
         self._recover(self.index_dir)
+        # pre-r16 indexes stored cell as a plain data column in flat part
+        # files; hive cell= appends beside them would break partition
+        # discovery (r16 review — restart compat). cell already exists in
+        # the old schema, so the derive is the identity.
+        self._migrate_flat_layout(self.index_dir, "cell", lambda df: df)
         prepared = vecs.select(
             "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
         )
@@ -682,7 +770,7 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         assigned.join(dups, "vec_id", "left_anti").repartition(
             self.n_compact_partitions, "cell"
         ).write.mode("append").partitionBy("cell").parquet(self.index_dir)
-        if len(self._data_files()) > self.max_files:
+        if self._needs_compaction([self.index_dir]):
             self.compact()
         return admitted
 
@@ -691,8 +779,9 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
 # CORRECTNESS rows for the incremental dedupers (r15 verdict #2): each query
 # drains three deterministic batches (doc_id/vec_id mod 3) through a FRESH
 # deduper — batch 1 is redelivered (the at-least-once guard must admit
-# nothing on the replay) and max_files=1 forces a compaction after every
-# append (mid-stream compaction must not change screening) — and returns the
+# nothing on the replay) and max_files=1 forces mid-stream
+# compactions (every append whose directory already holds a file triggers
+# one; compaction must not change screening) — and returns the
 # final admit/reject report. The DuckDB oracle states the closure rule
 # directly: reject iff a qualifying PRIOR exists, where prior = earlier-by-id
 # same-batch mate (regardless of that mate's own admission — the deduper
@@ -728,7 +817,7 @@ def _drain_batches(deduper, frame: DataFrame, id_col: str) -> DataFrame:
     batches (redelivering batch 1 once), returning the (id, batch, admitted)
     report. A redelivery that wrongly re-admits a row would duplicate it in
     the admitted union and surface as an oracle row-count/hash mismatch;
-    the deduper's max_files=1 forces a compaction after every append, so a
+    the deduper's max_files=1 forces compactions throughout the drain, so a
     compaction that changed screening would flip later verdicts. (Measured
     r16: collapsing to ONE explicit mid-stream compaction was a wall WASH —
     the accumulated small files make later screens pay back exactly what
@@ -837,7 +926,7 @@ def dedup_incremental_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The online SemDeDup CORRECTNESS row (r15 verdict #2): embeddings
     arrive as three mod-3 batches; frozen cells train from batch 0; batch 1
     is redelivered (self-match at cosine 1.0 must reject every row of the
-    replay); max_files=1 forces a compaction after every append. Returns
+    replay); max_files=1 forces mid-stream compactions. Returns
     one (vec_id, batch, admitted) row per vector.
 
     Scale shape is the class's own (see IncrementalSemanticDeduper): a
@@ -983,7 +1072,7 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive as three mod-3 batches screened at band level against the
     persistent index and within-batch (lowest doc_id wins); batch 1 is
     redelivered (each doc band-matches its own indexed bands and must be
-    rejected); max_files=1 forces a compaction after every append. Returns
+    rejected); max_files=1 forces mid-stream compactions. Returns
     one (doc_id, batch, admitted) row per document.
 
     Scale shape is the class's own (see IncrementalDeduper): per batch one
