@@ -189,6 +189,10 @@ HEADLINE = [
     "embedding_quantize_int8",
     "embedding_random_projection",
     "dedup_incremental_exact",
+    # r16 second half: the live watermark drain (fingerprint-cached after
+    # the first rep — steady-state cost is the report window, so the row
+    # is cheap regression visibility for the streaming-agg topology)
+    "events_stream_windowed_watermark",
 ]
 
 

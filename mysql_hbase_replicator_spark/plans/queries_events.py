@@ -1284,3 +1284,180 @@ def events_hourly_p95_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+# --------------------------------------------------------------------------
+# T3 (SURVEY §2.7): the watermark late-drop rule through a REAL Structured
+# Streaming drain. Every other events_* row states the batch equivalent of
+# its streaming form; this one runs the streaming form itself — readStream
+# over mtime-ordered files, withWatermark + windowed count, update-mode
+# foreachBatch sink — so the engine's actual drop/accept decisions are what
+# the DuckDB oracle hash-checks.
+#
+# The drop rule was pinned EMPIRICALLY (r16, scripted probes — do not trust
+# docs here): the filter for micro-batch N uses the watermark derived from
+# data through batch N-2 (one batch of lag behind the progress-reported
+# value: the reported wm for batch N is max event time through batch N-1
+# minus the delay, but the value a batch's late filter actually applies is
+# the one committed at the START of the previous batch); a row is dropped
+# iff its WINDOW END <= that watermark (inclusive; the predicate tests the
+# window, not the raw ts — a row whose ts is behind the watermark but whose
+# window is still open is accepted). State eviction uses the same per-batch
+# value, so an evicted window can never be resurrected by a late row: both
+# sides of the oracle's closed form are stable.
+# --------------------------------------------------------------------------
+@query(
+    "events_stream_windowed_watermark",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 10
+                         AND event_id % 2 = 0 THEN 0
+                    WHEN DATE_PART('day', CAST(ts AS TIMESTAMP))
+                         BETWEEN 11 AND 12 THEN 1
+                    WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 15 THEN 2
+                    ELSE 3 END AS b
+        FROM events
+    ),
+    bmax AS (SELECT b, MAX(ts) AS mx FROM e GROUP BY b),
+    wm AS (
+        -- filter watermark for batch b: max event time over batches
+        -- <= b-2, minus the 1h delay (NULL for the first two batches:
+        -- everything accepted, matching the engine's epoch watermark)
+        SELECT bb.b,
+               (SELECT MAX(p.mx) FROM bmax p WHERE p.b <= bb.b - 2)
+                   - INTERVAL 1 HOUR AS w
+        FROM (SELECT DISTINCT b FROM e) bb
+    ),
+    acc AS (
+        -- accepted iff the window END is strictly past the watermark
+        -- (drop iff end <= wm: the inclusive boundary, probe-pinned)
+        SELECT e.event_type, DATE_TRUNC('hour', e.ts) AS ws
+        FROM e JOIN wm ON wm.b = e.b
+        WHERE wm.w IS NULL
+           OR DATE_TRUNC('hour', e.ts) + INTERVAL 1 HOUR > wm.w
+    )
+    SELECT {SQL_TS('ws')} AS window_start, event_type, COUNT(*) AS cnt
+    FROM acc GROUP BY 1, 2
+    """,
+)
+def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-window counts per event type through a live streaming drain
+    with late data: the events table splits into four mtime-ordered landing
+    files — b0 = days <= 10 with even event_id, b1 = days 11-12, b2 = the
+    WITHHELD odd-id early rows (genuine late arrivals, mostly dropped
+    against the watermark batch 0 established) + days 13-15, b3 = the rest
+    — drained by one Trigger.AvailableNow query (maxFilesPerTrigger=1) in
+    update mode into a parquet updates log. The final report takes each
+    (window, type) key's LAST update: cumulative counts over exactly the
+    rows the engine accepted.
+
+    Scale shape: the drain is the standard streaming-agg topology (one
+    shuffle per micro-batch onto state-store partitions, state bounded by
+    watermark eviction); the updates log is append-only parquet and the
+    report a window over O(#windows x #types) rows. The drain is
+    fingerprint-cached per (app, sf_dir) like the snapshot-transport rows
+    — re-verification replays the report, not the stream."""
+    import glob as _glob
+    import hashlib
+    import shutil as _shutil
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        _reap_dead_scratch_roots,
+        _register_scratch_cleanup,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    day = F.dayofmonth("ts")
+    batch_no = (
+        F.when((day <= 10) & (F.col("event_id") % 2 == 0), 0)
+        .when(day.between(11, 12), 1)
+        .when(day <= 15, 2)
+        .otherwise(3)
+    )
+    tagged = e.withColumn("_b", batch_no.cast("int"))
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    key = hashlib.md5(
+        f"{app}:{os.path.abspath(sf_dir)}:wmdrain".encode()
+    ).hexdigest()[:10]
+    root = f"/tmp/spark_graft_bucketed_wmdrain_{key}"
+    _register_scratch_cleanup(root)
+    _reap_dead_scratch_roots(keep=root)
+    updates = os.path.join(root, "updates")
+    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
+    marker = os.path.join(root, "_fingerprint")
+    cached = False
+    try:
+        with open(marker) as f:
+            cached = f.read() == want and os.path.isdir(updates)
+    except OSError:
+        pass
+    if not cached:
+        _shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_owner.pid"), "w") as f:
+            f.write(str(os.getpid()))
+        landing = os.path.join(root, "landing")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(landing)
+        now = _time.time()
+        schema = None
+        for k in range(4):
+            part_df = tagged.filter(F.col("_b") == k).drop("_b").coalesce(1)
+            schema = part_df.schema
+            tmp = os.path.join(root, f"_stage_{k}")
+            part_df.write.mode("overwrite").parquet(tmp)
+            parts = sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+            dst = os.path.join(landing, f"b{k}.parquet")
+            os.replace(parts[0], dst)
+            os.utime(dst, (now + k, now + k))
+            _shutil.rmtree(tmp, ignore_errors=True)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+        def fb(df: DataFrame, bid: int) -> None:
+            (
+                df.select(
+                    F.col("w.start").alias("ws"),
+                    "event_type",
+                    "cnt",
+                    F.lit(bid).alias("_bid"),
+                )
+                .write.mode("append")
+                .parquet(updates)
+            )
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        with open(marker, "w") as f:
+            f.write(want)
+    upd = spark.read.parquet(updates)
+    w = Window.partitionBy("ws", "event_type").orderBy(F.col("_bid").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            ts_str(F.col("ws")).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )

@@ -270,3 +270,32 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     _write_ids(src, "b3.json", [(1, "2024-01-01T14:30:00", 7, "click")])
     run_once()
     assert sorted(r.event_id for r in rows) == [1, 1, 2, 3]
+
+
+def test_stream_windowed_watermark_row_exercises_drops():
+    """The events_stream_windowed_watermark CORRECTNESS row only proves the
+    late-drop rule if its batch split actually produces late data: the
+    withheld odd-id early rows must be dropped against the batch-0
+    watermark. Pin that the oracle's accepted count is strictly below the
+    table total (169/1000 dropped at sf0.001 as shipped) so a future edit
+    to the split can't silently degenerate the row into a drop-free
+    pass-through."""
+    import duckdb
+
+    from mysql_hbase_replicator_spark.plans.registry import (
+        ORACLE_REGISTRY,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "'/root/testdata/sf0.001/events.parquet'"
+    )
+    total = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
+    accepted = con.execute(
+        f"SELECT SUM(cnt) FROM ({ORACLE_REGISTRY['events_stream_windowed_watermark']})"
+    ).fetchone()[0]
+    assert accepted < total, (accepted, total)
+    assert accepted > 0
