@@ -1185,10 +1185,28 @@ def _rp_sign(o: int, i: int) -> float:
     return 1.0 if ((_RP_A * (o * EMB_DIM + i) + _RP_B) % _RP_P) % 2 == 0 else -1.0
 
 
-@query(
-    "embedding_random_projection",
-    oracle=f"""
-    WITH ok AS (SELECT UNNEST(RANGE(1, {RP_DIM} + 1)) AS k)
+def _rp_project(col):
+    """The JL projection as ONE expression shared by the standalone row and
+    the ANN composition (one definition, oracle-mirrored by _rp_proj_sql):
+    RP_DIM fixed-order ±1-sign folds over the input array, scaled
+    1/sqrt(RP_DIM). Entirely map-side; bit-equal float64 on both engines."""
+    import math
+
+    outs = []
+    for o in range(RP_DIM):
+        signs = F.array(*[F.lit(_rp_sign(o, i)) for i in range(EMB_DIM)])
+        fold = F.aggregate(
+            F.zip_with(col, signs, lambda v, sg: v.cast("double") * sg),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        outs.append(fold / F.lit(math.sqrt(float(RP_DIM))))
+    return F.array(*outs)
+
+
+def _rp_proj_sql() -> str:
+    """DuckDB twin of _rp_project: (vec_id, proj) for every embedding."""
+    return f"""
     SELECT e.vec_id,
            LIST(LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1),
                    i -> (CASE WHEN (({_RP_A} * ((o.k - 1) * {EMB_DIM} + (i - 1))
@@ -1196,9 +1214,14 @@ def _rp_sign(o: int, i: int) -> float:
                               THEN 1.0 ELSE -1.0 END)
                         * CAST(e.embedding[i] AS DOUBLE)))
                 / SQRT({RP_DIM}.0) ORDER BY o.k) AS proj
-    FROM embeddings e, ok o
+    FROM embeddings e, (SELECT UNNEST(RANGE(1, {RP_DIM} + 1)) AS k) o
     GROUP BY e.vec_id
-    """,
+    """
+
+
+@query(
+    "embedding_random_projection",
+    oracle=_rp_proj_sql(),
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project every
@@ -1212,18 +1235,139 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-order zip_with/aggregate fold over the input array; NO shuffle,
     NO broadcast, bit-equal float64 on both engines."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    import math
+    return e.select("vec_id", _rp_project(F.col("embedding")).alias("proj"))
 
-    outs = []
-    for o in range(RP_DIM):
-        signs = F.array(*[F.lit(_rp_sign(o, i)) for i in range(EMB_DIM)])
-        fold = F.aggregate(
-            F.zip_with(F.col("embedding"), signs, lambda v, sg: v.cast("double") * sg),
-            F.lit(0.0),
-            lambda a, x: a + x,
+
+# Projected-space candidates per query. Measured on the test corpus (r16):
+# recall vs brute force is CANDIDATE-BUDGET-bound, not projection-dim-bound
+# (RP_DIM 16 and 32 recall identically at equal RP_CAND — the corpus's
+# cosine gaps are tighter than any sketch preserves), so the knob that buys
+# recall is this one: 4*TOP_K -> 0.24, 8*TOP_K -> 0.32, 16*TOP_K -> 0.40 —
+# the family's recall bar at a 16%-of-corpus budget vs IVF's 25% probe
+# fraction. At production scale RP_CAND is an absolute constant while the
+# corpus grows, the same trade every fixed-probe ANN here makes.
+RP_CAND = 16 * TOP_K
+
+
+def _ann_rp_oracle_sql() -> str:
+    """The composed RP-ANN as DuckDB SQL: the shared projection CTE, a
+    projected-cosine top-RP_CAND candidate screen (ties broken on vec_id;
+    projected values are bit-equal across engines, so candidate SETS agree
+    exactly), then the standard exact-cosine re-rank to TOP_K."""
+    D = EMB_DIM
+    return f"""
+    WITH proj AS ({_rp_proj_sql()}),
+    pv AS (
+        SELECT vec_id, proj,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {RP_DIM} + 1),
+                        i -> proj[i] * proj[i])) AS pnsq
+        FROM proj
+    ),
+    ps AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {RP_DIM} + 1),
+                        i -> q.proj[i] * c.proj[i]))
+                 / (SQRT(q.pnsq) * SQRT(c.pnsq)) AS pcos
+        FROM pv q JOIN pv c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT query_id, cand_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY pcos DESC, cand_id) AS rn
+            FROM ps)
+        WHERE rn <= {RP_CAND}
+    ),
+    v AS (
+        SELECT vec_id, embedding,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nsq
+        FROM embeddings
+    ),
+    sims AS (
+        SELECT cand.query_id, cand.cand_id AS neighbor_id,
+               LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+                 / (SQRT(q.nsq) * SQRT(c.nsq)) AS cosine
+        FROM cand
+        JOIN v q ON q.vec_id = cand.query_id
+        JOIN v c ON c.vec_id = cand.cand_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM sims)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@query("similarity_ann_rp", oracle=_ann_rp_oracle_sql())
+def similarity_ann_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via Johnson-Lindenstrauss random projection: score
+    every corpus vector against the broadcast query set in the RP_DIM
+    projected space (4x less dot-product work than raw cosine), keep the
+    top-RP_CAND candidates per query, exact-cosine re-rank to TOP_K —
+    completing the ANN family (brute / LSH / IVF / PQ / IVF-PQ / RP).
+
+    Scale shape: the projection is map-only expression work fused into the
+    corpus scan; the query side is a tiny broadcast (corpus never shuffles
+    for scoring, same as similarity_range_search); per-query top-RP_CAND
+    plans as WindowGroupLimit (partial per partition before one small
+    query_id exchange); the re-rank joins the ~N_QUERIES x RP_CAND
+    candidate ids back to the corpus as a BROADCAST, so the exact pass
+    reads only candidate rows. Recall vs brute force asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm_sq(F.col("embedding")).alias("nsq")
+    )
+    pv = e.select(
+        "vec_id", _rp_project(F.col("embedding")).alias("proj")
+    ).withColumn("pnsq", norm_sq(F.col("proj")))
+    q_proj = pv.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("proj").alias("q_proj"),
+        F.col("pnsq").alias("q_pnsq"),
+    )
+    scored = pv.join(
+        F.broadcast(q_proj), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        cosine_from_parts(
+            dot(F.col("q_proj"), F.col("proj")),
+            F.col("q_pnsq"),
+            F.col("pnsq"),
+        ).alias("pcos"),
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("pcos"), "cand_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= RP_CAND)
+        .select("query_id", "cand_id")
+    )
+    q_raw = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    sims = (
+        e.join(F.broadcast(cand), e.vec_id == cand.cand_id)
+        .join(F.broadcast(q_raw), "query_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neighbor_id"),
+            cosine_from_parts(
+                dot(F.col("q_emb"), F.col("embedding")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
         )
-        outs.append(fold / F.lit(math.sqrt(float(RP_DIM))))
-    return e.select("vec_id", F.array(*outs).alias("proj"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def _quantize_int8_oracle_sql() -> str:

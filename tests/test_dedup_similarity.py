@@ -229,6 +229,24 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
     assert recall >= 0.4, f"IVF recall too low: {recall:.2f}"
 
 
+def test_ann_rp_recall_vs_bruteforce(spark):
+    """JL random projection (16 of 64 dims) + top-20 candidate screen +
+    exact re-rank must recall a reasonable share of true top-5 neighbors
+    (the JL bound makes 4x reduction mild; require >= 40% like the other
+    ANN variants)."""
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        similarity_ann_rp,
+        similarity_topk_cosine,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id) for r in similarity_topk_cosine(spark, SF).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in similarity_ann_rp(spark, SF).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"RP recall too low: {recall:.2f}"
+
+
 def test_ann_pq_recall_vs_bruteforce(spark):
     """PQ with 8 subspaces × 16 codewords + exact rerank of 4k candidates
     must recall a reasonable share of true top-5 neighbors."""
