@@ -619,11 +619,6 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             "vec_id", "cell", "embedding", "nsq"
         )
 
-    def _index(self) -> DataFrame | None:
-        if not self._data_files():
-            return None
-        return self.spark.read.parquet(self.index_dir)
-
     def _rejected(self, assigned: DataFrame) -> DataFrame:
         """(vec_id) rows to reject: cosine >= threshold to an earlier-by-id
         batch-mate or ANY indexed vector (self-matches included — that is

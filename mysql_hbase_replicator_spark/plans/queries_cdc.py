@@ -279,38 +279,21 @@ def _fingerprint_cached_store(
     serve stale order_state rows if orders regenerated independently).
     ``make_store(path)`` constructs the store; ``build(store)`` replays the
     trace into it. Returns the (possibly cached) store."""
-    import hashlib
     import shutil as _shutil
 
-    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
     from mysql_hbase_replicator_spark.plans.queries_extra import (
-        _reap_dead_scratch_roots,
-        _register_scratch_cleanup,
+        fingerprint_cached_root,
     )
 
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    key = hashlib.md5(
-        f"{app}:{os.path.abspath(sf_dir)}:{tag}".encode()
-    ).hexdigest()[:10]
-    root = f"/tmp/spark_graft_bucketed_{tag}_{key}"
-    _register_scratch_cleanup(root)
-    _reap_dead_scratch_roots(keep=root)
-    store = make_store(os.path.join(root, "store"))
-    want = "|".join(_fingerprint(os.path.join(sf_dir, s)) for s in sources)
-    marker = os.path.join(root, "_fingerprint")
-    try:
-        with open(marker) as f:
-            cached = f.read() == want
-    except OSError:
-        cached = False
-    if not (cached and store.exists(name)):
-        try:
-            os.remove(marker)
-        except OSError:
-            pass
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "_owner.pid"), "w") as f:
-            f.write(str(os.getpid()))
+    holder: dict = {}
+
+    def make(root: str):
+        if "store" not in holder:
+            holder["store"] = make_store(os.path.join(root, "store"))
+        return holder["store"]
+
+    def rebuild(root: str) -> None:
+        store = make(root)
         # rebuild from scratch; a catalog-backed store also retires its
         # stale table entries (version dirs are about to be wiped)
         digest = getattr(store, "_digest", None)
@@ -320,9 +303,13 @@ def _fingerprint_cached_store(
                     spark.sql(f"DROP TABLE IF EXISTS {r.tableName}")
         _shutil.rmtree(store.table_path(name), ignore_errors=True)
         build(store)
-        with open(marker, "w") as f:
-            f.write(want)
-    return store
+
+    root = fingerprint_cached_root(
+        spark, sf_dir, tag, sources,
+        exists=lambda r: make(r).exists(name),
+        build=rebuild,
+    )
+    return make(root)
 
 
 # snapshot-diff cut points: state at T1 vs state at T2 over the event stream

@@ -1359,16 +1359,13 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     fingerprint-cached per (app, sf_dir) like the snapshot-transport rows
     — re-verification replays the report, not the stream."""
     import glob as _glob
-    import hashlib
     import shutil as _shutil
     import time as _time
 
     from pyspark.sql import Window
 
-    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
     from mysql_hbase_replicator_spark.plans.queries_extra import (
-        _reap_dead_scratch_roots,
-        _register_scratch_cleanup,
+        fingerprint_cached_root,
     )
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
@@ -1381,29 +1378,12 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
     tagged = e.withColumn("_b", batch_no.cast("int"))
 
-    app = spark.sparkContext.applicationId.replace("-", "_")
-    key = hashlib.md5(
-        f"{app}:{os.path.abspath(sf_dir)}:wmdrain".encode()
-    ).hexdigest()[:10]
-    root = f"/tmp/spark_graft_bucketed_wmdrain_{key}"
-    _register_scratch_cleanup(root)
-    _reap_dead_scratch_roots(keep=root)
-    updates = os.path.join(root, "updates")
-    want = _fingerprint(os.path.join(sf_dir, "events.parquet"))
-    marker = os.path.join(root, "_fingerprint")
-    cached = False
-    try:
-        with open(marker) as f:
-            cached = f.read() == want and os.path.isdir(updates)
-    except OSError:
-        pass
-    if not cached:
-        _shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
-        with open(os.path.join(root, "_owner.pid"), "w") as f:
-            f.write(str(os.getpid()))
+    def drain(root: str) -> None:
         landing = os.path.join(root, "landing")
         ckpt = os.path.join(root, "ckpt")
+        updates = os.path.join(root, "updates")
+        for d in (landing, ckpt, updates):
+            _shutil.rmtree(d, ignore_errors=True)
         os.makedirs(landing)
         now = _time.time()
         schema = None
@@ -1447,10 +1427,23 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
-        with open(marker, "w") as f:
-            f.write(want)
-    upd = spark.read.parquet(updates)
+        # awaitTermination returns False on timeout WITHOUT raising —
+        # letting the helper cache then would record a partial updates log
+        # as complete; every later call would serve truncated counts (r16
+        # review)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "watermark drain did not finish within 600s; "
+                "updates log is partial and was NOT cached"
+            )
+
+    root = fingerprint_cached_root(
+        spark, sf_dir, "wmdrain", ("events.parquet",),
+        exists=lambda r: os.path.isdir(os.path.join(r, "updates")),
+        build=drain,
+    )
+    upd = spark.read.parquet(os.path.join(root, "updates"))
     w = Window.partitionBy("ws", "event_type").orderBy(F.col("_bid").desc())
     return (
         upd.withColumn("_rn", F.row_number().over(w))

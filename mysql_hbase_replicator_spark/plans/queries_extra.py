@@ -1762,6 +1762,58 @@ def materialize_bucketed_facts(spark: SparkSession, sf_dir: str):
     return spark.table(names["orders"]), spark.table(names["lineitem"])
 
 
+def fingerprint_cached_root(
+    spark,
+    sf_dir: str,
+    tag: str,
+    sources: tuple[str, ...],
+    exists,
+    build,
+) -> str:
+    """ONE definition of the fingerprint-marker scratch-cache protocol
+    (r16 review: it had grown three drifting inline copies): a
+    per-(app, sf_dir, tag) /tmp root under the shared
+    ``spark_graft_bucketed_`` prefix (atexit cleanup + dead-pid reaping),
+    rebuilt via ``build(root)`` whenever the fingerprint of ANY source
+    parquet changes or ``exists(root)`` is False. Crash-safety order:
+    marker removed BEFORE the rebuild (a crashed build leaves an invalid
+    cache, never a valid marker over half-built artifacts) and the
+    ``_owner.pid`` marker lands before the build so a sibling session's
+    reaper cannot rmtree a live long build. ``build`` must clean its OWN
+    artifact subdirs first — a stale streaming checkpoint beside a fresh
+    landing would silently skip batches. Returns the root path."""
+    import hashlib
+
+    from mysql_hbase_replicator_spark.operators.layout import _fingerprint
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    key = hashlib.md5(
+        f"{app}:{os.path.abspath(sf_dir)}:{tag}".encode()
+    ).hexdigest()[:10]
+    root = f"/tmp/spark_graft_bucketed_{tag}_{key}"
+    _register_scratch_cleanup(root)
+    _reap_dead_scratch_roots(keep=root)
+    want = "|".join(_fingerprint(os.path.join(sf_dir, s)) for s in sources)
+    marker = os.path.join(root, "_fingerprint")
+    try:
+        with open(marker) as f:
+            cached = f.read() == want
+    except OSError:
+        cached = False
+    if not (cached and exists(root)):
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_owner.pid"), "w") as f:
+            f.write(str(os.getpid()))
+        build(root)
+        with open(marker, "w") as f:
+            f.write(want)
+    return root
+
+
 _SCRATCH_ROOTS_REGISTERED: set[str] = set()
 
 

@@ -10,6 +10,8 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+SF = "/root/testdata/sf0.001"
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("ts", T.TimestampType()),
@@ -290,8 +292,7 @@ def test_stream_windowed_watermark_row_exercises_drops():
     load_all_queries()
     con = duckdb.connect()
     con.execute(
-        "CREATE VIEW events AS SELECT * FROM "
-        "'/root/testdata/sf0.001/events.parquet'"
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
     )
     total = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
     accepted = con.execute(
