@@ -1287,6 +1287,80 @@ def events_hourly_p95_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Shared scaffolding for the LIVE streaming CORRECTNESS rows (windowed
+# watermark + stateful sessions): one batch split and one landing writer,
+# with the split mirrored verbatim in both oracles. The split manufactures
+# genuine late data — b0 = days <= 10 with even event_id, b1 = days 11-12,
+# b2 = the WITHHELD odd-id early rows + days 13-15, b3 = the rest.
+# --------------------------------------------------------------------------
+
+# the split as DuckDB SQL (b column) — must stay term-for-term identical
+# to _stream_batch_no below
+_SQL_STREAM_BATCH = """CASE WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 10
+                         AND event_id % 2 = 0 THEN 0
+                    WHEN DATE_PART('day', CAST(ts AS TIMESTAMP))
+                         BETWEEN 11 AND 12 THEN 1
+                    WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 15 THEN 2
+                    ELSE 3 END"""
+
+N_STREAM_FILES = 4
+
+
+def _stream_batch_no():
+    """The 4-way batch split as a Spark Column (twin of _SQL_STREAM_BATCH)."""
+    day = F.dayofmonth("ts")
+    return (
+        F.when((day <= 10) & (F.col("event_id") % 2 == 0), 0)
+        .when(day.between(11, 12), 1)
+        .when(day <= 15, 2)
+        .otherwise(3)
+        .cast("int")
+    )
+
+
+def _write_mtime_landing(tagged: DataFrame, root: str):
+    """Write the `_b`-tagged frame as N_STREAM_FILES one-file-per-batch
+    landing files with strictly increasing mtimes (the file source admits
+    them in that order under maxFilesPerTrigger=1) and return
+    (landing_dir, row schema). Cleans landing/ckpt/updates subdirs first —
+    a stale streaming checkpoint beside a fresh landing would skip
+    batches."""
+    import glob as _glob
+    import shutil as _shutil
+    import time as _time
+
+    landing = os.path.join(root, "landing")
+    for d in (landing, os.path.join(root, "ckpt"), os.path.join(root, "updates")):
+        _shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(landing)
+    now = _time.time()
+    schema = None
+    for k in range(N_STREAM_FILES):
+        part_df = tagged.filter(F.col("_b") == k).drop("_b").coalesce(1)
+        schema = part_df.schema
+        tmp = os.path.join(root, f"_stage_{k}")
+        part_df.write.mode("overwrite").parquet(tmp)
+        parts = sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
+        dst = os.path.join(landing, f"b{k}.parquet")
+        os.replace(parts[0], dst)
+        os.utime(dst, (now + k, now + k))
+        _shutil.rmtree(tmp, ignore_errors=True)
+    return landing, schema
+
+
+def _await_drain(q) -> None:
+    """awaitTermination returns False on timeout WITHOUT raising — letting
+    the cache helper record then would cache a partial updates log as
+    complete (r16 review)."""
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming drain did not finish within 600s; "
+            "updates log is partial and was NOT cached"
+        )
+
+
+# --------------------------------------------------------------------------
 # T3 (SURVEY §2.7): the watermark late-drop rule through a REAL Structured
 # Streaming drain. Every other events_* row states the batch equivalent of
 # its streaming form; this one runs the streaming form itself — readStream
@@ -1311,12 +1385,7 @@ def events_hourly_p95_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
         SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
-               CASE WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 10
-                         AND event_id % 2 = 0 THEN 0
-                    WHEN DATE_PART('day', CAST(ts AS TIMESTAMP))
-                         BETWEEN 11 AND 12 THEN 1
-                    WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 15 THEN 2
-                    ELSE 3 END AS b
+               {_SQL_STREAM_BATCH} AS b
         FROM events
     ),
     bmax AS (SELECT b, MAX(ts) AS mx FROM e GROUP BY b),
@@ -1358,10 +1427,6 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     report a window over O(#windows x #types) rows. The drain is
     fingerprint-cached per (app, sf_dir) like the snapshot-transport rows
     — re-verification replays the report, not the stream."""
-    import glob as _glob
-    import shutil as _shutil
-    import time as _time
-
     from pyspark.sql import Window
 
     from mysql_hbase_replicator_spark.plans.queries_extra import (
@@ -1369,34 +1434,12 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
-    day = F.dayofmonth("ts")
-    batch_no = (
-        F.when((day <= 10) & (F.col("event_id") % 2 == 0), 0)
-        .when(day.between(11, 12), 1)
-        .when(day <= 15, 2)
-        .otherwise(3)
-    )
-    tagged = e.withColumn("_b", batch_no.cast("int"))
+    tagged = e.withColumn("_b", _stream_batch_no())
 
     def drain(root: str) -> None:
-        landing = os.path.join(root, "landing")
+        landing, schema = _write_mtime_landing(tagged, root)
         ckpt = os.path.join(root, "ckpt")
         updates = os.path.join(root, "updates")
-        for d in (landing, ckpt, updates):
-            _shutil.rmtree(d, ignore_errors=True)
-        os.makedirs(landing)
-        now = _time.time()
-        schema = None
-        for k in range(4):
-            part_df = tagged.filter(F.col("_b") == k).drop("_b").coalesce(1)
-            schema = part_df.schema
-            tmp = os.path.join(root, f"_stage_{k}")
-            part_df.write.mode("overwrite").parquet(tmp)
-            parts = sorted(_glob.glob(os.path.join(tmp, "*.parquet")))
-            dst = os.path.join(landing, f"b{k}.parquet")
-            os.replace(parts[0], dst)
-            os.utime(dst, (now + k, now + k))
-            _shutil.rmtree(tmp, ignore_errors=True)
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1")
@@ -1427,16 +1470,7 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
             .trigger(availableNow=True)
             .start()
         )
-        # awaitTermination returns False on timeout WITHOUT raising —
-        # letting the helper cache then would record a partial updates log
-        # as complete; every later call would serve truncated counts (r16
-        # review)
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "watermark drain did not finish within 600s; "
-                "updates log is partial and was NOT cached"
-            )
+        _await_drain(q)
 
     root = fingerprint_cached_root(
         spark, sf_dir, "wmdrain", ("events.parquet",),
@@ -1454,3 +1488,209 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
             "cnt",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# §2.9 custom stateful operator (applyInPandasWithState) as a CORRECTNESS
+# row. Semantics pinned by probes (r16), extending the windowed row's
+# findings to GroupState:
+#   - late filter: drop iff ts <= wm_report(N-1) (inclusive, LAGGED — a
+#     row at exactly the prior watermark is dropped);
+#   - event-time timeout: fires at batch N for keys WITHOUT data iff
+#     timeout_ts < wm_report(N) (STRICT, the CURRENT reported watermark —
+#     a timeout at exactly the watermark does not fire);
+#   - a key whose timeout expired but whose data arrives in the SAME
+#     batch merges (no emission, session continues);
+#   - Trigger.AvailableNow runs one final NO-DATA batch whose watermark
+#     covers the last data batch, firing remaining eligible timeouts;
+#     state still open after it is discarded.
+# All arithmetic is integer ms/us on BOTH engines (the engine tracks
+# watermarks in ms; the function floors event times the same way), so no
+# float boundary can flip a verdict.
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_MS = 2 * 3600 * 1000  # close a session 2h (watermark time) after its last event
+
+
+def _stateful_sessions_oracle_sql() -> str:
+    g = _SESSION_GAP_MS
+    # per-batch state sim, unrolled over the 4 data batches + the final
+    # no-data batch. cK/lK = state (count, last event us) after batch K;
+    # tK = timeout ms; eK = emitted at batch K. Timeout on the data path is
+    # GREATEST(last_ms, wm_ms) + gap — mirrors the operator, which must
+    # never set a timeout at/below the current watermark (Spark rejects it).
+    step = """
+    s{K} AS (
+        SELECT *,
+            (c{P} IS NOT NULL AND n{K} IS NULL AND t{P} < w{K}) AS e{K},
+            CASE WHEN n{K} IS NOT NULL THEN COALESCE(c{P}, 0) + n{K}
+                 WHEN c{P} IS NOT NULL AND NOT (t{P} < w{K}) THEN c{P}
+            END AS c{K},
+            CASE WHEN n{K} IS NOT NULL THEN GREATEST(COALESCE(l{P}, m{K}), m{K})
+                 WHEN c{P} IS NOT NULL AND NOT (t{P} < w{K}) THEN l{P}
+            END AS l{K},
+            CASE WHEN n{K} IS NOT NULL
+                 THEN GREATEST(GREATEST(COALESCE(l{P}, m{K}), m{K}) // 1000,
+                               w{K}) + {G}
+                 WHEN c{P} IS NOT NULL AND NOT (t{P} < w{K}) THEN t{P}
+            END AS t{K}
+        FROM s{P})"""
+    steps = ",".join(
+        step.format(K=k, P=k - 1, G=g) for k in (1, 2, 3)
+    )
+    return f"""
+    WITH e AS (
+        SELECT event_id, user_id,
+               CAST(DATE_PART('day', CAST(ts AS TIMESTAMP)) AS INT) AS day,
+               CAST(ts AS TIMESTAMP) AS ts,
+               {_SQL_STREAM_BATCH} AS b
+        FROM events
+    ),
+    bmax AS (SELECT b, MAX(EPOCH_MS(ts)) AS mxms FROM e GROUP BY b),
+    wmv AS (
+        SELECT
+            COALESCE((SELECT MAX(mxms) FROM bmax WHERE b <= 0) - 3600000, 0) AS w1,
+            COALESCE((SELECT MAX(mxms) FROM bmax WHERE b <= 1) - 3600000, 0) AS w2,
+            COALESCE((SELECT MAX(mxms) FROM bmax WHERE b <= 2) - 3600000, 0) AS w3,
+            COALESCE((SELECT MAX(mxms) FROM bmax WHERE b <= 3) - 3600000, 0) AS wf
+    ),
+    acc AS (
+        -- late filter: batch N drops ts <= wm_report(N-1) (lagged,
+        -- inclusive); batches 0 and 1 see the epoch watermark
+        SELECT e.* FROM e, wmv
+        WHERE CASE e.b WHEN 0 THEN TRUE
+                       WHEN 1 THEN TRUE
+                       WHEN 2 THEN EPOCH_US(e.ts) > w1 * 1000
+                       ELSE EPOCH_US(e.ts) > w2 * 1000 END
+    ),
+    gb AS (SELECT user_id, day, b, COUNT(*) AS n, MAX(EPOCH_US(ts)) AS mx
+           FROM acc GROUP BY 1, 2, 3),
+    gp AS (SELECT user_id, day,
+           MAX(CASE WHEN b = 0 THEN n END) AS n0, MAX(CASE WHEN b = 0 THEN mx END) AS m0,
+           MAX(CASE WHEN b = 1 THEN n END) AS n1, MAX(CASE WHEN b = 1 THEN mx END) AS m1,
+           MAX(CASE WHEN b = 2 THEN n END) AS n2, MAX(CASE WHEN b = 2 THEN mx END) AS m2,
+           MAX(CASE WHEN b = 3 THEN n END) AS n3, MAX(CASE WHEN b = 3 THEN mx END) AS m3
+           FROM gb GROUP BY user_id, day),
+    s0 AS (
+        SELECT gp.*, wmv.*,
+            n0 AS c0, m0 AS l0,
+            CASE WHEN n0 IS NOT NULL
+                 THEN GREATEST(m0 // 1000, 0) + {g} END AS t0
+        FROM gp, wmv),
+    {steps},
+    em AS (
+        SELECT user_id, day, c0 AS cnt, l0 AS end_us FROM s1 WHERE e1
+        UNION ALL SELECT user_id, day, c1, l1 FROM s2 WHERE e2
+        UNION ALL SELECT user_id, day, c2, l2 FROM s3 WHERE e3
+        UNION ALL SELECT user_id, day, c3, l3 FROM s3
+                  WHERE c3 IS NOT NULL AND t3 < wf
+    )
+    SELECT user_id, day, cnt AS n_events, end_us AS session_end_us FROM em
+    """
+
+
+@query("events_stream_stateful_sessions", oracle=_stateful_sessions_oracle_sql())
+def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity sessions through a LIVE applyInPandasWithState
+    drain with event-time timeouts: each user's GroupState accumulates
+    (count, last event time); a session closes — emitting (user_id,
+    n_events, session_end_us) — when the watermark passes its timeout
+    (last event + 2h of watermark time) in a batch where the user is
+    silent. The same 4-file late-data landing as the windowed row drives
+    genuine drops, merges-after-expiry, multi-session users, and the
+    final no-data batch. Sessions still open at stream end are discarded
+    (never emitted) — the oracle states the whole closure in integer ms.
+
+    Scale shape: the canonical custom-stateful topology — one shuffle per
+    micro-batch onto state-store partitions, per-key state a few longs,
+    bounded by timeout eviction; Arrow-batched per-group pandas calls; the
+    updates log is append-only parquet. Fingerprint-cached per
+    (app, sf_dir) like the windowed row."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        fingerprint_cached_root,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", F.dayofmonth("ts").alias("day")
+    )
+    tagged = e.withColumn("_b", _stream_batch_no())
+    gap_ms = _SESSION_GAP_MS
+
+    def drain(root: str) -> None:
+        landing, schema = _write_mtime_landing(tagged, root)
+        ckpt = os.path.join(root, "ckpt")
+        updates = os.path.join(root, "updates")
+
+        def fn(key, pdfs, state):
+            import pandas as pd
+
+            if state.hasTimedOut:
+                cnt, last_us = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "day": [key[1]],
+                        "n_events": [cnt],
+                        "session_end_us": [last_us],
+                    }
+                )
+            else:
+                n = 0
+                mx_us = None
+                for pdf in pdfs:
+                    if len(pdf):
+                        n += len(pdf)
+                        m = int(pd.Timestamp(pdf["ts"].max()).value // 1000)
+                        mx_us = m if mx_us is None else max(mx_us, m)
+                cnt, last_us = state.get if state.exists else (0, 0)
+                if mx_us is not None:
+                    last_us = max(last_us, mx_us)
+                cnt += n
+                state.update((cnt, last_us))
+                # timeout must stay ABOVE the current watermark (Spark
+                # rejects earlier values): a session whose (late but
+                # accepted) last event trails the watermark still gets a
+                # full gap of watermark time — mirrored in the oracle
+                state.setTimeoutTimestamp(
+                    max(last_us // 1000, state.getCurrentWatermarkMs()) + gap_ms
+                )
+                return iter(())
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        sessions = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy("user_id", "day")
+            .applyInPandasWithState(
+                fn,
+                "user_id long, day int, n_events long, session_end_us long",
+                "cnt long, last_us long",
+                "update",
+                GroupStateTimeout.EventTimeTimeout,
+            )
+        )
+
+        def fb(df: DataFrame, bid: int) -> None:
+            df.write.mode("append").parquet(updates)
+
+        q = (
+            sessions.writeStream.outputMode("update")
+            .foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
+
+    root = fingerprint_cached_root(
+        spark, sf_dir, "stdrain", ("events.parquet",),
+        exists=lambda r: os.path.isdir(os.path.join(r, "updates")),
+        build=drain,
+    )
+    return spark.read.parquet(os.path.join(root, "updates"))

@@ -300,3 +300,42 @@ def test_stream_windowed_watermark_row_exercises_drops():
     ).fetchone()[0]
     assert accepted < total, (accepted, total)
     assert accepted > 0
+
+
+def test_stateful_sessions_row_exercises_midstream_timeouts():
+    """The events_stream_stateful_sessions CORRECTNESS row only proves the
+    GroupState timeout machinery if sessions actually close MID-STREAM
+    (silent key + watermark past its timeout), not just in the final
+    no-data batch. Pin via the oracle's own state sim: every emission
+    stage fires, some state is discarded open, and some day<=10 keys see
+    both batch-0 data and batch-2 late-accepted data (the
+    merge-after-expiry path)."""
+    import duckdb
+
+    from mysql_hbase_replicator_spark.plans.queries_events import (
+        _stateful_sessions_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'"
+    )
+    sql = _stateful_sessions_oracle_sql()
+    prefix = sql.split(",\n    em AS")[0]
+
+    def n(q):
+        return con.execute(prefix + " " + q).fetchone()[0]
+
+    assert n("SELECT COUNT(*) FROM s1 WHERE e1") > 0          # batch-1 timeouts
+    assert n("SELECT COUNT(*) FROM s2 WHERE e2") > 0          # batch-2 timeouts
+    assert n("SELECT COUNT(*) FROM s3 WHERE e3") > 0          # batch-3 timeouts
+    assert n(
+        "SELECT COUNT(*) FROM s3 WHERE c3 IS NOT NULL AND t3 < wf"
+    ) > 0                                                      # final no-data batch
+    assert n(
+        "SELECT COUNT(*) FROM s3 WHERE c3 IS NOT NULL AND NOT (t3 < wf)"
+    ) > 0                                                      # open state discarded
+    assert n(
+        "SELECT COUNT(*) FROM s3 WHERE n0 IS NOT NULL AND n2 IS NOT NULL "
+        "AND day <= 10"
+    ) > 0                                                      # late-accept merge path
