@@ -189,10 +189,13 @@ HEADLINE = [
     "embedding_quantize_int8",
     "embedding_random_projection",
     "dedup_incremental_exact",
-    # r16 second half: the live watermark drain (fingerprint-cached after
-    # the first rep — steady-state cost is the report window, so the row
-    # is cheap regression visibility for the streaming-agg topology)
+    # r16 second half: the live streaming drains (fingerprint-cached after
+    # the first rep — steady-state cost is the report read, so the rows
+    # are cheap regression visibility for the streaming-agg and
+    # custom-stateful topologies), plus the RP ANN composition
     "events_stream_windowed_watermark",
+    "events_stream_stateful_sessions",
+    "similarity_ann_rp",
 ]
 
 
