@@ -1433,6 +1433,32 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         fingerprint_cached_root,
     )
 
+    from pyspark.sql import Window
+
+    upd = _windowed_drain_updates(spark, sf_dir, "wmdrain", "update")
+    w = Window.partitionBy("ws", "event_type").orderBy(F.col("_bid").desc())
+    return (
+        upd.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            ts_str(F.col("ws")).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def _windowed_drain_updates(
+    spark: SparkSession, sf_dir: str, tag: str, mode: str
+) -> DataFrame:
+    """The shared windowed-count drain (both output modes): split events
+    through the 4-file landing, run withWatermark + hour-window counts,
+    append every emitted row (stamped with its batch id) to an updates
+    log, return the log. Fingerprint-cached per (app, sf_dir, tag)."""
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        fingerprint_cached_root,
+    )
+
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
     tagged = e.withColumn("_b", _stream_batch_no())
 
@@ -1464,7 +1490,7 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
             )
 
         q = (
-            agg.writeStream.outputMode("update")
+            agg.writeStream.outputMode(mode)
             .foreachBatch(fb)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
@@ -1473,20 +1499,62 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         _await_drain(q)
 
     root = fingerprint_cached_root(
-        spark, sf_dir, "wmdrain", ("events.parquet",),
+        spark, sf_dir, tag, ("events.parquet",),
         exists=lambda r: os.path.isdir(os.path.join(r, "updates")),
         build=drain,
     )
-    upd = spark.read.parquet(os.path.join(root, "updates"))
-    w = Window.partitionBy("ws", "event_type").orderBy(F.col("_bid").desc())
-    return (
-        upd.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            ts_str(F.col("ws")).alias("window_start"),
-            "event_type",
-            "cnt",
-        )
+    return spark.read.parquet(os.path.join(root, "updates"))
+
+
+# Append mode: the emission-timing twin of the update row. Probe-pinned
+# (r16): a window emits exactly once, in the first batch whose reported
+# watermark reaches its END (inclusive — end == wm emits); the final
+# no-data batch emits with wm = max event time over ALL batches minus the
+# delay, so the emitted SET is {windows: end <= final wm} over accepted
+# rows, and still-open windows are never emitted.
+@query(
+    "events_stream_windowed_append",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+               {_SQL_STREAM_BATCH} AS b
+        FROM events
+    ),
+    bmax AS (SELECT b, MAX(ts) AS mx FROM e GROUP BY b),
+    wm AS (
+        SELECT bb.b,
+               (SELECT MAX(p.mx) FROM bmax p WHERE p.b <= bb.b - 2)
+                   - INTERVAL 1 HOUR AS w
+        FROM (SELECT DISTINCT b FROM e) bb
+    ),
+    fin AS (SELECT MAX(EPOCH_MS(ts)) - 3600000 AS wf FROM e),
+    acc AS (
+        SELECT e.event_type, DATE_TRUNC('hour', e.ts) AS ws
+        FROM e JOIN wm ON wm.b = e.b
+        WHERE wm.w IS NULL
+           OR DATE_TRUNC('hour', e.ts) + INTERVAL 1 HOUR > wm.w
+    )
+    SELECT window_start, event_type, cnt FROM (
+        SELECT ws, {SQL_TS('ws')} AS window_start, event_type,
+               COUNT(*) AS cnt
+        FROM acc GROUP BY ws, event_type
+    ), fin
+    WHERE EPOCH_MS(ws + INTERVAL 1 HOUR) <= wf
+    """,
+)
+def events_stream_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The append-mode twin of events_stream_windowed_watermark: same
+    drain, same late-drop rule, but windows emit exactly once when the
+    watermark passes their end — so the report is simply every emitted
+    row, and the oracle adds one closed-form term to the update row's:
+    keep only windows whose end <= the final watermark (inclusive,
+    probe-pinned; still-open windows never emit). Counts cover exactly
+    the accepted rows because a window's late rows are dropped by the
+    same inclusive boundary once it has emitted. Scale shape identical
+    to the update row."""
+    upd = _windowed_drain_updates(spark, sf_dir, "wmappend", "append")
+    return upd.select(
+        ts_str(F.col("ws")).alias("window_start"), "event_type", "cnt"
     )
 
 
