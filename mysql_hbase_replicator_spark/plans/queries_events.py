@@ -1376,9 +1376,10 @@ def _await_drain(q) -> None:
 # the one committed at the START of the previous batch); a row is dropped
 # iff its WINDOW END <= that watermark (inclusive; the predicate tests the
 # window, not the raw ts — a row whose ts is behind the watermark but whose
-# window is still open is accepted). State eviction uses the same per-batch
-# value, so an evicted window can never be resurrected by a late row: both
-# sides of the oracle's closed form are stable.
+# window is still open is accepted). Eviction uses the CURRENT reported
+# watermark (the stateful-sessions probes separated the two), which equals
+# the NEXT batch's late-filter value — so an evicted window can never be
+# resurrected by a late row and the oracle's closed form is stable.
 # --------------------------------------------------------------------------
 @query(
     "events_stream_windowed_watermark",
