@@ -194,6 +194,7 @@ HEADLINE = [
     # are cheap regression visibility for the streaming-agg and
     # custom-stateful topologies), plus the RP ANN composition
     "events_stream_windowed_watermark",
+    "events_stream_windowed_append",
     "events_stream_stateful_sessions",
     "similarity_ann_rp",
 ]
