@@ -1763,3 +1763,135 @@ def events_stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         build=drain,
     )
     return spark.read.parquet(os.path.join(root, "updates"))
+
+
+# --------------------------------------------------------------------------
+# Spark's built-in streaming dedup (dropDuplicatesWithinWatermark) as a
+# CORRECTNESS row. Probe-pinned semantics (r16):
+#   - late filter: drop iff ts <= wm_report(N-1) (inclusive, LAGGED —
+#     identical to the stateful op's input filter);
+#   - dedup: a row is dropped iff its key's state survived the
+#     end-of-batch-(N-1) eviction; state expiry is the ADMITTED row's
+#     ts + delay — dropped duplicates do NOT extend it (probed: a dup
+#     arriving while state is alive leaves the expiry unchanged);
+#   - eviction runs at the END of each batch against that batch's
+#     reported watermark, so aliveness at batch N is simply
+#     admitted_ts + delay > wm_report(N-1);
+#   - an admitted row after eviction creates a FRESH state (re-admission).
+# The drain manufactures each path: batch 1 replays batch 0 verbatim
+# (every replay row dedup-dropped), batch 2 carries the withheld odd-id
+# early rows (late-filter-dropped) plus fresh days, batch 3 carries a
+# ts+18d shifted copy of batch 0 (states long evicted -> re-admitted).
+# Each key appears at most once per batch, so the admitted set is a
+# closed form.
+# --------------------------------------------------------------------------
+@query(
+    "events_stream_dedup_watermark",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+               DATE_PART('day', CAST(ts AS TIMESTAMP)) AS d
+        FROM events
+    ),
+    b0 AS (SELECT event_id, ts FROM base WHERE d <= 10 AND event_id % 2 = 0),
+    b1f AS (SELECT event_id, ts FROM base WHERE d BETWEEN 11 AND 12),
+    b2f AS (SELECT event_id, ts FROM base
+            WHERE (d <= 10 AND event_id % 2 = 1) OR d BETWEEN 13 AND 15),
+    b3f AS (SELECT event_id, ts FROM base WHERE d >= 16),
+    sh AS (SELECT event_id, ts + INTERVAL 18 DAY AS ts, ts AS orig_ts FROM b0),
+    mx AS (
+        -- wm_report(N-1) = max event time over batches <= N-2, minus the
+        -- delay: batch 2's filter/aliveness value covers batch 0 only;
+        -- batch 3's covers batches 0-1 (the replay repeats b0's maxima)
+        SELECT
+          (SELECT MAX(EPOCH_MS(ts)) FROM b0) - 3600000 AS w1,
+          (SELECT MAX(EPOCH_MS(ts)) FROM
+             (SELECT ts FROM b0 UNION ALL SELECT ts FROM b1f)) - 3600000 AS w2
+    ),
+    adm AS (
+        -- batch 0: all fresh, epoch watermark
+        SELECT event_id, ts FROM b0
+        -- batch 1: fresh day-11/12 keys admitted; the b0 replay is
+        -- dedup-dropped (state alive vs the epoch watermark) and is
+        -- therefore absent here
+        UNION ALL SELECT event_id, ts FROM b1f
+        -- batch 2: fresh keys, but the lagged inclusive filter drops
+        -- ts <= wm_report(1)
+        UNION ALL SELECT e.event_id, e.ts FROM b2f e, mx
+                  WHERE EPOCH_US(e.ts) > w1 * 1000
+        -- batch 3: fresh day>=16 keys behind the wm_report(2) filter
+        UNION ALL SELECT e.event_id, e.ts FROM b3f e, mx
+                  WHERE EPOCH_US(e.ts) > w2 * 1000
+        -- batch 3 shifted replay: re-admitted iff the original state was
+        -- evicted (orig ts + 1h <= wm_report(2)); always behind the filter
+        UNION ALL SELECT s.event_id, s.ts FROM sh s, mx
+                  WHERE EPOCH_US(s.ts) > w2 * 1000
+                    AND NOT (EPOCH_US(s.orig_ts) + 3600000000 > w2 * 1000)
+    )
+    SELECT event_id, {SQL_TS('ts')} AS admitted_ts FROM adm
+    """,
+)
+def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's dropDuplicatesWithinWatermark through a live 4-batch drain
+    with a verbatim replay, withheld late rows, and an 18-day-shifted
+    re-delivery: the admitted (event_id, ts) set is hash-checked against
+    the probe-derived closed form (see the block comment). Exercises all
+    four paths: first-admission, dedup-drop of an alive key, late-filter
+    drop, and re-admission after watermark eviction.
+
+    Scale shape: the canonical streaming-dedup topology — one shuffle per
+    micro-batch onto state-store partitions, one (key, ts) state row per
+    alive key, bounded by watermark eviction. Fingerprint-cached per
+    (app, sf_dir) like the other streaming rows."""
+    from mysql_hbase_replicator_spark.plans.queries_extra import (
+        fingerprint_cached_root,
+    )
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    d = F.dayofmonth("ts")
+    b0 = e.filter((d <= 10) & (F.col("event_id") % 2 == 0))
+    batches = [
+        b0,
+        e.filter(d.between(11, 12)).unionByName(b0),  # replay of b0
+        e.filter(((d <= 10) & (F.col("event_id") % 2 == 1)) | d.between(13, 15)),
+        e.filter(d >= 16).unionByName(
+            b0.withColumn("ts", F.col("ts") + F.expr("INTERVAL 18 DAYS"))
+        ),
+    ]
+    tagged = None
+    for k, frame in enumerate(batches):
+        part = frame.withColumn("_b", F.lit(k).cast("int"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    def drain(root: str) -> None:
+        landing, schema = _write_mtime_landing(tagged, root)
+        ckpt = os.path.join(root, "ckpt")
+        updates = os.path.join(root, "updates")
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+        )
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+
+        def fb(df: DataFrame, bid: int) -> None:
+            df.write.mode("append").parquet(updates)
+
+        q = (
+            deduped.writeStream.outputMode("update")
+            .foreachBatch(fb)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await_drain(q)
+
+    root = fingerprint_cached_root(
+        spark, sf_dir, "dddrain", ("events.parquet",),
+        exists=lambda r: os.path.isdir(os.path.join(r, "updates")),
+        build=drain,
+    )
+    upd = spark.read.parquet(os.path.join(root, "updates"))
+    return upd.select("event_id", ts_str(F.col("ts")).alias("admitted_ts"))

@@ -339,3 +339,38 @@ def test_stateful_sessions_row_exercises_midstream_timeouts():
         "SELECT COUNT(*) FROM s3 WHERE n0 IS NOT NULL AND n2 IS NOT NULL "
         "AND day <= 10"
     ) > 0                                                      # late-accept merge path
+
+
+def test_stream_dedup_row_exercises_all_paths():
+    """events_stream_dedup_watermark only proves the dedup state machine
+    if each path fires: pin via the oracle's own CTEs that the replay is
+    non-empty (every replay row is dedup-dropped), the late filter drops
+    some withheld early rows, and the shifted re-delivery re-admits keys
+    whose state the watermark evicted."""
+    import duckdb
+
+    from mysql_hbase_replicator_spark.plans.registry import (
+        ORACLE_REGISTRY,
+        load_all_queries,
+    )
+
+    load_all_queries()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet'")
+    sql = ORACLE_REGISTRY["events_stream_dedup_watermark"]
+    prefix = sql.split(",\n    adm AS")[0]
+
+    def n(q):
+        return con.execute(prefix + " " + q).fetchone()[0]
+
+    n_b0 = n("SELECT COUNT(*) FROM b0")
+    assert n_b0 > 0  # the replay (all dedup-dropped) is non-empty
+    late_dropped = n(
+        "SELECT COUNT(*) FROM b2f e, mx WHERE EPOCH_US(e.ts) <= w1 * 1000"
+    )
+    assert late_dropped > 0  # late filter fires
+    readmitted = n(
+        "SELECT COUNT(*) FROM sh s, mx WHERE EPOCH_US(s.ts) > w2 * 1000 "
+        "AND NOT (EPOCH_US(s.orig_ts) + 3600000000 > w2 * 1000)"
+    )
+    assert readmitted > 0  # eviction + re-admission fires
