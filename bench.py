@@ -196,6 +196,7 @@ HEADLINE = [
     "events_stream_windowed_watermark",
     "events_stream_windowed_append",
     "events_stream_stateful_sessions",
+    "events_stream_dedup_watermark",
     "similarity_ann_rp",
 ]
 
