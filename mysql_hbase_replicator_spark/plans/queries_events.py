@@ -1303,6 +1303,9 @@ _SQL_STREAM_BATCH = """CASE WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 10
                     WHEN DATE_PART('day', CAST(ts AS TIMESTAMP)) <= 15 THEN 2
                     ELSE 3 END"""
 
+# the batch-split CASE above, the streaming oracles' unrolled closed forms,
+# and the dedup row's explicit batch list are all written for EXACTLY this
+# many batches — change them together or not at all
 N_STREAM_FILES = 4
 
 
@@ -1428,12 +1431,6 @@ def events_stream_windowed_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     report a window over O(#windows x #types) rows. The drain is
     fingerprint-cached per (app, sf_dir) like the snapshot-transport rows
     — re-verification replays the report, not the stream."""
-    from pyspark.sql import Window
-
-    from mysql_hbase_replicator_spark.plans.queries_extra import (
-        fingerprint_cached_root,
-    )
-
     from pyspark.sql import Window
 
     upd = _windowed_drain_updates(spark, sf_dir, "wmdrain", "update")
@@ -1858,6 +1855,11 @@ def events_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
             b0.withColumn("ts", F.col("ts") + F.expr("INTERVAL 18 DAYS"))
         ),
     ]
+    # the oracle's closed form is unrolled over exactly these batches, and
+    # _write_mtime_landing emits one landing file per _b in
+    # range(N_STREAM_FILES) — a drifted count would add phantom empty
+    # micro-batches that silently shift the engine's batch numbering
+    assert len(batches) == N_STREAM_FILES
     tagged = None
     for k, frame in enumerate(batches):
         part = frame.withColumn("_b", F.lit(k).cast("int"))
