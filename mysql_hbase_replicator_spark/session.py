@@ -151,6 +151,16 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- broadcast: dims like region/nation/supplier are tiny ---------
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- joins: allow shuffled-hash when the per-partition build side
+        # fits (guide §3.1) — the r16 A/B measured the string-keyed
+        # self-join family (shingle Jaccard, LSH bands, tfidf pairs) at
+        # 0.54-0.9× of the SortMergeJoin walls: the SMJ's per-partition
+        # string sort was pure overhead on hash-equality joins. Planner
+        # still falls back to SMJ whenever the build side's size estimate
+        # exceeds numShufflePartitions × autoBroadcastJoinThreshold, so
+        # large-large joins at the 100 TB regime keep the spill-graceful
+        # strategy; stat-less (checkpointed) plans also keep SMJ. ----------
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- timestamps: parquet int96/µs round-trip sanity ---------------
         .config("spark.sql.session.timeZone", "UTC")
         # events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
