@@ -1313,36 +1313,43 @@ def dedup_minhash_lsh_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame
 
 def _jaccard_from_hashed(hashed: DataFrame, candidates: DataFrame) -> DataFrame:
     """Exact h0-intersection Jaccard for the given candidate pairs:
-    broadcast-semi-prune the shingle-hash table to candidate docs, then
-    per-pair intersection join — cost O(|candidates| × shingles/doc), the
-    `_minhash_lsh_jaccard` re-rank extracted for reuse by the pre-filtered
-    variant. Returns (doc_a, doc_b, jaccard)."""
+    broadcast-semi-prune the shingle-hash table to candidate docs, pack each
+    candidate doc's shingle hashes into ONE array row, then attach both
+    pairs' arrays and intersect map-side — cost O(|candidates| ×
+    shingles/doc), the `_minhash_lsh_jaccard` re-rank extracted for reuse
+    by the pre-filtered variants. Returns (doc_a, doc_b, jaccard).
+
+    r16 optimization (guide §2.4): the former shape — per-pair h0
+    intersection JOIN + its groupBy + a separate per-doc count aggregate +
+    two count-attach joins — spent ~6 post-prune stages on a candidate set
+    that is tiny next to the corpus. The packed form is one groupBy + two
+    pair-keyed joins + a map-side array_intersect: measured 1.37 → 0.84 s
+    (best-of-5, warm) on dedup_minhash_lsh's re-rank at sf0.1, bit-equal
+    output on all 256 pairs. Values are unchanged because each doc's h0
+    set is distinct (word_shingles array_distinct + 60-bit h0), so
+    |array_intersect| equals the h0-equijoin match count and n_a/n_b equal
+    the array sizes; the double arithmetic is the same expression. The
+    per-doc array rows shuffle through the two pair joins instead of
+    exploded h0 rows through one — the same bytes, fewer stages."""
     cand_ids = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
         .dropDuplicates()
     )
     sh = hashed.join(F.broadcast(cand_ids), "doc_id", "left_semi")
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "h0")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "h0")
-    inter = (
-        candidates.join(a, "doc_a")
-        .join(b, ["doc_b", "h0"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    sets = sh.groupBy("doc_id").agg(F.collect_list("h0").alias("hs"))
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
     return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
         .select(
             "doc_a",
             "doc_b",
             (
                 F.col("n_common").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double")
+                / (F.size("hs_a") + F.size("hs_b") - F.col("n_common")).cast("double")
             ).alias("jaccard"),
         )
     )
