@@ -297,12 +297,26 @@ def main() -> None:
         if best_load is not None:
             query_load[name] = best_load
 
+    # Measurement isolation between blocks (guide §1; r16): the headline
+    # loop ends on the job-storm drains and leaves the JVM carrying their
+    # heap/GC debt — measured at ~25% on the CDC kernel (63.5k ev/s
+    # in-bench vs 81.2k standalone on byte-identical code, idle box, r16
+    # baseline day). Settle the JVM before each summary block so it
+    # measures its own work, not the previous block's garbage. The timed
+    # computations themselves are unchanged.
+    def _settle() -> None:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2.0)
+
+    _settle()
     cdc = bench_cdc_throughput(spark)
     # 10× batch: the 200k batch is fixed-floor-dominated (~3 s of plan/
     # action cost); at 2M events the same kernel amortizes to ~1 µs/row —
     # the number that scales to backfills (r10: 780k/902k ev/s vs 66k/120k)
     cdc_10x = bench_cdc_throughput(spark, n_events=2_000_000)
     pruning = bench_partition_pruning(spark, sf_dir)
+    _settle()
     streaming = bench_streaming(spark)
     # the 8M-row plain-vs-salted SMJ pair materially lengthens the run and
     # competes for cores, so it's opt-in (ADVICE r4): pass --skew to record

@@ -93,7 +93,13 @@ class _CompactingIndexBase:
                 return True
         return False
 
-    def _pruned_read(self, live_dir: str, dir_col: str, vals: DataFrame) -> DataFrame:
+    def _pruned_read(
+        self,
+        live_dir: str,
+        dir_col: str,
+        vals: DataFrame,
+        schema: str | None = None,
+    ) -> DataFrame:
         """Read a hive-partitioned store statically filtered to the
         partition values appearing in ``vals`` (a single-column frame).
         The value list is driver-collected — bounded metadata (<= the
@@ -103,9 +109,19 @@ class _CompactingIndexBase:
         partition pruning could do this at runtime, but its selectivity
         heuristic never fires on stat-less checkpointed batch plans
         (measured r16, not assumed). One definition for all three
-        dedupers' screens."""
+        dedupers' screens.
+
+        ``schema`` (each deduper's INDEX_SCHEMA/... constant — the store
+        layouts are owned by this module, so the declared schema cannot
+        drift from the written one) skips the per-trigger footer-read
+        schema-inference job; the drains re-open their stores several
+        times per batch and the inference jobs were pure driver-side
+        overhead (guide §6 / r16)."""
         keys = [r[0] for r in vals.distinct().collect()]
-        return self.spark.read.parquet(live_dir).filter(F.col(dir_col).isin(keys))
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(live_dir).filter(F.col(dir_col).isin(keys))
 
     def _migrate_flat_layout(
         self,
@@ -161,6 +177,7 @@ class _CompactingIndexBase:
         partition_cols: list[str],
         dedupe: bool = False,
         dir_partition_by: list[str] | None = None,
+        schema: str | None = None,
     ) -> int:
         """Atomic swap: stage → retire old → promote staged → drop retired.
         ``dedupe`` drops exact-duplicate rows during the rewrite — the
@@ -182,7 +199,10 @@ class _CompactingIndexBase:
         if not self._parquet_files(live_dir):
             return 0
         staging, retired = live_dir + ".compacting", live_dir + ".retired"
-        frame = self.spark.read.parquet(live_dir)
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        frame = reader.parquet(live_dir)
         if dedupe:
             frame = frame.distinct()
         writer = frame.repartition(
@@ -212,6 +232,12 @@ class IncrementalDeduper(_CompactingIndexBase):
     # count stays trivial
     SHINGLE_BUCKETS = 64
 
+    # store layouts are owned by this class (band_hashes / hashed_shingles
+    # output types), declared so every per-trigger read skips the
+    # footer-read schema-inference job (r16)
+    INDEX_SCHEMA = "doc_id long, band_idx int, band_hash long"
+    SHINGLE_SCHEMA = "doc_id long, h0 long, sbucket int"
+
     def __init__(
         self,
         spark: SparkSession,
@@ -231,18 +257,20 @@ class IncrementalDeduper(_CompactingIndexBase):
         """Rewrite the index (and, in re-rank mode, the shingle store) into
         n_compact_partitions join-aligned files each. Returns the resulting
         band-index file count."""
-        n = self._compact_dir(self.index_dir, ["band_idx", "band_hash"])
+        n = self._compact_dir(
+            self.index_dir, ["band_idx", "band_hash"], schema=self.INDEX_SCHEMA
+        )
         if self.rerank_threshold is not None:
             self._compact_dir(
                 self.shingle_dir, ["doc_id"], dedupe=True,
-                dir_partition_by=["sbucket"],
+                dir_partition_by=["sbucket"], schema=self.SHINGLE_SCHEMA,
             )
         return n
 
     def _index(self) -> DataFrame | None:
         if not self._data_files():
             return None
-        return self.spark.read.parquet(self.index_dir)
+        return self.spark.read.schema(self.INDEX_SCHEMA).parquet(self.index_dir)
 
     def _rejected(self, bands: DataFrame, hashed: DataFrame) -> DataFrame:
         """The (doc_id) rows to reject for this batch — band-level verdicts,
@@ -305,6 +333,7 @@ class IncrementalDeduper(_CompactingIndexBase):
                     cand_priors.select(
                         F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS))
                     ),
+                    schema=self.SHINGLE_SCHEMA,
                 )
                 .drop("sbucket")
                 .join(F.broadcast(cand_priors), "doc_id", "left_semi")
@@ -423,6 +452,7 @@ class IncrementalExactDeduper(_CompactingIndexBase):
     unlike the band index the fp store is semantically a SET)."""
 
     FP_BUCKETS = 64
+    INDEX_SCHEMA = "fp long, fbucket int"
 
     def __init__(
         self,
@@ -438,7 +468,8 @@ class IncrementalExactDeduper(_CompactingIndexBase):
 
     def compact(self) -> int:
         return self._compact_dir(
-            self.index_dir, ["fp"], dedupe=True, dir_partition_by=["fbucket"]
+            self.index_dir, ["fp"], dedupe=True, dir_partition_by=["fbucket"],
+            schema=self.INDEX_SCHEMA,
         )
 
     def process_batch(self, docs: DataFrame) -> DataFrame:
@@ -464,6 +495,7 @@ class IncrementalExactDeduper(_CompactingIndexBase):
                 self.index_dir,
                 "fbucket",
                 fps.select(F.pmod("fp", F.lit(self.FP_BUCKETS))),
+                schema=self.INDEX_SCHEMA,
             )
             # inner join, batch side broadcast (BuildLeft is not supported
             # for left-semi, and the trailing distinct dedupes multi-row
@@ -532,6 +564,8 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
     Compaction inherits the stage → retire → promote swap."""
 
     CENT_SUFFIX = ".centroids"
+    INDEX_SCHEMA = "vec_id long, embedding array<float>, nsq double, cell int"
+    CENT_SCHEMA = "cid int, c array<float>"
 
     def __init__(
         self,
@@ -601,8 +635,10 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         return self._load_centroids()
 
     def _load_centroids(self) -> DataFrame:
-        frame = self.spark.read.parquet(self.centroid_dir).agg(
-            F.collect_list(F.struct("cid", "c")).alias("cents")
+        frame = (
+            self.spark.read.schema(self.CENT_SCHEMA)
+            .parquet(self.centroid_dir)
+            .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
         )
         self._cents_rows = frame.collect()
         self._cents_schema = frame.schema
@@ -656,7 +692,8 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             # not O(|index|).
             vs_index = F.broadcast(assigned).join(
                 self._pruned_read(
-                    self.index_dir, "cell", assigned.select("cell")
+                    self.index_dir, "cell", assigned.select("cell"),
+                    schema=self.INDEX_SCHEMA,
                 ).select(
                     "cell",
                     F.col("embedding").alias("emb_p"),
@@ -692,10 +729,13 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         was just scanned anyway."""
         import logging
 
-        n = self._compact_dir(self.index_dir, ["cell"], dir_partition_by=["cell"])
+        n = self._compact_dir(
+            self.index_dir, ["cell"], dir_partition_by=["cell"],
+            schema=self.INDEX_SCHEMA,
+        )
         if n:
             occ = (
-                self.spark.read.parquet(self.index_dir)
+                self.spark.read.schema(self.INDEX_SCHEMA).parquet(self.index_dir)
                 .groupBy("cell")
                 .count()
                 .agg(

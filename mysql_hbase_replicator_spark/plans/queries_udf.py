@@ -234,8 +234,19 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile sorts within the group; at 100 TB prefer approx_percentile
     (t-digest, merge-able map-side) unless exactness is contractual."""
     l = load_table(spark, sf_dir, "lineitem")
+    # one percentile buffer for BOTH l_quantity cuts (r16): the array form
+    # sorts each group's quantities once and interpolates both fractions
+    # from the same sorted run — two scalar percentile aggs each held and
+    # sorted their own copy of every group value. Same interpolation
+    # arithmetic, bit-identical output; the l_extendedprice cut keeps its
+    # own buffer (different column).
+    qty = F.percentile("l_quantity", F.array(F.lit(0.5), F.lit(0.9)))
     return l.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
-        F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90_qty"),
+        qty.alias("_qty_pcts"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+    ).select(
+        "l_returnflag",
+        F.round(F.col("_qty_pcts")[0], 6).alias("p50_qty"),
+        F.round(F.col("_qty_pcts")[1], 6).alias("p90_qty"),
+        "p90_price",
     )
