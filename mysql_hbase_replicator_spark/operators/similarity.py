@@ -478,24 +478,67 @@ def _ivf_probe(
     )
 
 
+def _collected_codebooks(cbs: DataFrame, pq_m: int, pq_subdim: int):
+    """The one-row codebook frame collected to pq_m (pq_k × pq_subdim)
+    float64 matrices — bounded metadata (the same class as the centroid
+    collects), closed over by the vectorized encode/table kernels below.
+    float32 → float64 via the same cast the expression form applied."""
+    import numpy as np
+
+    row = cbs.first()["cbs"]
+    return [
+        np.array([list(w) for w in words], dtype=np.float32).astype(np.float64)
+        for words in row
+    ]
+
+
+def _seq_l2_acc(v, w):
+    """Left-to-right dim-axis fold of squared differences: acc_j = acc_{j-1}
+    + (v_j - w_j)² in float64 — the identical rounding sequence to _l2_sq's
+    zip_with/aggregate fold and the DuckDB oracle's LIST_SUM, vectorized
+    across (rows × codewords). v: n×d, w: k×d → n×k."""
+    import numpy as np
+
+    acc = np.zeros((v.shape[0], w.shape[0]))
+    for j in range(v.shape[1]):
+        d = v[:, j, None] - w[None, :, j]
+        acc = acc + d * d
+    return acc
+
+
 def _pq_encode_corpus(e: DataFrame, cbs: DataFrame, pq_m: int, pq_subdim: int) -> DataFrame:
     """Corpus → PQ codes (vec_id, codes): per subspace, the index of the
-    nearest codeword. Map-only over a broadcast codebook row; shared by
-    pq_topk and IVF-PQ."""
-    code_cols = []
-    for m in range(pq_m):
-        svec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
-        code_cols.append(
-            F.array_min(
-                F.transform(
-                    F.col("cbs")[m],
-                    # bound immediately by F.transform, so loop capture is safe
-                    lambda w, i: F.struct(_l2_sq(svec, w).alias("d"), i.alias("idx")),
-                )
-            )["idx"]
-        )
-    return e.crossJoin(F.broadcast(cbs)).select(
-        "vec_id", F.array(*code_cols).alias("codes")
+    nearest codeword. Map-only, shared by pq_topk and IVF-PQ.
+
+    Vectorized Arrow form (r16, guide §4.2): the expression version
+    unrolled pq_m × pq_k × pq_subdim distance folds into a Catalyst tree
+    whose ANALYSIS dominated the query build (same finding as
+    _rp_projected); one numpy kernel with the collected codebooks closed
+    over replaces it. Bit-exactness: _seq_l2_acc reproduces _l2_sq's fold
+    order, and np.argmin's first-minimal-index tie-break equals the
+    array_min over struct(d, idx) ordering (codewords are cid-ascending in
+    cbs). Codes verified identical on the full corpus in the r16 A/B."""
+    import numpy as np
+    import pandas as pd
+
+    books = _collected_codebooks(cbs, pq_m, pq_subdim)
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({"vec_id": pdf["vec_id"], "codes": []})
+                continue
+            v = np.array(list(pdf["embedding"]), np.float32).astype(np.float64)
+            codes = np.empty((len(pdf), pq_m), dtype=np.int32)
+            for m in range(pq_m):
+                sub = v[:, m * pq_subdim : (m + 1) * pq_subdim]
+                codes[:, m] = np.argmin(_seq_l2_acc(sub, books[m]), axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id long, codes array<int>"
     )
 
 
@@ -503,19 +546,55 @@ def _pq_query_row(
     e: DataFrame, cbs: DataFrame, n_queries: int, pq_m: int, pq_subdim: int
 ) -> DataFrame:
     """Query rows with their precomputed PQ_M×PQ_K asymmetric distance
-    tables: (query_id, q_emb, q_nsq, dtab). Shared by pq_topk and IVF-PQ."""
-    dtab_cols = []
-    for m in range(pq_m):
-        qsvec = F.slice(F.col("embedding"), m * pq_subdim + 1, pq_subdim)
-        dtab_cols.append(F.transform(F.col("cbs")[m], lambda w: _l2_sq(qsvec, w)))
+    tables: (query_id, q_emb, q_nsq, dtab). Shared by pq_topk and IVF-PQ.
+    Same vectorized-Arrow conversion (and the same _seq_l2_acc fold-order
+    bit-exactness argument) as _pq_encode_corpus above — the dtab tree was
+    the other half of the analysis cost."""
+    import numpy as np
+    import pandas as pd
+
+    books = _collected_codebooks(cbs, pq_m, pq_subdim)
+
+    def tables(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["vec_id"],
+                        "q_emb": [],
+                        "q_nsq": pdf["nsq"],
+                        "dtab": [],
+                    }
+                )
+                continue
+            v = np.array(list(pdf["embedding"]), np.float32).astype(np.float64)
+            # n × pq_m × pq_k: per query row, the full asymmetric table
+            stacked = np.stack(
+                [
+                    _seq_l2_acc(
+                        v[:, m * pq_subdim : (m + 1) * pq_subdim], books[m]
+                    )
+                    for m in range(pq_m)
+                ],
+                axis=1,
+            )
+            dtabs = [list(stacked[i]) for i in range(len(pdf))]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["vec_id"].to_numpy(),
+                    "q_emb": list(pdf["embedding"]),
+                    "q_nsq": pdf["nsq"].to_numpy(),
+                    "dtab": dtabs,
+                }
+            )
+
     return (
         e.filter(F.col("vec_id") < n_queries)
-        .crossJoin(F.broadcast(cbs))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("q_emb"),
-            F.col("nsq").alias("q_nsq"),
-            F.array(*dtab_cols).alias("dtab"),
+        .select("vec_id", "embedding", "nsq")
+        .mapInPandas(
+            tables,
+            "query_id long, q_emb array<float>, q_nsq double, "
+            "dtab array<array<double>>",
         )
     )
 
