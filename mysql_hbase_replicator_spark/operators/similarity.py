@@ -312,21 +312,51 @@ def _quantized_mean(col: Column, count: Column) -> Column:
 
 
 def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment with NO row explosion: the centroid set is
-    one broadcast row holding array<struct<cid,c>>; per corpus row an
-    ``array_min`` over ``transform`` picks the (distance, cid) minimum.
-    Struct ordering breaks ties on cid, so assignment is deterministic."""
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _l2_sq(F.col("embedding"), c["c"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
+    """Nearest-centroid assignment with NO row explosion or shuffle: the
+    centroid table (bounded metadata — ≤ K cid/vector structs, the same
+    class as the LSM stores' changed-bucket collects) is collected once
+    and closed over by a vectorized Arrow kernel; per corpus row the
+    (distance, cid) minimum picks the cell. Extra input columns pass
+    through unchanged; ``cents`` never lands in the output — the same
+    contract as the previous crossJoin(broadcast)+array_min expression
+    form.
+
+    Vectorized form (r16, guide §4.2): _seq_l2_acc reproduces _l2_sq's
+    left-to-right dim-axis float64 fold bit-for-bit, and with the
+    codebook sorted cid-ascending np.argmin's first-minimal-index
+    tie-break equals the array_min struct(d, cid) ordering — assignment
+    is deterministic and bit-identical to the expression form (verified
+    cell-for-cell on the full corpus in the r16 A/B; the five consumer
+    queries stay oracle-green)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    row = cents_row.first()
+    out_schema = T.StructType(
+        list(vectors.schema.fields) + [T.StructField("cell", T.IntegerType())]
     )
-    return vectors.crossJoin(F.broadcast(cents_row)).withColumn(
-        "cell", best["cid"]
-    ).drop("cents")
+    if row is None:
+        # empty centroid FRAME: the old crossJoin produced zero rows
+        return vectors.where(F.lit(False)).withColumn(
+            "cell", F.lit(None).cast("int")
+        )
+    cents = sorted(((s["cid"], list(s["c"])) for s in row["cents"] or []))
+    if not cents:
+        # one row, empty array: array_min over [] was NULL for every row
+        return vectors.withColumn("cell", F.lit(None).cast("int"))
+    cids = np.array([c[0] for c in cents], dtype=np.int32)
+    mat = np.array([c[1] for c in cents], dtype=np.float32).astype(np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf.assign(cell=np.array([], dtype=np.int32))
+                continue
+            v = np.array(list(pdf["embedding"]), np.float32).astype(np.float64)
+            idx = np.argmin(_seq_l2_acc(v, mat), axis=1)
+            yield pdf.assign(cell=cids[idx])
+
+    return vectors.mapInPandas(assign, out_schema)
 
 
 def _kmeans_step(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
