@@ -826,13 +826,27 @@ def _min_label_components(strong: DataFrame) -> tuple[DataFrame, int]:
         )
         .persist()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    ).persist()
-
+    # Round 1 folded into the label initialization (r16, guide §2.4): with
+    # every label seeded as the node id itself, round 1's neighbor-min is
+    # just min(dst) per src — one groupBy over the edge table computes the
+    # round-1 labels directly, saving the first round's edges⋈labels join
+    # (the edge build's first materialization rides on this job instead).
+    # Identical to the unfolded round 1: every node in the frame has ≥1
+    # edge, so the old coalesce(nlabel, label) never fired there.
     max_rounds = 20
-    n_rounds = 0
-    for _ in range(max_rounds):
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .select(
+            F.col("src").alias("node"),
+            "label",
+            (F.col("label") != F.col("src")).alias("chg"),
+        )
+        .persist()
+    )
+    changed = labels.filter(F.col("chg")).count()
+    n_rounds = 1
+    while changed and n_rounds < max_rounds:
         n_rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -864,9 +878,7 @@ def _min_label_components(strong: DataFrame) -> tuple[DataFrame, int]:
         # plan); the extra chg column is ignored by the next round's joins
         # and dropped by the terminal select
         labels = new_labels
-        if changed == 0:
-            break
-    else:
+    if changed:
         # the oracle computes the FULL recursive closure — exiting the cap
         # with labels still moving would silently disagree with it. Release
         # the pinned caches before propagating (the caller never gets a
