@@ -911,7 +911,8 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     precomputes a PQ_M×PQ_K table of subspace distances, and the scan then
     costs PQ_M array lookups + adds per corpus row instead of EMB_DIM
     multiplies. At 100 TB: codebooks are one broadcast row; encode and the
-    ADC scan are map-only over the corpus (no shuffle, no UDF — lookups are
+    ADC scan are map-only over the corpus (no shuffle — encode is one
+    vectorized Arrow pass per scan partition, the ADC lookups are
     ``zip_with``/``element_at`` expressions inside codegen); the only
     shuffles are the two tiny top-k windows keyed by query_id. Candidates
     are exact-cosine re-ranked from the raw vectors (asymmetric distance is
