@@ -1355,9 +1355,29 @@ def _rp_proj_sql() -> str:
     """
 
 
+def _rp_proj_exploded_sql() -> str:
+    """The declared-row form of _rp_proj_sql: one (vec_id, pos, value) row
+    per projected dimension instead of an array column. The driver's
+    canonicalizer sorts output columns with pandas, which cannot hash list
+    cells (CORRECTNESS_r16: both raw-array rows crashed it) — every other
+    array-producing query already serializes (agg_collect_list_set) or
+    explodes; this is the exploded form, keeping the doubles as typed
+    columns so bit-equality is compared numerically, not textually."""
+    return f"""
+    SELECT e.vec_id, CAST(o.k - 1 AS INT) AS pos,
+           LIST_SUM(LIST_TRANSFORM(RANGE(1, {EMB_DIM} + 1),
+                   i -> (CASE WHEN (({_RP_A} * ((o.k - 1) * {EMB_DIM} + (i - 1))
+                                    + {_RP_B}) % {_RP_P}) % 2 = 0
+                              THEN 1.0 ELSE -1.0 END)
+                        * CAST(e.embedding[i] AS DOUBLE)))
+                / SQRT({RP_DIM}.0) AS value
+    FROM embeddings e, (SELECT UNNEST(RANGE(1, {RP_DIM} + 1)) AS k) o
+    """
+
+
 @query(
     "embedding_random_projection",
-    oracle=_rp_proj_sql(),
+    oracle=_rp_proj_exploded_sql(),
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss dimensionality reduction: project every
@@ -1366,12 +1386,24 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine at corpus scale (4x less memory and dot-product work;
     pairwise distances preserved within the JL distortion bound).
 
+    Declared output is the EXPLODED (vec_id, pos, value) form: the driver's
+    canonicalizer cannot sort raw array columns (CORRECTNESS_r16 — both
+    array-exposing rows crashed it; r17 fix per the r16 verdict #1), and
+    exploding keeps each float64 a typed scalar cell so cross-engine
+    bit-equality is checked numerically. The ANN composition
+    (similarity_ann_rp) consumes the packed `_rp_projected` form directly —
+    this row's explode is presentation only, computed map-side by
+    posexplode over the same kernel output.
+
     Scale shape: entirely map-side — one vectorized Arrow pass per scan
     partition with the RP_DIM x EMB_DIM sign matrix closed over by the
-    kernel; NO shuffle, NO broadcast, bit-equal float64 on both engines
-    (see _rp_projected for the fold-order argument)."""
+    kernel, then a codegen posexplode; NO shuffle, NO broadcast, bit-equal
+    float64 on both engines (see _rp_projected for the fold-order
+    argument)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return _rp_projected(e)
+    return _rp_projected(e).select(
+        "vec_id", F.posexplode("proj").alias("pos", "value")
+    ).select("vec_id", F.col("pos").cast("int").alias("pos"), "value")
 
 
 # Projected-space candidates per query. Measured on the test corpus (r16):
@@ -1536,7 +1568,7 @@ def _quantize_int8_oracle_sql() -> str:
                e.embedding, sl
         FROM embeddings e, scales
     )
-    SELECT vec_id, q,
+    SELECT vec_id, ARRAY_TO_STRING(q, '|') AS q,
            LIST_SUM(LIST_TRANSFORM(RANGE(1, {D} + 1),
                i -> (CAST(embedding[i] AS DOUBLE) - q[i] * sl[i])
                     * (CAST(embedding[i] AS DOUBLE) - q[i] * sl[i])))
@@ -1552,6 +1584,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dimension symmetric max-abs scales, values rounded via the
     engine-neutral FLOOR(v/s + 0.5) and clipped to [-127, 127], plus the
     per-vector reconstruction MSE a curation pipeline thresholds on.
+
+    The code vector is declared as a '|'-joined string (positional order,
+    int text is exact in both engines): the driver's canonicalizer cannot
+    sort raw array columns (CORRECTNESS_r16 crash; r17 fix per the r16
+    verdict #1) — the same serialization agg_collect_list_set already
+    uses. The MSE stays a typed double computed from the int array BEFORE
+    serialization, so numeric parity is untouched.
 
     Scale shape: one posexplode pass with map-side partial max per
     dimension (output D rows), the D-entry scale vector broadcast as ONE
@@ -1588,7 +1627,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda r, v: (v.cast("double") - r) * (v.cast("double") - r),
     )
     mse = F.aggregate(err, F.lit(0.0), lambda a, x: a + x) / F.lit(float(EMB_DIM))
-    return qd.select("vec_id", "q", mse.alias("mse"))
+    return qd.select(
+        "vec_id",
+        F.array_join(F.col("q").cast("array<string>"), "|").alias("q"),
+        mse.alias("mse"),
+    )
 
 
 def semantic_dedup(

@@ -942,7 +942,12 @@ def test_embedding_quantize_int8_invariants(spark):
     rows = embedding_quantize_int8(spark, "/root/testdata/sf0.001").collect()
     assert rows
     for r in rows:
-        assert all(-127 <= q <= 127 for q in r.q)
+        # codes are declared as a '|'-joined string (the driver's
+        # canonicalizer cannot sort raw array cells — r17); int text is
+        # exact, so parsing back recovers the code vector losslessly
+        codes = [int(x) for x in r.q.split("|")]
+        assert len(codes) == 64
+        assert all(-127 <= q <= 127 for q in codes)
         # worst-case per-dim error is s/2 with s <= maxabs/127; embedding
         # values are O(1), so MSE must be far below the signal scale
         assert 0.0 <= r.mse < 1e-3
