@@ -162,6 +162,19 @@ def adaptive_salted_join(
     hot = sampled_key_widths(
         skewed, on, sample_fraction, rows_per_salt, max_salts, seed
     )
+    if not hot:
+        # No oversized key found: every width is 1, so the salt column is
+        # identically 0 on both sides and joining on [*on, SALT] equals
+        # joining on `on` alone — skip the salt machinery entirely (r17,
+        # guide §2.4). This removes two broadcast width-attach joins, the
+        # build-side explode, and — decisively — lets the planner pick a
+        # broadcast join for a small build side: the salted form's explode
+        # destroyed the build's size estimate, forcing a full shuffle +
+        # sort-merge of the probe on a key extended with a constant.
+        # Result equality is exact (the oracle row proves it); the salted
+        # path below is exercised whenever the histogram finds real skew
+        # (tests + the bench skew block).
+        return skewed.join(other, on, how)
     spark = skewed.sparkSession
     key_fields = [skewed.schema[c] for c in on]
     from pyspark.sql.types import IntegerType, StructField, StructType

@@ -152,14 +152,18 @@ def get_spark(
         # --- broadcast: dims like region/nation/supplier are tiny ---------
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- joins: allow shuffled-hash when the per-partition build side
-        # fits (guide §3.1) — the r16 A/B measured the string-keyed
-        # self-join family (shingle Jaccard, LSH bands, tfidf pairs) at
-        # 0.54-0.9× of the SortMergeJoin walls: the SMJ's per-partition
-        # string sort was pure overhead on hash-equality joins. Planner
-        # still falls back to SMJ whenever the build side's size estimate
-        # exceeds numShufflePartitions × autoBroadcastJoinThreshold, so
-        # large-large joins at the 100 TB regime keep the spill-graceful
-        # strategy; stat-less (checkpointed) plans also keep SMJ. ----------
+        # fits (guide §3.1, §9). Honest scope (r17 audit — the r16 A/B's
+        # whole-query deltas were load noise): at the test SFs this conf is
+        # PLAN-INERT — every visible registered join broadcasts under the
+        # 64m threshold, equal-size self-joins (shingle/band/tfidf) fail
+        # SHJ's build*3<=probe condition and keep SMJ under either setting,
+        # and stat-less checkpointed sides keep SMJ too. It matters only
+        # for an asymmetric join whose build side lands between the
+        # broadcast threshold and numShufflePartitions × threshold — the
+        # mid-size-dimension shape a 100 TB run does hit; the gate
+        # conditions are pinned in
+        # tests/test_plans.py::test_shuffled_hash_join_gate_conditions and
+        # the sf0.1 inertness in plans/r17/shingle_inter_counts__*. -------
         .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- timestamps: parquet int96/µs round-trip sanity ---------------
         .config("spark.sql.session.timeZone", "UTC")

@@ -1023,3 +1023,67 @@ def test_q12_pushdown_and_residual_date_arith(spark):
     # regression, so the count is gated on the broadcast choice)
     if "BroadcastHashJoin" in plan:
         assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_shuffled_hash_join_gate_conditions(spark):
+    """Pin WHEN the session's preferSortMergeJoin=false (session.py) can
+    change a plan (r16 verdict #2 — the switch shipped with timing-only
+    evidence). The planner picks ShuffledHashJoin only for an ASYMMETRIC
+    equi-join whose build side is (a) past the broadcast threshold, (b)
+    under numShufflePartitions x autoBroadcastJoinThreshold, and (c) at
+    most 1/3 of the probe's estimated size. Consequences pinned here:
+
+    - asymmetric mid-size build: SMJ under the default, SHJ under the
+      engine conf — the one shape the switch accelerates at scale;
+    - equal-size self-join (every shingle/band/tfidf self-join in the
+      repo): stays SMJ under EITHER conf (muchSmaller fails), so the
+      spill-graceful strategy is retained exactly where a per-partition
+      hash map would be the OOM risk;
+    - at sf0.1 with the engine's 64m broadcast threshold every visible
+      registered-query join broadcasts, so the conf is PLAN-INERT on the
+      bench (plans/r17/shingle_inter_counts__*: BroadcastHashJoin under
+      both confs; join_skew_salted_{before,after}: identical strategies).
+    """
+    from pyspark.sql import functions as F
+
+    confs = {
+        # the SHJ window is (threshold, numShufflePartitions x threshold):
+        # the build (~10k rows, ~160KB estimated) must sit inside it — with
+        # the fixture's 4 shuffle partitions, 64KB puts it past broadcast
+        # (160KB > 64KB) and under the local-map cap (160KB < 256KB); the
+        # probe is 100x larger so muchSmaller (build*3 <= probe) holds
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024),
+        "spark.sql.adaptive.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    prev_smj = spark.conf.get("spark.sql.join.preferSortMergeJoin")
+    probe = spark.range(1_000_000).select(
+        (F.col("id") % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    build = spark.range(10_000).select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+
+        def join_kinds(prefer_smj: str, make_df) -> set[str]:
+            # set the conf BEFORE constructing the frame: a DataFrame caches
+            # its QueryExecution, so re-explaining the same object would
+            # show the first conf's plan
+            spark.conf.set("spark.sql.join.preferSortMergeJoin", prefer_smj)
+            import re
+
+            plan = formatted_plan(make_df())
+            return set(re.findall(r"\) (\w*Join\w*)", plan))
+
+        asym = lambda: probe.join(build, "k")  # noqa: E731
+        assert join_kinds("true", asym) == {"SortMergeJoin"}
+        assert join_kinds("false", asym) == {"ShuffledHashJoin"}
+        # self-join: equal-size sides keep SMJ under either conf
+        self_b = probe.select("k", F.col("v").alias("v2"))
+        assert join_kinds("false", lambda: probe.join(self_b, "k")) == {
+            "SortMergeJoin"
+        }
+    finally:
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_smj)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
