@@ -139,26 +139,66 @@ def test_repeated_ngrams_has_no_hot_key_distinct(spark):
     assert "partial_count" in plan
 
 
+def _skewed_fixture(spark):
+    """A probe whose key 0 holds 80k of 81k rows — wide enough that
+    sampled_key_widths(sample_fraction=0.5, rows_per_salt=5_000) flags it —
+    plus a small 100-key build side."""
+    from pyspark.sql import functions as F
+
+    probe = spark.range(81_000).select(
+        F.when(F.col("id") < 80_000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+        (F.col("id") % 13).alias("v"),
+    )
+    build = spark.range(100).select(F.col("id").alias("k"))
+    return probe, build
+
+
 def test_salted_join_spreads_key(spark):
-    """The salted join's physical join keys include the salt column."""
+    """Both adaptive regimes pinned (r17): when the sampled histogram finds
+    no oversized key — the bench tables at every test SF — the join
+    degenerates to the plain form (no salt column, small build side free to
+    broadcast instead of forcing a shuffled merge of the probe on a
+    constant-extended key); when the histogram DOES flag a hot key, the
+    physical join keys include the salt."""
+    from mysql_hbase_replicator_spark.operators.skew import (
+        SALT,
+        adaptive_salted_join,
+    )
+
     plan = simple_plan(QUERY_REGISTRY["join_skew_salted"](spark, SF))
-    assert "_salt" in plan
+    assert SALT not in plan
+    assert "BroadcastHashJoin" in plan
+
+    probe, build = _skewed_fixture(spark)
+    salted = adaptive_salted_join(
+        probe, build, ["k"], sample_fraction=0.5, rows_per_salt=5_000
+    )
+    assert SALT in simple_plan(salted)
 
 
 def test_salted_join_smj_regime(spark):
     """The salt's real regime: with broadcast disabled (how the join plans
-    when both sides exceed the threshold at scale), join_skew_salted must
-    run as a SortMergeJoin whose join keys include the salt, and the salt
-    must actually spread a hot key's rows across sub-keys — measured, not
-    assumed."""
+    when both sides exceed the threshold at scale) and a hot key the
+    histogram actually flags, the salted join runs as a SortMergeJoin whose
+    join keys include the salt, and the salt must actually spread a hot
+    key's rows across sub-keys — measured, not assumed."""
     from pyspark.sql import functions as F
 
-    from mysql_hbase_replicator_spark.operators.skew import SALT, salted_join
+    from mysql_hbase_replicator_spark.operators.skew import (
+        SALT,
+        adaptive_salted_join,
+        salted_join,
+    )
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        plan = simple_plan(QUERY_REGISTRY["join_skew_salted"](spark, SF))
+        probe, build = _skewed_fixture(spark)
+        plan = simple_plan(
+            adaptive_salted_join(
+                probe, build, ["k"], sample_fraction=0.5, rows_per_salt=5_000
+            )
+        )
         assert "SortMergeJoin" in plan
         # the only broadcasts allowed are the hint-forced width-map lookups
         # (LeftOuter BuildRight against the k-row widths frame); the fact
