@@ -74,6 +74,13 @@ class _CompactingIndexBase:
     def _data_files(self) -> list[str]:
         return self._parquet_files(self.index_dir)
 
+    def _dir_counts(self, root: str) -> dict[str, int]:
+        counts: dict[str, int] = {}
+        for f in self._parquet_files(root):
+            d = os.path.dirname(f)
+            counts[d] = counts.get(d, 0) + 1
+        return counts
+
     def _needs_compaction(self, roots: list[str]) -> bool:
         """``max_files`` bounds the file count PER DIRECTORY, not the
         store total: a hive-partitioned store has a permanent floor of
@@ -85,31 +92,111 @@ class _CompactingIndexBase:
         layouts every file shares one directory, so this is exactly the
         original total-count semantics."""
         for root in roots:
-            counts: dict[str, int] = {}
-            for f in self._parquet_files(root):
-                d = os.path.dirname(f)
-                counts[d] = counts.get(d, 0) + 1
+            counts = self._dir_counts(root)
             if counts and max(counts.values()) > self.max_files:
                 return True
         return False
+
+    def _predicted_compaction(self, root: str, touched) -> bool:
+        """Would the store exceed ``max_files`` files in some directory
+        AFTER appending this batch? Decided BEFORE the append so the
+        append+compact write pair can collapse into one staged rewrite
+        (r17, guide §2.6 — the drains' per-trigger floor is driver/job
+        latency, and the oracle rows compact after every append by
+        design, paying two write jobs plus an extra full-store read per
+        store per batch).
+
+        ``touched`` names the directories the append will add one file to
+        (dir-aligned hive appends write exactly one file per touched
+        partition dir): a list of ``col=val`` dir names, ``True`` for
+        "assume every occupied dir is touched" (callers without a
+        driver-side touched list), or None/[] to only rewrite when some
+        dir is ALREADY over. Under-prediction (a flat-store append can
+        add more than one file) merely delays the rewrite to the next
+        trigger — max_files is a file-count performance bound, never a
+        screening-semantics input."""
+        counts = self._dir_counts(root)
+        if counts and max(counts.values()) > self.max_files:
+            return True
+        if touched is True:
+            return bool(counts) and max(counts.values()) + 1 > self.max_files
+        for d in touched or []:
+            if counts.get(os.path.join(root, d), 0) + 1 > self.max_files:
+                return True
+        return False
+
+    def _append_or_rewrite(
+        self,
+        live_dir: str,
+        new_rows: DataFrame,
+        partition_cols: list[str],
+        dedupe: bool = False,
+        dir_partition_by: list[str] | None = None,
+        schema: str | None = None,
+        touched=None,
+    ) -> bool:
+        """ONE write job per store per trigger: plain append while the
+        post-append file counts stay within ``max_files``, otherwise write
+        (live ∪ new) straight to the staging dir and swap — the same
+        stage → retire → promote protocol as ``_compact_dir`` and the
+        same final layout the old append-then-compact pair produced (the
+        union rewrite IS the compaction, with the batch's rows riding
+        along instead of being written twice and re-read). Crash before
+        the promote equals crash before the old append: the batch
+        replays and re-screens; the retired/staging residue is reclaimed
+        by ``_recover`` exactly as for compaction. Returns True when the
+        fused rewrite ran (callers hook compaction-cadence side effects —
+        the semantic occupancy alarm — on it)."""
+        fused = bool(self._parquet_files(live_dir)) and self._predicted_compaction(
+            live_dir, touched
+        )
+        if fused:
+            staging, retired = live_dir + ".compacting", live_dir + ".retired"
+            reader = self.spark.read
+            if schema is not None:
+                reader = reader.schema(schema)
+            frame = reader.parquet(live_dir).unionByName(new_rows)
+            if dedupe:
+                frame = frame.distinct()
+            writer = frame.repartition(
+                self.n_compact_partitions, *(dir_partition_by or partition_cols)
+            ).write.mode("overwrite")
+            if dir_partition_by:
+                writer = writer.partitionBy(*dir_partition_by)
+            writer.parquet(staging)
+            os.replace(live_dir, retired)
+            os.replace(staging, live_dir)
+            shutil.rmtree(retired)
+        elif dir_partition_by:
+            # dir-aligned append: one file per touched partition dir (see
+            # _compact_dir's alignment note)
+            new_rows.repartition(
+                self.n_compact_partitions, *dir_partition_by
+            ).write.mode("append").partitionBy(*dir_partition_by).parquet(live_dir)
+        else:
+            new_rows.write.mode("append").parquet(live_dir)
+        return fused
 
     def _pruned_read(
         self,
         live_dir: str,
         dir_col: str,
-        vals: DataFrame,
+        vals,
         schema: str | None = None,
     ) -> DataFrame:
         """Read a hive-partitioned store statically filtered to the
-        partition values appearing in ``vals`` (a single-column frame).
-        The value list is driver-collected — bounded metadata (<= the
-        bucket/cell fan-out, the same sanctioned class as the LSM stores'
-        changed-bucket collect) — and the IN-filter plans as a
-        PartitionFilter, so untouched directories are never read. Dynamic
-        partition pruning could do this at runtime, but its selectivity
-        heuristic never fires on stat-less checkpointed batch plans
-        (measured r16, not assumed). One definition for all three
-        dedupers' screens.
+        partition values appearing in ``vals`` (a single-column frame, or
+        an already-collected python list — r17: callers that need the
+        values driver-side anyway, for the append's touched-dir
+        prediction, collect once and pass the list so the screen does not
+        run a second collect job). The value list is driver-collected —
+        bounded metadata (<= the bucket/cell fan-out, the same sanctioned
+        class as the LSM stores' changed-bucket collect) — and the
+        IN-filter plans as a PartitionFilter, so untouched directories
+        are never read. Dynamic partition pruning could do this at
+        runtime, but its selectivity heuristic never fires on stat-less
+        checkpointed batch plans (measured r16, not assumed). One
+        definition for all three dedupers' screens.
 
         ``schema`` (each deduper's INDEX_SCHEMA/... constant — the store
         layouts are owned by this module, so the declared schema cannot
@@ -117,7 +204,10 @@ class _CompactingIndexBase:
         schema-inference job; the drains re-open their stores several
         times per batch and the inference jobs were pure driver-side
         overhead (guide §6 / r16)."""
-        keys = [r[0] for r in vals.distinct().collect()]
+        if isinstance(vals, DataFrame):
+            keys = [r[0] for r in vals.distinct().collect()]
+        else:
+            keys = list(vals)
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
@@ -411,23 +501,37 @@ class IncrementalDeduper(_CompactingIndexBase):
             # duplicated shingle set, which briefly OVER-rejects borderline
             # neighbours (conservative) and is healed by the next
             # compaction's distinct().
+            # ONE write job per store (r17): _append_or_rewrite appends
+            # while file counts stay within max_files and otherwise folds
+            # the batch into the compaction rewrite itself (the old path
+            # wrote the append, then re-read and rewrote the whole store).
+            # touched=True: neither store's touched-dir list exists
+            # driver-side here, so prediction assumes every occupied dir
+            # gains a file — at worst one early/late rewrite, never a
+            # screening change. Each store now rewrites on its OWN
+            # max_files breach instead of whenever the other store's
+            # breach tripped the shared compact() — same bound per store,
+            # strictly less rewriting.
             if self.rerank_threshold is not None:
-                # sbucket-aligned repartition: one file per touched bucket
-                # dir per append (see _compact_dir's alignment note)
-                hashed.join(dups, "doc_id", "left_anti").withColumn(
-                    "sbucket",
-                    F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS)).cast("int"),
-                ).repartition(
-                    self.n_compact_partitions, "sbucket"
-                ).write.mode("append").partitionBy("sbucket").parquet(
-                    self.shingle_dir
+                self._append_or_rewrite(
+                    self.shingle_dir,
+                    hashed.join(dups, "doc_id", "left_anti").withColumn(
+                        "sbucket",
+                        F.pmod("doc_id", F.lit(self.SHINGLE_BUCKETS)).cast("int"),
+                    ),
+                    ["doc_id"],
+                    dedupe=True,
+                    dir_partition_by=["sbucket"],
+                    schema=self.SHINGLE_SCHEMA,
+                    touched=True,
                 )
-            new_bands.write.mode("append").parquet(self.index_dir)
-            roots = [self.index_dir]
-            if self.rerank_threshold is not None:
-                roots.append(self.shingle_dir)
-            if self._needs_compaction(roots):
-                self.compact()
+            self._append_or_rewrite(
+                self.index_dir,
+                new_bands,
+                ["band_idx", "band_hash"],
+                schema=self.INDEX_SCHEMA,
+                touched=True,
+            )
             return admitted
         finally:
             bands.unpersist()
@@ -475,14 +579,31 @@ class IncrementalExactDeduper(_CompactingIndexBase):
     def process_batch(self, docs: DataFrame) -> DataFrame:
         """Screen one batch of (doc_id, text) rows; returns the admitted
         docs and appends their fingerprints. Within-batch dups keep the
-        lowest doc_id."""
+        lowest doc_id.
+
+        Per-trigger job budget (r17 — the drains' wall was dominated by
+        driver/job latency, not compute): ONE checkpoint of the
+        fingerprints, ONE tiny collect of the touched buckets (which also
+        answers the empty-batch probe, replacing the separate isEmpty
+        job), ONE screening checkpoint, ONE store write (append, or the
+        fused union rewrite when compaction would have followed)."""
         from mysql_hbase_replicator_spark.operators.dedup import shingle_h0
 
         self._recover(self.index_dir)
-        if docs.isEmpty():
+        fps = (
+            docs.select("doc_id", shingle_h0(F.col("text")).alias("fp"))
+            .withColumn(
+                "fbucket",
+                F.pmod("fp", F.lit(self.FP_BUCKETS)).cast("int"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # one metadata-sized job: the touched-bucket list drives the pruned
+        # index read AND the append's compaction prediction, and an empty
+        # list IS the idle-poll probe (no separate isEmpty job)
+        buckets = [r[0] for r in fps.select("fbucket").distinct().collect()]
+        if not buckets:
             return docs
-        fps = docs.select("doc_id", shingle_h0(F.col("text")).alias("fp"))
-        fps = fps.localCheckpoint(eager=True)
         min_ids = fps.groupBy("fp").agg(F.min("doc_id").alias("min_id"))
         in_batch = (
             fps.join(F.broadcast(min_ids), "fp")
@@ -492,10 +613,7 @@ class IncrementalExactDeduper(_CompactingIndexBase):
         dups = in_batch
         if self._data_files():
             index = self._pruned_read(
-                self.index_dir,
-                "fbucket",
-                fps.select(F.pmod("fp", F.lit(self.FP_BUCKETS))),
-                schema=self.INDEX_SCHEMA,
+                self.index_dir, "fbucket", buckets, schema=self.INDEX_SCHEMA
             )
             # inner join, batch side broadcast (BuildLeft is not supported
             # for left-semi, and the trailing distinct dedupes multi-row
@@ -508,22 +626,15 @@ class IncrementalExactDeduper(_CompactingIndexBase):
             dups = dups.unionByName(vs_index)
         dups = dups.distinct().localCheckpoint(eager=True)
         admitted = docs.join(dups, "doc_id", "left_anti")
-        # repartition on the DIRECTORY column before the hive append so each
-        # touched bucket dir receives one file (a multi-partition batch
-        # would otherwise write tasks × buckets tiny files per trigger)
-        (
-            fps.join(dups, "doc_id", "left_anti")
-            .select(
-                "fp",
-                F.pmod("fp", F.lit(self.FP_BUCKETS)).cast("int").alias("fbucket"),
-            )
-            .repartition(self.n_compact_partitions, "fbucket")
-            .write.mode("append")
-            .partitionBy("fbucket")
-            .parquet(self.index_dir)
+        self._append_or_rewrite(
+            self.index_dir,
+            fps.join(dups, "doc_id", "left_anti").select("fp", "fbucket"),
+            ["fp"],
+            dedupe=True,
+            dir_partition_by=["fbucket"],
+            schema=self.INDEX_SCHEMA,
+            touched=[f"fbucket={b}" for b in buckets],
         )
-        if self._needs_compaction([self.index_dir]):
-            self.compact()
         return admitted
 
 
@@ -655,10 +766,12 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             "vec_id", "cell", "embedding", "nsq"
         )
 
-    def _rejected(self, assigned: DataFrame) -> DataFrame:
+    def _rejected(self, assigned: DataFrame, cells: list[int]) -> DataFrame:
         """(vec_id) rows to reject: cosine >= threshold to an earlier-by-id
         batch-mate or ANY indexed vector (self-matches included — that is
-        the redelivery guard) in the same cell."""
+        the redelivery guard) in the same cell. ``cells`` is the batch's
+        driver-collected touched-cell list (process_batch collects it once
+        for the prune, the append prediction and the idle probe)."""
         from mysql_hbase_replicator_spark.operators.similarity import (
             cosine_from_parts,
             dot,
@@ -692,7 +805,7 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             # not O(|index|).
             vs_index = F.broadcast(assigned).join(
                 self._pruned_read(
-                    self.index_dir, "cell", assigned.select("cell"),
+                    self.index_dir, "cell", cells,
                     schema=self.INDEX_SCHEMA,
                 ).select(
                     "cell",
@@ -724,41 +837,56 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
 
     def compact(self) -> int:
         """Rewrite the index into n_compact_partitions cell-aligned files.
-        Returns the resulting file count. Piggybacks the occupancy-skew
-        alarm on the rewrite: one O(K)-output aggregate over an index that
-        was just scanned anyway."""
-        import logging
-
+        Returns the resulting file count, then runs the occupancy-skew
+        alarm."""
         n = self._compact_dir(
             self.index_dir, ["cell"], dir_partition_by=["cell"],
             schema=self.INDEX_SCHEMA,
         )
         if n:
-            occ = (
-                self.spark.read.schema(self.INDEX_SCHEMA).parquet(self.index_dir)
-                .groupBy("cell")
-                .count()
-                .agg(
-                    F.max("count").alias("mx"),
-                    F.avg("count").alias("mean"),
-                )
-                .first()
-            )
-            if occ.mean and occ.mx / occ.mean >= self.OCCUPANCY_ALARM:
-                logging.getLogger(__name__).warning(
-                    "semantic dedup index %s: cell occupancy skew %.1fx "
-                    "(max %d / mean %.1f) >= %.1fx — the frozen centroids "
-                    "no longer fit the stream's distribution; hot cells "
-                    "degrade screening cost and recall. Re-seed a new "
-                    "index generation (train fresh centroids, re-admit "
-                    "through it) when operationally convenient.",
-                    self.index_dir,
-                    occ.mx / occ.mean,
-                    occ.mx,
-                    occ.mean,
-                    self.OCCUPANCY_ALARM,
-                )
+            self._occupancy_alarm()
         return n
+
+    def _occupancy_alarm(self) -> None:
+        """Warn when per-cell occupancy skew crosses OCCUPANCY_ALARM.
+        Computed entirely driver-side from parquet FOOTER row counts per
+        cell= directory (r17, guide §2.6): the store is hive-partitioned
+        by cell, so each dir's summed num_rows IS that cell's occupancy —
+        the previous groupBy('cell').count() aggregate was one full Spark
+        job per compaction (= per trigger in the max_files=1 oracle
+        drains) for a number the metadata already holds."""
+        import logging
+
+        import pyarrow.parquet as pq
+
+        occ: dict[str, int] = {}
+        for f in self._parquet_files(self.index_dir):
+            d = os.path.basename(os.path.dirname(f))
+            if not d.startswith("cell="):
+                continue
+            try:
+                rows = pq.ParquetFile(f).metadata.num_rows
+            except Exception:  # unreadable footer: skip, never crash a drain
+                continue
+            occ[d] = occ.get(d, 0) + rows
+        if not occ:
+            return
+        mx = max(occ.values())
+        mean = sum(occ.values()) / len(occ)
+        if mean and mx / mean >= self.OCCUPANCY_ALARM:
+            logging.getLogger(__name__).warning(
+                "semantic dedup index %s: cell occupancy skew %.1fx "
+                "(max %d / mean %.1f) >= %.1fx — the frozen centroids "
+                "no longer fit the stream's distribution; hot cells "
+                "degrade screening cost and recall. Re-seed a new "
+                "index generation (train fresh centroids, re-admit "
+                "through it) when operationally convenient.",
+                self.index_dir,
+                mx / mean,
+                mx,
+                mean,
+                self.OCCUPANCY_ALARM,
+            )
 
     def process_batch(self, vecs: DataFrame) -> DataFrame:
         """Screen one batch of (vec_id, embedding) rows. Returns the
@@ -789,9 +917,13 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
             return vecs
         cents = self._ensure_centroids(prepared)
         assigned = self._assign(prepared, cents).localCheckpoint(eager=True)
+        # ONE metadata-sized collect: the touched-cell list drives the
+        # pruned index read inside _rejected AND the append's compaction
+        # prediction (r17 — it was collected twice before, once per use)
+        cells = [r[0] for r in assigned.select("cell").distinct().collect()]
         # eager: the returned plan must not lazily reference index files a
         # later compaction may rewrite (same rationale as the band deduper)
-        dups = self._rejected(assigned).localCheckpoint(eager=True)
+        dups = self._rejected(assigned, cells).localCheckpoint(eager=True)
         admitted = vecs.join(dups, "vec_id", "left_anti")
         # the index is stored as cell= DIRECTORY partitions (r16): the
         # screening join's probe side is the index and its key IS the
@@ -800,13 +932,18 @@ class IncrementalSemanticDeduper(_CompactingIndexBase):
         # touched cells), not O(|index| scan). With K ∝ √n cells and
         # batches that touch a few topics, that is the difference between
         # a bounded trigger and one that slows linearly with corpus age.
-        # cell-aligned repartition: one file per touched cell dir per append
-        # (see _compact_dir's alignment note)
-        assigned.join(dups, "vec_id", "left_anti").repartition(
-            self.n_compact_partitions, "cell"
-        ).write.mode("append").partitionBy("cell").parquet(self.index_dir)
-        if self._needs_compaction([self.index_dir]):
-            self.compact()
+        # ONE write job (r17): append, or the fused union rewrite when a
+        # touched cell dir would cross max_files (see _append_or_rewrite)
+        if self._append_or_rewrite(
+            self.index_dir,
+            assigned.join(dups, "vec_id", "left_anti"),
+            ["cell"],
+            dir_partition_by=["cell"],
+            schema=self.INDEX_SCHEMA,
+            touched=[f"cell={c}" for c in cells],
+        ):
+            # same cadence as the old post-compaction alarm
+            self._occupancy_alarm()
         return admitted
 
 

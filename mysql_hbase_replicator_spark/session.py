@@ -149,6 +149,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- scan sizing: keep parquet splits ~128MB ----------------------
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- file listing: list bounded-fanout stores on the driver -------
+        # The engine's hive-partitioned stores are all bounded fan-out BY
+        # DESIGN (64 fbucket/sbucket dirs, <=K cell dirs, 32 LSM buckets);
+        # the default threshold (32 paths) pushed every re-open of a
+        # 64-dir store into a DISTRIBUTED "listing leaf files" job —
+        # measured ~0.12-0.15 s per open, 5+ opens per incremental-dedup
+        # trigger (r17 REST profile), for directories a local statfs walks
+        # in microseconds. 128 keeps every engine store driver-side while
+        # genuinely wide tables (>128 partition dirs, the 100 TB layout
+        # case) still get the distributed listing. ------------------------
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
         # --- broadcast: dims like region/nation/supplier are tiny ---------
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- joins: allow shuffled-hash when the per-partition build side

@@ -1078,7 +1078,13 @@ def test_incremental_semantic_index_prune_and_broadcast(spark, tmp_path):
     assigned = dd._assign(
         prepared, dd._ensure_centroids(prepared)
     ).localCheckpoint(eager=True)
-    plan = dd._rejected(assigned)._jdf.queryExecution().executedPlan().toString()
+    cells = [r[0] for r in assigned.select("cell").distinct().collect()]
+    plan = (
+        dd._rejected(assigned, cells)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastHashJoin" in plan
     scans = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert any(
@@ -1371,3 +1377,4 @@ def test_semantic_centroid_cache_is_driver_resident(spark, tmp_path):
         spark, str(tmp_path / "semidx"), threshold=0.9, n_cells=2
     )
     assert dd2._ensure_centroids(None).collect() == frame.collect()
+

@@ -169,13 +169,16 @@ def test_soak_rotates_deadletter_compaction_restart(spark, tmp_path, student_map
         spark, str(tmp_path / "lsh_oracle"), max_files=10_000
     )
     compactions = {"n": 0}
-    real_compact = deduper.compact
+    real_write = deduper._append_or_rewrite
 
-    def counting_compact():
-        compactions["n"] += 1
-        return real_compact()
+    def counting_write(*args, **kwargs):
+        # the fused append+rewrite (r17) IS the compaction path now:
+        # _append_or_rewrite returns True when the union rewrite ran
+        fused = real_write(*args, **kwargs)
+        compactions["n"] += int(bool(fused))
+        return fused
 
-    deduper.compact = counting_compact
+    deduper._append_or_rewrite = counting_write
 
     base = (
         "the quick brown fox jumps over the lazy dog again and again today",
