@@ -311,6 +311,18 @@ def _quantized_mean(col: Column, count: Column) -> Column:
     ) / F.lit(1000000000.0)
 
 
+_BOUNDED_COLLECT_MAX = 4096
+"""Hard cap on driver-side build-time collects (r16 ADVICE / r17 verdict
+#8): _assign_cells and _collected_codebooks run their input's upstream job
+EAGERLY at DataFrame-BUILD time and close the collected rows over an Arrow
+kernel. That is sanctioned only because the inputs are bounded metadata —
+≤ K centroid structs / pq_m×pq_k codewords, the same class as the LSM
+stores' changed-bucket collects — and already eagerly checkpointed by every
+caller. The assert makes the bound structural: a future caller passing an
+unbounded (or expensive lazy) frame fails fast instead of silently pulling
+a corpus onto the driver."""
+
+
 def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     """Nearest-centroid assignment with NO row explosion or shuffle: the
     centroid table (bounded metadata — ≤ K cid/vector structs, the same
@@ -320,6 +332,12 @@ def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     through unchanged; ``cents`` never lands in the output — the same
     contract as the previous crossJoin(broadcast)+array_min expression
     form.
+
+    CONTRACT (r17): ``cents_row.first()`` runs HERE, at build time — the
+    centroid job executes even if the returned frame is never acted on,
+    and the snapshot is frozen now, not at action time. Callers must pass
+    a bounded (≤ _BOUNDED_COLLECT_MAX structs), ideally already
+    eagerly-checkpointed one-row frame; the bound is asserted.
 
     Vectorized form (r16, guide §4.2): _seq_l2_acc reproduces _l2_sq's
     left-to-right dim-axis float64 fold bit-for-bit, and with the
@@ -341,6 +359,11 @@ def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
             "cell", F.lit(None).cast("int")
         )
     cents = sorted(((s["cid"], list(s["c"])) for s in row["cents"] or []))
+    assert len(cents) <= _BOUNDED_COLLECT_MAX, (
+        f"_assign_cells collected {len(cents)} centroids — the build-time "
+        f"driver collect is sanctioned for bounded metadata only "
+        f"(<= {_BOUNDED_COLLECT_MAX}); see _BOUNDED_COLLECT_MAX"
+    )
     if not cents:
         # one row, empty array: array_min over [] was NULL for every row
         return vectors.withColumn("cell", F.lit(None).cast("int"))
@@ -512,10 +535,20 @@ def _collected_codebooks(cbs: DataFrame, pq_m: int, pq_subdim: int):
     """The one-row codebook frame collected to pq_m (pq_k × pq_subdim)
     float64 matrices — bounded metadata (the same class as the centroid
     collects), closed over by the vectorized encode/table kernels below.
-    float32 → float64 via the same cast the expression form applied."""
+    float32 → float64 via the same cast the expression form applied.
+
+    CONTRACT (r17): ``cbs.first()`` runs HERE, at build time — see
+    _BOUNDED_COLLECT_MAX. Callers pass the eagerly-checkpointed one-row
+    codebook frame; the collected word count is asserted bounded."""
     import numpy as np
 
     row = cbs.first()["cbs"]
+    n_words = sum(len(words) for words in row)
+    assert n_words <= _BOUNDED_COLLECT_MAX, (
+        f"_collected_codebooks collected {n_words} codewords — the "
+        f"build-time driver collect is sanctioned for bounded metadata "
+        f"only (<= {_BOUNDED_COLLECT_MAX}); see _BOUNDED_COLLECT_MAX"
+    )
     return [
         np.array([list(w) for w in words], dtype=np.float32).astype(np.float64)
         for words in row
@@ -1898,11 +1931,24 @@ def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").cast("int").alias("cid"), F.col("embedding").alias("c"))
         .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
     )
-    cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
-    assigned = _assign_cells(e, cents).localCheckpoint(eager=True)
+    # ---- train both quantizers CONCURRENTLY (r17, guide §2.6) ----
+    # The three eager materializations here are full corpus passes at
+    # query-build time: cents -> assigned is a real dependency chain, but
+    # the PQ codebooks (cbs) share no lineage with either. Serialized they
+    # cost three back-to-back job walls; submitting the codebook training
+    # from a helper thread overlaps it with the k-means+assign chain (Spark
+    # job submission is thread-safe; each job is deterministic regardless
+    # of scheduling, and the overlapped result is the identical checkpoint
+    # the serial form produced).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        cbs_future = pool.submit(_pq_codebooks, e)
+        cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
+        assigned = _assign_cells(e, cents).localCheckpoint(eager=True)
+        cbs = cbs_future.result()
     probed = _ivf_probe(assigned, cents, N_QUERIES, IVF_NPROBE)
     # ---- PQ encode (the pq_topk builders, shared verbatim) ----
-    cbs = _pq_codebooks(e)
     coded = _pq_encode_corpus(e, cbs, PQ_M, PQ_SUBDIM)
     qrow = _pq_query_row(e, cbs, N_QUERIES, PQ_M, PQ_SUBDIM)
     # ---- candidates = corpus vectors in probed cells, ADC-ranked ----

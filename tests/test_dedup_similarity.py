@@ -3,6 +3,7 @@ vs exact Jaccard, SimHash properties, LSH-ANN recall vs brute force."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.001"
@@ -1378,3 +1379,37 @@ def test_semantic_centroid_cache_is_driver_resident(spark, tmp_path):
     )
     assert dd2._ensure_centroids(None).collect() == frame.collect()
 
+def test_build_time_collects_assert_bounded_metadata(spark):
+    """_assign_cells / _collected_codebooks collect their one-row input on
+    the DRIVER at DataFrame-build time (r17 verdict #8). That is sanctioned
+    only for bounded metadata: over-bound inputs must fail fast instead of
+    silently pulling a corpus onto the driver."""
+    from pyspark.sql import functions as F
+
+    from mysql_hbase_replicator_spark.operators.similarity import (
+        _BOUNDED_COLLECT_MAX,
+        _assign_cells,
+        _collected_codebooks,
+    )
+
+    vecs = spark.range(3).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(0.0)).alias("embedding")
+    )
+    over = spark.range(_BOUNDED_COLLECT_MAX + 1).agg(
+        F.collect_list(
+            F.struct(
+                F.col("id").cast("int").alias("cid"),
+                F.array(F.lit(0.0)).alias("c"),
+            )
+        ).alias("cents")
+    )
+    with pytest.raises(AssertionError, match="bounded metadata"):
+        _assign_cells(vecs, over)
+
+    over_cbs = spark.range(_BOUNDED_COLLECT_MAX + 1).agg(
+        F.array(
+            F.collect_list(F.array(F.lit(0.0)).cast("array<float>"))
+        ).alias("cbs")
+    )
+    with pytest.raises(AssertionError, match="bounded metadata"):
+        _collected_codebooks(over_cbs, 1, 1)
