@@ -255,17 +255,28 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    return l.rollup("l_returnflag", "l_linestatus").agg(
+    # Pre-aggregate to the ≤ R×S distinct key pairs BEFORE the rollup
+    # Expand (r17, guide §2.2): Spark plans rollup as Expand×3 over the
+    # INPUT stream, tripling the rows the hash aggregate consumes. Exact
+    # decimal sums and counts re-aggregate associatively, so rolling up the
+    # collapsed per-(flag, status) partials is value-identical (oracle-
+    # checked) while Expand runs over a handful of rows instead of the
+    # fact table. COALESCE matches COUNT(*)'s non-null 0 on empty input.
+    #
+    # msum semantics preserved, NOT msum_fast: rollup's subtotal and
+    # grand-total groups sum the WHOLE table, so the fast path's int64
+    # headroom (group Σ|x|·1e6 < 9.2e18) is gone by ~sf29 on
+    # l_extendedprice — and a non-ANSI long SUM wraps silently. The
+    # decimal re-sum keeps unconditional exactness.
+    base = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
-        # msum, NOT msum_fast: rollup's subtotal and grand-total groups sum
-        # the WHOLE table, so the fast path's int64 headroom (group
-        # Σ|x|·1e6 < 9.2e18) is gone by ~sf29 on l_extendedprice — and a
-        # non-ANSI long SUM wraps silently. The leaf-group-only shapes
-        # (Q1) keep the fast path; totals-over-everything shapes pay the
-        # decimal accumulation for unconditional exactness.
-        msum(F.col("l_extendedprice")).alias("sum_price"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").cast("double").alias("sum_price"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
     )
 
 
@@ -283,11 +294,17 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
+    # pre-aggregate before the 4-way cube Expand — same exact
+    # re-aggregation argument as agg_rollup (r17, guide §2.2)
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
-        msum(F.col("o_totalprice")).alias("sum_price"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("_s").cast("double").alias("sum_price"),
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
     )
 
 
@@ -304,12 +321,20 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     l.createOrReplaceTempView("_gs_lineitem")
+    # pre-aggregate before the 3-way grouping-sets Expand — same exact
+    # re-aggregation argument as agg_rollup (r17, guide §2.2)
     return spark.sql(
-        f"""
+        """
         SELECT l_returnflag, l_linestatus,
-               {SQL_MSUM("l_quantity")} AS sum_qty,
-               COUNT(*) AS n
-        FROM _gs_lineitem
+               CAST(SUM(s) AS DOUBLE) AS sum_qty,
+               COALESCE(SUM(n), 0) AS n
+        FROM (
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS DECIMAL(25,6))) AS s,
+                   COUNT(*) AS n
+            FROM _gs_lineitem
+            GROUP BY l_returnflag, l_linestatus
+        )
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
@@ -943,14 +968,18 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     detail COALESCE alone cannot provide when the grouped column is
     nullable. Emitted as the standard grouping_level int
     (2·GROUPING(col1) + GROUPING(col2), 0 = detail row, 3 = grand total),
-    the same expression text on both engines. Same single-shuffle
-    expand-then-aggregate plan as agg_rollup."""
+    the same expression text on both engines. Same pre-aggregated
+    rollup plan as agg_rollup (r17, guide §2.2)."""
     l = load_table(spark, sf_dir, "lineitem")
+    base = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("_s"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
-        l.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            msum(F.col("l_quantity")).alias("sum_qty"),
+            F.coalesce(F.sum("_n"), F.lit(0)).alias("n_rows"),
+            F.sum("_s").cast("double").alias("sum_qty"),
             (
                 F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
             ).cast("int").alias("grouping_level"),
