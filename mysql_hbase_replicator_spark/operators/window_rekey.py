@@ -213,7 +213,7 @@ def adaptive_time_bucket(
     df: DataFrame,
     ts_col: str,
     keys: list[str],
-    target_rows: int = 2_000,
+    target_rows: int = 8_000,
     min_width_us: int = 3_600_000_000,
 ) -> Column:
     """Pick the stitch-bucket width from the DATA instead of a constant.
@@ -233,7 +233,15 @@ def adaptive_time_bucket(
     Correctness is bucket-width-independent — the stitch kernels are exact
     for ANY non-decreasing bucket (property-tested bit-identical), so this
     is purely a parallelism/occupancy knob, the same role AQE's target
-    partition size plays for shuffles."""
+    partition size plays for shuffles.
+
+    target_rows=8000, from the r17 two-SF sweep (SCALING.md): at both
+    sf0.1 (100k events) and sf≈1 (1M events) 8k-row tasks beat the r6 2k
+    default on window_count_distinct_rolling (4.48 → 3.28 s at sf≈1) and
+    match-or-beat it on events_anomaly_zscore; 32k+ regresses the z-score
+    kernel hard at sf≈1 (8.6 s at 128k). The knob stays data-derived —
+    the same formula at every scale, nothing tuned to the local core
+    count."""
     import math
 
     row = df.agg(

@@ -447,8 +447,11 @@ def test_adaptive_time_bucket_tracks_density(spark):
         b = adaptive_time_bucket(df, "ts", ["k"], **kw)
         return df.select(b.alias("b")).distinct().count()
 
-    small = n_buckets(4_000)
-    big = n_buckets(40_000)
+    # explicit target_rows: the property under test is the FORMULA (10x
+    # rows => ~10x buckets), independent of the sweep-tuned default
+    # (2000 -> 8000 in r17, SCALING.md)
+    small = n_buckets(4_000, target_rows=2_000)
+    big = n_buckets(40_000, target_rows=2_000)
     assert small >= 2
     assert 5 * small <= big <= 20 * small, (small, big)
     # the 1-hour floor: absurdly small targets can't fragment past span/1h
