@@ -323,7 +323,9 @@ unbounded (or expensive lazy) frame fails fast instead of silently pulling
 a corpus onto the driver."""
 
 
-def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
+def _assign_cells(
+    vectors: DataFrame, cents_row: DataFrame, dist_col: str | None = None
+) -> DataFrame:
     """Nearest-centroid assignment with NO row explosion or shuffle: the
     centroid table (bounded metadata — ≤ K cid/vector structs, the same
     class as the LSM stores' changed-bucket collects) is collected once
@@ -331,7 +333,10 @@ def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     (distance, cid) minimum picks the cell. Extra input columns pass
     through unchanged; ``cents`` never lands in the output — the same
     contract as the previous crossJoin(broadcast)+array_min expression
-    form.
+    form. ``dist_col`` (r17) additionally emits the winning squared L2
+    distance itself — the same float64 accumulator the argmin ran on, i.e.
+    bit-identical to the expression form's array_min struct ``d`` field —
+    for the consumers that profile cohesion (embedding_kmeans_clusters).
 
     CONTRACT (r17): ``cents_row.first()`` runs HERE, at build time — the
     centroid job executes even if the returned frame is never acted on,
@@ -350,14 +355,20 @@ def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     from pyspark.sql import types as T
 
     row = cents_row.first()
-    out_schema = T.StructType(
-        list(vectors.schema.fields) + [T.StructField("cell", T.IntegerType())]
-    )
+    extra = [T.StructField("cell", T.IntegerType())]
+    if dist_col is not None:
+        extra.append(T.StructField(dist_col, T.DoubleType()))
+    out_schema = T.StructType(list(vectors.schema.fields) + extra)
+
+    def _null_cols(df):
+        df = df.withColumn("cell", F.lit(None).cast("int"))
+        if dist_col is not None:
+            df = df.withColumn(dist_col, F.lit(None).cast("double"))
+        return df
+
     if row is None:
         # empty centroid FRAME: the old crossJoin produced zero rows
-        return vectors.where(F.lit(False)).withColumn(
-            "cell", F.lit(None).cast("int")
-        )
+        return _null_cols(vectors.where(F.lit(False)))
     cents = sorted(((s["cid"], list(s["c"])) for s in row["cents"] or []))
     assert len(cents) <= _BOUNDED_COLLECT_MAX, (
         f"_assign_cells collected {len(cents)} centroids — the build-time "
@@ -366,18 +377,25 @@ def _assign_cells(vectors: DataFrame, cents_row: DataFrame) -> DataFrame:
     )
     if not cents:
         # one row, empty array: array_min over [] was NULL for every row
-        return vectors.withColumn("cell", F.lit(None).cast("int"))
+        return _null_cols(vectors)
     cids = np.array([c[0] for c in cents], dtype=np.int32)
     mat = np.array([c[1] for c in cents], dtype=np.float32).astype(np.float64)
 
     def assign(batches):
         for pdf in batches:
             if len(pdf) == 0:
-                yield pdf.assign(cell=np.array([], dtype=np.int32))
+                out = pdf.assign(cell=np.array([], dtype=np.int32))
+                if dist_col is not None:
+                    out = out.assign(**{dist_col: np.array([], dtype=np.float64)})
+                yield out
                 continue
             v = np.array(list(pdf["embedding"]), np.float32).astype(np.float64)
-            idx = np.argmin(_seq_l2_acc(v, mat), axis=1)
-            yield pdf.assign(cell=cids[idx])
+            acc = _seq_l2_acc(v, mat)
+            idx = np.argmin(acc, axis=1)
+            out = pdf.assign(cell=cids[idx])
+            if dist_col is not None:
+                out = out.assign(**{dist_col: acc[np.arange(len(idx)), idx]})
+            yield out
 
     return vectors.mapInPandas(assign, out_schema)
 
@@ -1177,17 +1195,14 @@ def embedding_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list(F.struct("cid", "c")).alias("cents"))
     )
     cents = _kmeans_step(e, seeds).localCheckpoint(eager=True)
-    best = F.array_min(
-        F.transform(
-            F.col("cents"),
-            lambda c: F.struct(
-                _l2_sq(F.col("embedding"), c["c"]).alias("d"), c["cid"].alias("cid")
-            ),
-        )
-    )
-    assigned = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", best["cid"].alias("cell"), best["d"].alias("d")
-    )
+    # shared Arrow assignment kernel WITH the winning distance (r17, guide
+    # §4.2): this was the one consumer still on the interpreted
+    # crossJoin(broadcast)+array_min expression form because it needs the
+    # min distance, not just the cid — dist_col emits the argmin's own
+    # float64 accumulator value, bit-identical to the struct form's d
+    # (oracle re-verified; the 1e-9-quantized mean below floors that exact
+    # double, so bit-identity is load-bearing).
+    assigned = _assign_cells(e, cents, dist_col="d").select("vec_id", "cell", "d")
     return (
         assigned.groupBy("cell")
         .agg(
